@@ -42,6 +42,7 @@ object KmerCodec {
   /** Pack s[from, from+k) into a Long, MSB-first. Requires 1 <= k <= 31 and
     * pure ACGT input (returns -1 if any base is invalid). */
   def encodeLong(s: CharSequence, from: Int, k: Int): Long = {
+    require(k >= 1 && k <= 31, s"encodeLong requires 1 <= k <= 31, got $k")
     var v = 0L
     var i = 0
     while (i < k) {
@@ -108,12 +109,15 @@ object KmerCodec {
   @inline def baseAt(b: Array[Long], i: Int): Int =
     ((b(i / BasesPerBlock) >>> (62 - 2 * (i % BasesPerBlock))) & 3L).toInt
 
-  /** Mutable sequential writer of 2-bit codes into block form. */
+  /** Mutable sequential writer of 2-bit codes into block form. One-shot:
+    * after result() the builder is finished and further use throws. */
   final class Builder(expectedLen: Int) {
     private var arr = new Array[Long](blocksFor(math.max(expectedLen, 0)))
     private var n = 0
+    private var finished = false
     def length: Int = n
     def append(c: Int): this.type = {
+      if (finished) throw new IllegalStateException("Builder already finished")
       val blk = n / BasesPerBlock
       if (blk >= arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2 + 1)
       arr(blk) |= c.toLong << (62 - 2 * (n % BasesPerBlock))
@@ -132,6 +136,8 @@ object KmerCodec {
       this
     }
     def result(): Array[Long] = {
+      if (finished) throw new IllegalStateException("Builder already finished")
+      finished = true
       val need = blocksFor(n)
       val out = if (arr.length == need) arr else java.util.Arrays.copyOf(arr, need)
       out(n / BasesPerBlock) |= 1L << (62 - 2 * (n % BasesPerBlock)) // sentinel
@@ -169,6 +175,8 @@ object KmerCodec {
 
   /** First k bases of a block array as a packed Long (k <= 31). */
   def blocksPrefixLong(b: Array[Long], k: Int): Long = {
+    require(k >= 0 && k <= 31 && k <= lengthOf(b),
+      s"blocksPrefixLong: k=$k out of range for length ${lengthOf(b)}")
     var v = 0L
     var i = 0
     while (i < k) { v = (v << 2) | baseAt(b, i); i += 1 }
@@ -178,6 +186,8 @@ object KmerCodec {
   /** Last k bases of a block array as a packed Long (k <= 31). */
   def blocksSuffixLong(b: Array[Long], k: Int): Long = {
     val len = lengthOf(b)
+    require(k >= 0 && k <= 31 && k <= len,
+      s"blocksSuffixLong: k=$k out of range for length $len")
     var v = 0L
     var i = len - k
     while (i < len) { v = (v << 2) | baseAt(b, i); i += 1 }
@@ -185,6 +195,8 @@ object KmerCodec {
   }
 
   def sliceBlocks(b: Array[Long], from: Int, until: Int): Array[Long] = {
+    require(from >= 0 && from <= until && until <= lengthOf(b),
+      s"sliceBlocks: [$from,$until) out of range for length ${lengthOf(b)}")
     val bld = new Builder(until - from)
     var i = from
     while (i < until) { bld.append(baseAt(b, i)); i += 1 }

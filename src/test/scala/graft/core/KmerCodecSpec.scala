@@ -1,10 +1,21 @@
 package graft.core
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
-import org.scalacheck.Gen
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-class KmerCodecSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
+/** Property tests via plain ScalaCheck (the scalatestplus bridge is not in
+  * the offline dependency cache — see ADVICE r1). Each property is executed
+  * through ScalaCheck's own runner; a failure fails the surrounding test.
+  */
+trait ScalaCheckRunner { this: AnyFunSuite =>
+  def check(p: Prop, minTests: Int = 200): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), p)
+    assert(res.passed, res.status.toString)
+  }
+}
+
+class KmerCodecSpec extends AnyFunSuite with ScalaCheckRunner {
   import KmerCodec._
 
   private val dnaGen: Gen[String] =
@@ -16,49 +27,50 @@ class KmerCodecSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
     s.reverse.map { case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A' }
 
   test("Long roundtrip") {
-    forAll(kmerGen) { s => assert(decodeLong(encodeLong(s), s.length) == s) }
+    check(Prop.forAll(kmerGen) { s => decodeLong(encodeLong(s), s.length) == s })
   }
 
   test("Long RC is an involution and matches string RC") {
-    forAll(kmerGen) { s =>
+    check(Prop.forAll(kmerGen) { s =>
       val k = s.length
       val v = encodeLong(s)
-      assert(decodeLong(rcLong(v, k), k) == rcStr(s))
-      assert(rcLong(rcLong(v, k), k) == v)
-    }
+      decodeLong(rcLong(v, k), k) == rcStr(s) && rcLong(rcLong(v, k), k) == v
+    })
   }
 
   test("Long canonical is symmetric under RC") {
-    forAll(kmerGen) { s =>
+    check(Prop.forAll(kmerGen) { s =>
       val k = s.length
-      assert(canonicalLong(encodeLong(s), k) == canonicalLong(encodeLong(rcStr(s)), k))
-    }
+      canonicalLong(encodeLong(s), k) == canonicalLong(encodeLong(rcStr(s)), k)
+    })
   }
 
   test("Long order == lexicographic order for equal k") {
-    forAll(kmerGen, kmerGen) { (a0, b0) =>
+    check(Prop.forAll(kmerGen, kmerGen) { (a0, b0) =>
       val k = math.min(a0.length, b0.length)
       val (a, b) = (a0.take(k), b0.take(k))
-      assert(java.lang.Long.compare(encodeLong(a), encodeLong(b)).sign == a.compareTo(b).sign)
-    }
+      java.lang.Long.compare(encodeLong(a), encodeLong(b)).sign == a.compareTo(b).sign
+    })
   }
 
   test("rolling updates match re-encode") {
-    forAll(Gen.chooseNum(2, 31), dnaGen) { (k, s) =>
-      whenever(s.length >= k) {
+    check(Prop.forAll(Gen.chooseNum(2, 31), dnaGen) { (k, s) =>
+      s.length < k || {
         var fwd = encodeLong(s, 0, k)
         var rc = rcLong(fwd, k)
+        var ok = true
         var i = k
         while (i < s.length) {
           val c = code(s.charAt(i))
           fwd = rollForward(fwd, c, k)
           rc = rollRc(rc, c, k)
-          assert(fwd == encodeLong(s, i - k + 1, k))
-          assert(rc == rcLong(fwd, k))
+          ok &&= fwd == encodeLong(s, i - k + 1, k)
+          ok &&= rc == rcLong(fwd, k)
           i += 1
         }
+        ok
       }
-    }
+    })
   }
 
   test("blocks roundtrip incl. exact block boundaries") {
@@ -67,39 +79,51 @@ class KmerCodecSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
       assert(decodeBlocks(encodeBlocks(s)) == s)
       assert(lengthOf(encodeBlocks(s)) == n)
     }
-    forAll(dnaGen) { s => assert(decodeBlocks(encodeBlocks(s)) == s) }
+    check(Prop.forAll(dnaGen) { s => decodeBlocks(encodeBlocks(s)) == s })
   }
 
   test("blocks RC involution + canonical symmetry") {
-    forAll(dnaGen) { s =>
+    check(Prop.forAll(dnaGen) { s =>
       val b = encodeBlocks(s)
-      assert(decodeBlocks(rcBlocks(b)) == rcStr(s))
-      assert(decodeBlocks(canonicalBlocks(b)) == decodeBlocks(canonicalBlocks(encodeBlocks(rcStr(s)))))
-    }
+      decodeBlocks(rcBlocks(b)) == rcStr(s) &&
+        decodeBlocks(canonicalBlocks(b)) == decodeBlocks(canonicalBlocks(encodeBlocks(rcStr(s))))
+    })
   }
 
   test("concat/slice/prefix/suffix agree with strings") {
-    forAll(dnaGen, dnaGen) { (a, b) =>
-      assert(decodeBlocks(concatBlocks(encodeBlocks(a), encodeBlocks(b))) == a + b)
-    }
-    forAll(dnaGen) { s =>
+    check(Prop.forAll(dnaGen, dnaGen) { (a, b) =>
+      decodeBlocks(concatBlocks(encodeBlocks(a), encodeBlocks(b))) == a + b
+    })
+    check(Prop.forAll(dnaGen) { s =>
       val b = encodeBlocks(s)
       val k = math.min(s.length, 31)
-      assert(decodeLong(blocksPrefixLong(b, k), k) == s.take(k))
-      assert(decodeLong(blocksSuffixLong(b, k), k) == s.takeRight(k))
       val mid = s.length / 2
-      assert(decodeBlocks(sliceBlocks(b, 0, mid)) == s.take(mid) || mid == 0)
-    }
+      decodeLong(blocksPrefixLong(b, k), k) == s.take(k) &&
+        decodeLong(blocksSuffixLong(b, k), k) == s.takeRight(k) &&
+        (mid == 0 || decodeBlocks(sliceBlocks(b, 0, mid)) == s.take(mid))
+    })
   }
 
   test("compareBlocks is lexicographic then by length") {
-    forAll(dnaGen, dnaGen) { (a, b) =>
-      assert(compareBlocks(encodeBlocks(a), encodeBlocks(b)).sign == a.compareTo(b).sign)
-    }
+    check(Prop.forAll(dnaGen, dnaGen) { (a, b) =>
+      compareBlocks(encodeBlocks(a), encodeBlocks(b)).sign == a.compareTo(b).sign
+    })
   }
 
   test("invalid bases rejected") {
     assert(encodeLong("ACGN") == -1L)
     assert(encodeBlocks("ACGN") == null)
+  }
+
+  test("contract violations fail fast") {
+    intercept[IllegalArgumentException](encodeLong("A" * 32))
+    intercept[IllegalArgumentException](blocksSuffixLong(encodeBlocks("ACG"), 5))
+    intercept[IllegalArgumentException](blocksPrefixLong(encodeBlocks("ACG"), 5))
+    intercept[IllegalArgumentException](sliceBlocks(encodeBlocks("ACG"), 1, 9))
+    val bld = new Builder(4)
+    bld.append(0).append(1)
+    bld.result()
+    intercept[IllegalStateException](bld.result())
+    intercept[IllegalStateException](bld.append(2))
   }
 }
