@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Relational operator coverage (scan/filter/project, hash agg, joins of
+  * every flavor, windows, rollup, set ops, scalar functions) expressed
+  * Catalyst-first so pushdown/pruning/broadcast come for free.
+  *
+  * Cross-engine determinism rules (DuckDB oracle must hash-match):
+  *  - every SUM over a double column is cast to DECIMAL first (exact),
+  *    and the final column is cast to an explicit DECIMAL(p,s) so both
+  *    engines emit the same scale;
+  *  - timestamps are emitted as formatted strings, never raw;
+  *  - every ORDER BY ... LIMIT has a unique tie-break key;
+  *  - no AVG (DuckDB returns double for decimal avg) — emit sum+count.
+  */
+object Relational {
+  private val D2 = "decimal(18,2)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- TPC-H Q1 shape: THE partial+final hash aggregation ---------------
+    "q1_agg" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(D2)).cast("decimal(38,2)").cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(D2)).cast("decimal(38,2)").cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast(D2) * (lit(1).cast(D2) - col("l_discount").cast(D2)))
+            .cast("decimal(38,4)")).cast("decimal(38,4)").cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // -- projection + predicate that must reach the parquet scan ----------
+    "q2_pushdown_scan" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(D2).cast("double").as("qty"))
+    }),
+
+    // -- TPC-H Q3 shape: 3-way join + agg + deterministic top-k -----------
+    "q3_top_orders" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d).filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val l = lineitem(s, d).filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice").cast(D2) * (lit(1).cast(D2) - col("l_discount").cast(D2)))
+          .cast("decimal(38,4)")).cast("decimal(38,4)").cast("double").as("revenue"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // -- TPC-H Q5 shape: 6-way join, small dims broadcast ------------------
+    "q5_nation_revenue" -> ((s, d) => {
+      val r = region(s, d).filter(col("r_name") === "ASIA")
+      val n = nation(s, d)
+      val sup = supplier(s, d)
+      val c = customer(s, d)
+      val o = orders(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice").cast(D2) * (lit(1).cast(D2) - col("l_discount").cast(D2)))
+          .cast("decimal(38,4)")).cast("decimal(38,4)").cast("double").as("revenue"))
+    }),
+
+    // -- TPC-H Q6 shape: single-row scalar aggregate -----------------------
+    "q6_forecast" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount").cast(D2).between(lit(0.05).cast(D2), lit(0.07).cast(D2)) &&
+            col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast(D2) * col("l_discount").cast(D2))
+          .cast("decimal(38,4)")).cast("decimal(38,4)").cast("double").as("revenue"))
+    }),
+
+    // -- window: top-3 orders per customer by totalprice -------------------
+    "q7_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    }),
+
+    // -- rollup (grouping sets) -------------------------------------------
+    "q8_rollup" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(D2)).cast("decimal(38,2)").cast("double").as("sum_qty"))
+    }),
+
+    // -- anti join: customers with no orders in 2001 -----------------------
+    "q9_anti_join" -> ((s, d) => {
+      val o2001 = orders(s, d).filter(
+        col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      customer(s, d)
+        .join(o2001, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // -- semi join: brands of parts that ever shipped qty 50 ---------------
+    "q10_semi_join" -> ((s, d) => {
+      val hot = lineitem(s, d).filter(col("l_quantity") >= 50)
+      part(s, d)
+        .join(hot, col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"))
+    }),
+
+    // -- set ops: INTERSECT / EXCEPT on distinct keys ----------------------
+    "q11_setops" -> ((s, d) => {
+      val o = orders(s, d)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val oo = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      f.intersect(oo).except(p).select(col("o_custkey").as("custkey"))
+    }),
+
+    // -- scalar function battery (string/math) -----------------------------
+    "q12_scalar_funcs" -> ((s, d) => {
+      part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("u"),
+        substring(col("p_name"), 1, 8).as("s8"),
+        length(col("p_type")).as("lt"),
+        (col("p_size") % 7).as("m7"),
+        abs(col("p_size") - 25).as("a25"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("bt"))
+    }),
+
+    // -- group-by + having -------------------------------------------------
+    "q13_having" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D2)).cast("decimal(38,2)").cast("double").as("spend"))
+        .filter(col("n_orders") >= 12)
+    }),
+
+    // -- per-group arg-max via window (scalar-subquery shape) --------------
+    "q14_top_account" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_custkey"), col("c_name"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_pushdown_scan" ->
+      """SELECT l_orderkey, l_linenumber, CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity > 45""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q8_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q9_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "q10_semi_join" ->
+      """SELECT p_brand, COUNT(*) AS n_parts FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity >= 50)
+        |GROUP BY p_brand""".stripMargin,
+    "q11_setops" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+    "q12_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS u, substr(p_name, 1, 8) AS s8,
+        |  length(p_type) AS lt, p_size % 7 AS m7, abs(p_size - 25) AS a25,
+        |  concat_ws('|', p_brand, p_type) AS bt
+        |FROM part""".stripMargin,
+    "q13_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12""".stripMargin,
+    "q14_top_account" ->
+      """SELECT n_name, c_custkey, c_name FROM (
+        |  SELECT c_nationkey, c_custkey, c_name,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) c JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rn = 1""".stripMargin
+  )
+}

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: compare graft.Verify
+parquet dumps against DuckDB running the oracle SQL on the same tables.
+
+Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<NULL>"
+        return repr(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    rows = [tuple(norm_cell(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
+    rows.sort()
+    return cols, rows
+
+
+def main():
+    out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.loads((out_dir / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for qdir in sorted(p for p in out_dir.iterdir() if p.is_dir()):
+        name = qdir.name
+        got = pd.read_parquet(qdir)
+        if name not in oracles:
+            print(f"{name}: NO-ORACLE rows={len(got)}")
+            continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"{name}: ORACLE-ERROR {e}")
+            n_fail += 1
+            continue
+        gc, gr = canon(got)
+        ec, er = canon(exp)
+        if gc != ec:
+            print(f"{name}: FAIL schema {gc} != {ec}")
+            n_fail += 1
+        elif gr != er:
+            n_fail += 1
+            diff = [(a, b) for a, b in zip(gr, er) if a != b][:3]
+            extra_g = [r for r in gr if r not in set(er)][:3]
+            extra_e = [r for r in er if r not in set(gr)][:3]
+            print(f"{name}: FAIL rows got={len(gr)} exp={len(er)}")
+            for a, b in diff:
+                print(f"    got {a}\n    exp {b}")
+            if extra_g:
+                print(f"    only-in-got: {extra_g}")
+            if extra_e:
+                print(f"    only-in-exp: {extra_e}")
+        else:
+            n_pass += 1
+            print(f"{name}: PASS rows={len(gr)}")
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
