@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.core.{KmerCodec, KmerIter}
+
+/** Genomics operator layer: the reference's k-mer counter pipeline and its
+  * row-level transforms, re-expressed Spark-first and made oracle-checkable.
+  *
+  * The driver's correctness gate runs DuckDB over the same testdata parquet,
+  * so these operators consume deterministic DNA *derived* from testdata:
+  * `dna32(doc_id)` maps each document to a 32-base sequence via
+  * `translate(md5(doc_id), hex, ACGT)` — identical in Spark and DuckDB.
+  * The Spark side then runs the REAL engine path (2-bit packing, rolling
+  * canonical extraction via [[graft.core.KmerIter]], hash aggregation on
+  * the packed key, decode after the agg), while the oracle recomputes the
+  * same semantics with substr/least/reverse/translate SQL.
+  *
+  * Scale design: aggregation keys are packed Longs (k<=31) or long[] blocks
+  * (k>31), never strings — grouping shuffles 8-16 bytes/kmer instead of a
+  * k-byte string, and decode runs only on the post-agg (much smaller) side.
+  * This mirrors `ReflexivDataFrameCounter.java:198-209` (count then decode).
+  */
+object Genomics {
+  private val HEX = "0123456789abcdef"
+  private val ACGT = "ACGTACGTACGTACGT"
+
+  /** 32-base deterministic DNA for an id column (codegen'd, no UDF). */
+  def dna32(id: Column): Column =
+    translate(md5(id.cast("string").cast("binary")), HEX, ACGT)
+
+  /** 64-base variant (two chained md5 blocks) for the k>31 path. */
+  def dna64(id: Column): Column =
+    concat(dna32(id),
+      translate(md5(concat(id.cast("string"), lit("x")).cast("binary")), HEX, ACGT))
+
+  /** SQL fragments for the oracle side (DuckDB). */
+  private val sqlDna32 =
+    "translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT')"
+  private val sqlDna64 =
+    sqlDna32 + " || translate(md5(CAST(doc_id AS VARCHAR) || 'x'), '0123456789abcdef', 'ACGTACGTACGTACGT')"
+  private def sqlRc(e: String) = s"reverse(translate($e, 'ACGT', 'TGCA'))"
+  /** CTE producing (kmer, c) canonical k-mer counts over dna32 docs. */
+  private def sqlKmerCounts(k: Int): String =
+    s"""WITH seq AS (SELECT $sqlDna32 AS s FROM documents),
+       |pos AS (SELECT s, unnest(generate_series(1, length(s) - $k + 1)) AS i FROM seq),
+       |km AS (SELECT least(substr(s, i, $k), ${sqlRc(s"substr(s, i, $k)")}) AS kmer FROM pos),
+       |cnt AS (SELECT kmer, COUNT(*) AS c FROM km GROUP BY kmer)""".stripMargin
+
+  /** The counter pipeline core: sequences -> canonical packed Longs ->
+    * hash count. Decode happens in the caller, after the agg. */
+  def countCanonical(seqs: Dataset[String], k: Int): DataFrame = {
+    import seqs.sparkSession.implicits._
+    seqs.flatMap(s => KmerIter.canonicalLong(s, k))
+      .toDF("kv")
+      .groupBy("kv").count()
+  }
+
+  private def decodeCounts(df: DataFrame, k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.as[(Long, Long)]
+      .map { case (kv, c) => (KmerCodec.decodeLong(kv, k), c) }
+      .toDF("kmer", "count")
+  }
+
+  private def docSeqs(s: SparkSession, d: String, col64: Boolean): Dataset[String] = {
+    import s.implicits._
+    val c = if (col64) dna64(col("doc_id")) else dna32(col("doc_id"))
+    documents(s, d).select(c.cast("string")).as[String]
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- A1+P3+P4: THE aggregation — canonical k-mer count (k<=31 path) ----
+    "g1_kmer_count" -> ((s, d) =>
+      decodeCounts(countCanonical(docSeqs(s, d, col64 = false), 15), 15)),
+
+    // -- k>31 path: block-encoded kmers, grouped on long[] (A1 64-bit) -----
+    "g2_kmer_count_blocks" -> ((s, d) => {
+      import s.implicits._
+      docSeqs(s, d, col64 = true)
+        .flatMap(q => KmerIter.canonicalBlocks(q, 40))
+        .toDF("kb")
+        .groupBy("kb").count()
+        .as[(Array[Long], Long)]
+        .map { case (kb, c) => (KmerCodec.decodeBlocks(kb), c) }
+        .toDF("kmer", "count")
+    }),
+
+    // -- P13: coverage-range filter after the count (k=7 so repeats exist) -
+    "g3_coverage_filter" -> ((s, d) =>
+      decodeCounts(
+        countCanonical(docSeqs(s, d, col64 = false), 7)
+          .filter(col("count").between(2, 1000)), 7)),
+
+    // -- J2: fork filter — per (k-1)-prefix keep max-coverage kmer ---------
+    "g4_fork_filter" -> ((s, d) => {
+      val cnt = decodeCounts(countCanonical(docSeqs(s, d, col64 = false), 15), 15)
+      val byPrefix = Window.partitionBy(col("prefix"))
+      val w = byPrefix.orderBy(col("count").desc, col("kmer"))
+      cnt.withColumn("prefix", substring(col("kmer"), 1, 14))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_forks", count(lit(1)).over(byPrefix))
+        .filter(col("rn") === 1)
+        .select(col("prefix"), col("kmer"), col("count"), col("n_forks"))
+    }),
+
+    // -- P6: RC mirror emit (doubles the table; k odd => no palindromes) ---
+    "g5_rc_mirror" -> ((s, d) => {
+      import s.implicits._
+      countCanonical(docSeqs(s, d, col64 = false), 11)
+        .as[(Long, Long)]
+        .flatMap { case (kv, _) =>
+          Seq((KmerCodec.decodeLong(kv, 11), "f"),
+            (KmerCodec.decodeLong(KmerCodec.rcLong(kv, 11), 11), "r"))
+        }
+        .toDF("kmer", "orient")
+    }),
+
+    // -- k-mer spectrum: histogram of coverages (count-of-counts) ----------
+    "g6_kmer_spectrum" -> ((s, d) =>
+      countCanonical(docSeqs(s, d, col64 = false), 7)
+        .groupBy(col("count").as("coverage")).agg(count(lit(1)).as("n_kmers"))
+        .select(col("coverage"), col("n_kmers"))),
+
+    // -- P7: forward sub-kmer split (prefix key, marker, extension base) ---
+    "g7_subkmer_split" -> ((s, d) => {
+      import s.implicits._
+      countCanonical(docSeqs(s, d, col64 = false), 15)
+        .as[(Long, Long)]
+        .map { case (kv, c) =>
+          (KmerCodec.decodeLong(kv >>> 2, 14), 1,
+            KmerCodec.base((kv & 3L).toInt).toString, c)
+        }
+        .toDF("sub", "marker", "ext", "count")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "g1_kmer_count" ->
+      (sqlKmerCounts(15) + "\nSELECT kmer, c AS count FROM cnt"),
+    "g2_kmer_count_blocks" ->
+      s"""WITH seq AS (SELECT $sqlDna64 AS s FROM documents),
+         |pos AS (SELECT s, unnest(generate_series(1, length(s) - 40 + 1)) AS i FROM seq),
+         |km AS (SELECT least(substr(s, i, 40), ${sqlRc("substr(s, i, 40)")}) AS kmer FROM pos)
+         |SELECT kmer, COUNT(*) AS count FROM km GROUP BY kmer""".stripMargin,
+    "g3_coverage_filter" ->
+      (sqlKmerCounts(7) + "\nSELECT kmer, c AS count FROM cnt WHERE c BETWEEN 2 AND 1000"),
+    "g4_fork_filter" ->
+      (sqlKmerCounts(15) +
+        """
+          |SELECT prefix, kmer, count, n_forks FROM (
+          |  SELECT substr(kmer, 1, 14) AS prefix, kmer, c AS count,
+          |    ROW_NUMBER() OVER (PARTITION BY substr(kmer, 1, 14) ORDER BY c DESC, kmer) AS rn,
+          |    COUNT(*) OVER (PARTITION BY substr(kmer, 1, 14)) AS n_forks
+          |  FROM cnt) WHERE rn = 1""".stripMargin),
+    "g5_rc_mirror" ->
+      (sqlKmerCounts(11) +
+        s"""
+           |SELECT kmer, 'f' AS orient FROM cnt
+           |UNION ALL
+           |SELECT ${sqlRc("kmer")} AS kmer, 'r' AS orient FROM cnt""".stripMargin),
+    "g6_kmer_spectrum" ->
+      (sqlKmerCounts(7) +
+        "\nSELECT c AS coverage, COUNT(*) AS n_kmers FROM cnt GROUP BY c"),
+    "g7_subkmer_split" ->
+      (sqlKmerCounts(15) +
+        """
+          |SELECT substr(kmer, 1, 14) AS sub, 1 AS marker,
+          |  substr(kmer, 15, 1) AS ext, c AS count FROM cnt""".stripMargin)
+  )
+}
