@@ -19,10 +19,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ the
     * LLM-data-pipeline layer). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Genomics.queries
+    Relational.queries ++ Genomics.queries ++ Assembler.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Genomics.oracles
+    Relational.oracles ++ Genomics.oracles ++ Assembler.oracles
 }

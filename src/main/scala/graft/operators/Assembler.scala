@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.core.KmerCodec
+
+/** The assembly core: the reference's "Reflexible Distributed K-mer" loop
+  * (`ReflexivDSMain.java:3011-3368` extension merge, `:3369-3618` fork
+  * filters, `:3688-3806` orientation randomizer) re-architected for Spark.
+  *
+  * Design (fresh, not a translation):
+  *  - The De Bruijn graph is an edge table of oriented k-mers. Fork filters
+  *    (J2) are Catalyst window functions: per (k-1)-prefix keep the
+  *    max-coverage edge, then per (k-1)-suffix — after which every node has
+  *    in/out degree <= 1, so the graph is disjoint paths/cycles.
+  *  - Contigs are built by randomized path contraction: each fragment flips
+  *    a deterministic coin per round; heads offer their tail key, tails
+  *    offer their head key, and a `groupByKey(key).flatMapGroups` merges
+  *    the (<=1 head, <=1 tail) pair. One hash shuffle per round and
+  *    O(log L) rounds — vs the reference's range-partition total sort per
+  *    round (SURVEY §4.3); also fully deterministic, because the coins are
+  *    hashes of fragment endpoints, not RNG.
+  *  - Convergence probe (A4, made exact): every `probeEvery` rounds test
+  *    whether any junction is still both a tail and a head of open
+  *    fragments (an `intersect` on the endpoint columns) — no sampled
+  *    count-stability heuristic, so termination is never a false stop;
+  *    `localCheckpoint` + unpersist keeps the lineage truncated so the
+  *    loop scales to ~100s of rounds.
+  *
+  * Scale notes: fragment rows shrink geometrically, AQE coalesces the
+  * shrinking shuffles; the contraction never materializes anything on the
+  * driver except the convergence count.
+  */
+object Assembler {
+
+  /** A path fragment: packed (k-1)-mer endpoints + 2-bit block sequence. */
+  case class Frag(head: Long, tail: Long, seq: Array[Long])
+
+  /** Deterministic per-round coin: splittable-hash of the endpoints. */
+  private def coin(f: Frag, iter: Int): Boolean = {
+    var h = f.head * 0x9E3779B97F4A7C15L + f.tail * 0xC2B2AE3D27D4EB4FL +
+      iter.toLong * 0x165667B19E3779F9L
+    h ^= h >>> 31; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 29
+    (h & 1L) == 0L
+  }
+
+  /** P6 + J2: RC-mirror the canonical counts, then fork-filter so every
+    * (k-1)-mer node keeps at most one out- and one in-edge (max coverage,
+    * ties broken by k-mer binary order — deterministic). */
+  def forkFilteredEdges(counts: DataFrame, k: Int): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val mirrored = counts.as[(Long, Long)].flatMap { case (kv, c) =>
+      val rc = KmerCodec.rcLong(kv, k)
+      if (rc == kv) Iterator((kv, c)) else Iterator((kv, c), (rc, c))
+    }.toDF("kmer", "count")
+    val mask = (1L << (2 * (k - 1))) - 1
+    val edges = mirrored
+      .withColumn("prefix", shiftright(col("kmer"), 2))
+      .withColumn("suffix", col("kmer").bitwiseAND(lit(mask)))
+    val wOut = Window.partitionBy("prefix").orderBy(col("count").desc, col("kmer"))
+    val wIn = Window.partitionBy("suffix").orderBy(col("count").desc, col("kmer"))
+    edges
+      .withColumn("rn_out", row_number().over(wOut)).filter(col("rn_out") === 1)
+      .withColumn("rn_in", row_number().over(wIn)).filter(col("rn_in") === 1)
+      .select("kmer", "count", "prefix", "suffix")
+  }
+
+  /** One contraction round (J1 + P9): merge adjacent fragments whose coins
+    * line up. Exactly one offer per fragment => each key group holds at
+    * most one head-offer and one tail-offer. */
+  private[operators] def mergeRound(frags: Dataset[Frag], k: Int, iter: Int): Dataset[Frag] = {
+    import frags.sparkSession.implicits._
+    frags
+      .map { f =>
+        val h = coin(f, iter)
+        (if (h) f.tail else f.head, h, f)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val (hs, ts) = it.toSeq.partition(_._2)
+        val heads = hs.map(_._3).sortBy(f => (f.head, f.tail))
+        val tails = ts.map(_._3).sortBy(f => (f.head, f.tail))
+        val merged = heads.zip(tails).map { case (a, b) =>
+          val lenB = KmerCodec.lengthOf(b.seq)
+          Frag(a.head, b.tail,
+            KmerCodec.concatBlocks(a.seq, KmerCodec.sliceBlocks(b.seq, k - 1, lenB)))
+        }
+        val rest = heads.drop(tails.length) ++ tails.drop(heads.length)
+        (merged ++ rest).iterator
+      }
+  }
+
+  /** Full single-k assembly from canonical k-mer counts `(kv: Long, count)`.
+    * Returns canonical contig strings (each unitig assembles on both
+    * strands; keep min(contig, rc) once). */
+  def assemble(counts: DataFrame, k: Int, minCov: Int = 1, maxIter: Int = 60,
+               probeEvery: Int = 3, minContig: Int = 0): Dataset[String] = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val mask = (1L << (2 * (k - 1))) - 1
+    val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k)
+    var frags: Dataset[Frag] = edges.select("kmer").as[Long]
+      .map(kv => Frag(kv >>> 2, kv & mask, KmerCodec.longToBlocks(kv, k)))
+    var lastCkpt: Dataset[Frag] = null
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      frags = mergeRound(frags, k, iter)
+      iter += 1
+      if (iter % probeEvery == 0) {
+        val ckpt = frags.localCheckpoint()
+        if (lastCkpt != null) lastCkpt.unpersist()
+        lastCkpt = ckpt
+        frags = ckpt
+        // Exact convergence probe (A4, made deterministic): a merge is still
+        // possible iff some junction is both a tail and a head of open
+        // (non-cycle) fragments. No sampling, no count-stability heuristic.
+        val open = ckpt.filter(f => f.head != f.tail).toDF()
+        done = open.select(col("tail")).intersect(open.select(col("head")))
+          .isEmpty
+      }
+    }
+    frags
+      .map { f =>
+        val fw = KmerCodec.decodeBlocks(f.seq)
+        val rc = KmerCodec.decodeBlocks(KmerCodec.rcBlocks(f.seq))
+        if (fw <= rc) fw else rc
+      }
+      .distinct()
+      .filter(c => c.length >= minContig)
+  }
+
+  /** Per-document micro-assembly over deterministic DNA: reads are sliding
+    * windows (len 32, step 8) of each document's 64-base sequence; k=21
+    * unitigs reconstruct each document's full sequence. Oracle-checkable
+    * because collision-free inputs make the assembler's fixpoint exactly
+    * `least(seq, rc(seq))` per document. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_assembly" -> ((s, d) => {
+      import s.implicits._
+      val reads = documents(s, d)
+        .select(Genomics.dna64(col("doc_id")).as("g"))
+        .select(explode(expr("transform(sequence(1, 33, 8), i -> substring(g, i, 32))")).as("read"))
+        .as[String]
+      val counts = Genomics.countCanonical(reads, 21)
+      assemble(counts, 21, minCov = 1, maxIter = 120).toDF("contig")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "a1_assembly" ->
+      """WITH g AS (SELECT translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT')
+        |  || translate(md5(CAST(doc_id AS VARCHAR) || 'x'), '0123456789abcdef', 'ACGTACGTACGTACGT') AS s
+        |  FROM documents)
+        |SELECT DISTINCT least(s, reverse(translate(s, 'ACGT', 'TGCA'))) AS contig FROM g""".stripMargin
+  )
+}

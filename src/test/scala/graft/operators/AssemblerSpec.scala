@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.core.{KmerCodec, KmerIter}
+
+class AssemblerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rcStr(s: String): String =
+    s.reverse.map { case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A' }
+  private def canonStr(s: String): String = { val r = rcStr(s); if (s <= r) s else r }
+
+  private def randGenome(n: Int, seed: Long): String = {
+    val r = new scala.util.Random(seed)
+    Array.fill(n)("ACGT"(r.nextInt(4))).mkString
+  }
+
+  /** Simulated error-free shotgun reads: sliding windows, half RC'd. */
+  private def reads(genome: String, len: Int, step: Int): Seq[String] =
+    ((0 to genome.length - len by step) :+ (genome.length - len)).distinct.map { i =>
+      val w = genome.substring(i, i + len)
+      if (i % 2 == 0) w else rcStr(w)
+    }
+
+  private def assembleFrom(rds: Seq[String], k: Int): Seq[String] = {
+    import spark.implicits._
+    val counts = Genomics.countCanonical(rds.toDS(), k)
+    Assembler.assemble(counts, k, minCov = 1, maxIter = 40).collect().toSeq
+  }
+
+  test("single genome reconstructs exactly (both-strand reads)") {
+    val genome = randGenome(600, seed = 7)
+    val contigs = assembleFrom(reads(genome, 80, 9), 31)
+    assert(contigs == Seq(canonStr(genome)))
+  }
+
+  test("two disjoint genomes give two contigs") {
+    val a = randGenome(400, seed = 11)
+    val b = randGenome(400, seed = 13)
+    val contigs = assembleFrom(reads(a, 80, 9) ++ reads(b, 80, 9), 31)
+    assert(contigs.toSet == Set(canonStr(a), canonStr(b)))
+  }
+
+  test("contigs are valid De Bruijn paths even with a shared repeat (fork)") {
+    val shared = randGenome(60, seed = 17)
+    val a = randGenome(200, seed = 19) + shared + randGenome(200, seed = 23)
+    val b = randGenome(200, seed = 29) + shared + randGenome(200, seed = 31)
+    val k = 31
+    val rds = reads(a, 80, 7) ++ reads(b, 80, 7)
+    val inputKmers: Set[Long] =
+      rds.flatMap(r => KmerIter.canonicalLong(r, k)).toSet
+    val contigs = assembleFrom(rds, k)
+    // The fork at the shared segment means per-genome reconstruction is not
+    // guaranteed, but every contig must still be a walk through input kmers.
+    assert(contigs.size >= 2)
+    contigs.foreach { c =>
+      assert(c.length >= k)
+      KmerIter.canonicalLong(c, k).foreach(kv => assert(inputKmers.contains(kv)))
+    }
+  }
+
+  test("coverage filter drops error kmers before assembly") {
+    val genome = randGenome(300, seed = 37)
+    // duplicate true reads 3x, inject one erroneous read once
+    val good = reads(genome, 80, 9)
+    val errRead =
+      genome.substring(10, 90).updated(40, if (genome(50) != 'A') 'A' else 'C')
+    val all = good ++ good ++ good ++ Seq(errRead)
+    import spark.implicits._
+    val counts = Genomics.countCanonical(all.toDS(), 31)
+    val contigs = Assembler.assemble(counts, 31, minCov = 2, maxIter = 40).collect().toSeq
+    assert(contigs == Seq(canonStr(genome)))
+  }
+}
