@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Deduplication layer for large-scale text pipelines: exact dedup,
+  * MinHash signatures, banded LSH candidate generation, exact-Jaccard
+  * verification, and SimHash fingerprints.
+  *
+  * Scale design: everything is banded — candidate pairs come from
+  * equality joins on (band_id, band_hash) buckets, never an all-pairs
+  * cartesian; the exact Jaccard verify runs only on LSH candidates.
+  * MinHash uses md5-based hashes so the DuckDB oracle reproduces the
+  * exact same signatures (the at-scale variant would swap in xxhash64,
+  * same plan shape).
+  *
+  * Near-dup pairs are scarce in the synthetic corpus, so the corpus is
+  * augmented with a truncated copy of every document (doc_id + 100000,
+  * last 3 words dropped) — each original/truncated pair is a true
+  * near-dup the LSH must find; both engines build the same augmented
+  * corpus, so the oracle stays exact.
+  */
+object Dedup {
+  private val NumHashes = 8
+  private val NumBands = 4 // 2 rows per band
+
+  // ------------------------------------------------------------ Spark side
+
+  private def words: Column = split(col("text"), " ")
+
+  /** documents + truncated near-dup copies. */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    val truncated =
+      concat_ws(" ", slice(words, lit(1), greatest(size(words) - 3, lit(1))))
+    doc.select(col("doc_id"), col("text"))
+      .union(doc.select((col("doc_id") + 100000).as("doc_id"), truncated.as("text")))
+  }
+
+  /** Word 3-shingles, exploded: (doc_id, sh). */
+  private def shingled(c: DataFrame): DataFrame = {
+    val sh = when(size(words) >= 3,
+      transform(sequence(lit(1), size(words) - 2),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1),
+          element_at(words, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    c.select(col("doc_id"), explode(sh).as("sh"))
+  }
+
+  /** MinHash signatures: (doc_id, h0..h7), one shuffle. */
+  private def signatures(c: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(j =>
+      min(md5(concat(lit(s"$j|"), col("sh")).cast("binary"))).as(s"h$j"))
+    shingled(c).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded buckets: (doc_id, bid, bh). */
+  private def bands(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map(b =>
+      struct(lit(b).as("bid"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary")).as("bh")))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.bid").as("bid"), col("band.bh").as("bh"))
+  }
+
+  /** LSH candidate pairs (a < b), distinct: bucket-equality self-join. */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val bd = bands(signatures(corpus(s, d)))
+    val l = bd.select(col("bid"), col("bh"), col("doc_id").as("a"))
+    val r = bd.select(col("bid").as("bid2"), col("bh").as("bh2"), col("doc_id").as("b"))
+    l.join(r, col("bid") === col("bid2") && col("bh") === col("bh2") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- exact dedup: hash-groupBy, keep min doc_id ------------------------
+    "d1_exact_dedup" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))),
+
+    // -- MinHash signatures over word 3-shingles ---------------------------
+    "d2_minhash_sig" -> ((s, d) => signatures(corpus(s, d))),
+
+    // -- banded LSH candidate pairs ----------------------------------------
+    "d3_lsh_pairs" -> ((s, d) => candidatePairs(s, d)),
+
+    // -- exact Jaccard verification of LSH candidates ----------------------
+    "d4_jaccard_verify" -> ((s, d) => {
+      val sets = shingled(corpus(s, d)).distinct()
+      val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
+      val pairs = candidatePairs(s, d)
+      val inter = pairs
+        .join(sets.select(col("doc_id").as("a"), col("sh")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("sh").as("sh2")), "b")
+        .filter(col("sh") === col("sh2"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("nsz").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("nsz").as("nb")), "b")
+        .select(col("a"), col("b"),
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }),
+
+    // -- SimHash (16-bit) over word bags -----------------------------------
+    "d5_simhash" -> ((s, d) => {
+      val tok = documents(s, d).select(col("doc_id"), explode(words).as("w"))
+        .withColumn("m", md5(col("w").cast("binary")))
+      val bitSums = (0 until 16).map(j =>
+        sum(when(ascii(substring(col("m"), j + 1, 1)) % 2 === 1, 1).otherwise(-1)).as(s"s$j"))
+      val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val sim = (0 until 16).map(j =>
+        when(col(s"s$j") > 0, 1 << j).otherwise(0)).reduce(_ + _)
+      agg.select(col("doc_id"), sim.as("simhash"))
+    })
+  )
+
+  // ----------------------------------------------------------- oracle SQL
+
+  private val sqlCorpus =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         array_to_string(ws[1:greatest(len(ws)-3, 1)], ' ') AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |)""".stripMargin
+
+  private val sqlShingles =
+    """sh AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus))
+      |)""".stripMargin
+
+  private val sqlSig = {
+    val mins = (0 until NumHashes)
+      .map(j => s"min(md5('$j|' || sh)) AS h$j").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  private val sqlBand = {
+    val rows = (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS bid, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"band AS (\n  $rows\n)"
+  }
+
+  private val sqlPairs =
+    """pairs AS (
+      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      |  FROM band l JOIN band r
+      |    ON l.bid = r.bid AND l.bh = r.bh AND l.doc_id < r.doc_id
+      |)""".stripMargin
+
+  private def withAll(extra: String*) =
+    "WITH " + (Seq(sqlCorpus, sqlShingles, sqlSig, sqlBand, sqlPairs) ++ extra).mkString(",\n")
+
+  def oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, COUNT(*) AS n
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d2_minhash_sig" ->
+      (s"WITH $sqlCorpus,\n$sqlShingles,\n$sqlSig\nSELECT * FROM sig"),
+    "d3_lsh_pairs" ->
+      (withAll() + "\nSELECT a, b FROM pairs"),
+    "d4_jaccard_verify" ->
+      (withAll(
+        "sets AS (SELECT DISTINCT doc_id, sh FROM sh)",
+        "sizes AS (SELECT doc_id, COUNT(*) AS nsz FROM sets GROUP BY doc_id)",
+        """inter AS (
+          |  SELECT p.a, p.b, COUNT(*) AS i
+          |  FROM pairs p
+          |  JOIN sets sa ON sa.doc_id = p.a
+          |  JOIN sets sb ON sb.doc_id = p.b AND sa.sh = sb.sh
+          |  GROUP BY p.a, p.b)""".stripMargin) +
+        """
+          |SELECT i.a, i.b,
+          |  round(CAST(i.i AS DOUBLE) / (za.nsz + zb.nsz - i.i), 4) AS jaccard
+          |FROM inter i
+          |JOIN sizes za ON za.doc_id = i.a
+          |JOIN sizes zb ON zb.doc_id = i.b
+          |WHERE round(CAST(i.i AS DOUBLE) / (za.nsz + zb.nsz - i.i), 4) >= 0.5""".stripMargin),
+    "d5_simhash" -> {
+      val sums = (0 until 16).map(j =>
+        s"SUM(CASE WHEN ascii(substr(md5(w), ${j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")
+      val bits = (0 until 16).map(j =>
+        s"CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |agg AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash FROM agg""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Event/time-series layer over the `events` table: time-bucketed
+  * aggregation, gap-based sessionization, JSON prop extraction, and
+  * first-touch analytics. Timestamps are compared/diffed in epoch
+  * milliseconds and emitted as formatted strings so the DuckDB oracle is
+  * representation-exact.
+  *
+  * These are the batch shapes of the streaming surface: e4's tumbling
+  * window is exactly `window(ts, '6 hours')`, and e2's sessionization is
+  * the batch analogue of `flatMapGroupsWithState` session windows (the
+  * streaming variants live in graft.streaming).
+  */
+object Events {
+  private def fmt(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- hourly tumbling aggregation ---------------------------------------
+    "e1_hourly_agg" -> ((s, d) =>
+      events(s, d)
+        .groupBy(fmt(date_trunc("hour", col("ts"))).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("double").as("total"))),
+
+    // -- 30-minute-gap sessionization (lag + running sum of gap flags) -----
+    "e2_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapMs = unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(byUser))
+      events(s, d)
+        .withColumn("new_sess",
+          when(gapMs.isNull || gapMs > 30L * 60 * 1000, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_millis(col("ts"))) - min(unix_millis(col("ts")))).as("dur_ms"),
+          fmt(min(col("ts"))).as("start_ts"))
+    }),
+
+    // -- JSON prop extraction + per-type rollup ----------------------------
+    "e3_json_props" -> ((s, d) =>
+      events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"),
+          countDistinct(col("user_id")).as("n_users"))),
+
+    // -- 6-hour tumbling window via Spark's window() -----------------------
+    "e4_tumbling_6h" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(fmt(col("window.start")).as("bucket"), col("event_type"), col("n"))),
+
+    // -- first-touch per user ----------------------------------------------
+    "e5_first_touch" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("rn", row_number().over(byUser))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), fmt(col("ts")).as("first_ts"),
+          col("event_type").as("first_type"), col("n"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "e1_hourly_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "e2_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 30 * 60 * 1000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MAX(epoch_ms(ts)) - MIN(epoch_ms(ts)) AS dur_ms,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_ts
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "e3_json_props" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+    "e4_tumbling_6h" ->
+      """SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "e5_first_touch" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+        |  event_type AS first_type, n
+        |FROM (SELECT user_id, ts, event_id, event_type,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin
+  )
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Multimodal column plumbing: media payloads are opaque `binary` columns
+  * with typed metadata; decode/feature-extraction runs as a per-partition
+  * batch pipeline (`mapPartitions` over the payload bytes, one decoder
+  * instance per partition) so a real image/audio codec drops in without
+  * changing the plan shape.
+  *
+  * STUB NOTE: this container has no media libraries, so the "decode" step
+  * is a clearly-marked deterministic fake (byte length, md5, fake
+  * dimensions derived from the byte length). The Spark-side plumbing —
+  * binary schema, partition-wise batch decode, frame sampling shape — is
+  * real and oracle-checked; swap `decodeStub`/`frameStub` for a codec call
+  * in production.
+  */
+object Multimodal {
+
+  /** STUB decoder: stands in for e.g. an image decode + EXIF read. */
+  private def decodeStub(id: Long, payload: Array[Byte]): (Long, Long, String, Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    val n = payload.length.toLong
+    (id, n, hex, n % 640, (n * 31) % 480)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- payload -> metadata extraction via partition-wise batch decode ----
+    "m1_media_meta" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) => decodeStub(id, payload) })
+        .toDF("doc_id", "n_bytes", "content_md5", "fake_w", "fake_h")
+    }),
+
+    // -- frame sampling: 16-byte "frames", keep every 4th ------------------
+    "m2_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, payload) =>
+            val nFrames = payload.length / 16
+            (0 until nFrames).iterator
+              .filter(_ % 4 == 0)
+              .map { i =>
+                val frame = java.util.Arrays.copyOfRange(payload, i * 16, i * 16 + 16)
+                (id, i.toLong, md.digest(frame).map("%02x".format(_)).mkString)
+              }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "frame_md5")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // text is pure ASCII, so byte ops == char ops in the oracle
+    "m1_media_meta" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5,
+        |  length(text) % 640 AS fake_w, (length(text) * 31) % 480 AS fake_h
+        |FROM documents""".stripMargin,
+    "m2_frame_sample" ->
+      """SELECT doc_id, i AS frame_idx, md5(substr(text, i * 16 + 1, 16)) AS frame_md5
+        |FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) // 16 - 1)) AS i
+        |      FROM documents)
+        |WHERE i % 4 = 0""".stripMargin
+  )
+}
