@@ -93,8 +93,7 @@ object Dedup {
       val pairs = candidatePairs(s, d)
       val inter = pairs
         .join(sets.select(col("doc_id").as("a"), col("sh")), "a")
-        .join(sets.select(col("doc_id").as("b"), col("sh").as("sh2")), "b")
-        .filter(col("sh") === col("sh2"))
+        .join(sets.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
         .groupBy("a", "b").agg(count(lit(1)).as("i"))
       inter
         .join(sizes.select(col("doc_id").as("a"), col("nsz").as("na")), "a")
