@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import java.nio.file.Files
+
+class FastqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_fastq_spec").toString
+
+  test("FASTQ 4-line parse: exact and heuristic agree on well-formed input") {
+    import spark.implicits._
+    val reads = Seq.tabulate(25)(i => ("ACGT" * 10) + "AC" + "GTCA" * (i % 3 + 1))
+    val dir = tmpDir() + "/fq"
+    Fastq.toFastqLines(reads.toDF("read")).coalesce(1)
+      .write.mode("overwrite").text(dir)
+    val exact = Fastq.fastqSequences(spark, dir).collect().sorted.toSeq
+    val heur = Fastq.fastqSequencesHeuristic(spark, dir).collect().sorted.toSeq
+    assert(exact == reads.sorted)
+    assert(heur == reads.sorted)
+  }
+
+  test("read guards drop short/long/invalid reads") {
+    import spark.implicits._
+    val rs = Seq("ACGTACGTACGTACGTACGTACGT", "ACG", "N" + "A" * 700, "XACGTACGT")
+    val kept = Fastq.guardReads(rs.toDS(), minLen = 10).collect().toSeq
+    assert(kept == Seq("ACGTACGTACGTACGTACGTACGT"))
+  }
+
+  test("FASTA sink wraps at 100 cols and source reassembles multi-line records") {
+    import spark.implicits._
+    val contigs = Seq("A" * 250, "C" * 100, "G" * 77).toDF("contig")
+    val dir = tmpDir() + "/fa"
+    Fastq.writeFasta(contigs, dir)
+    val lines = spark.read.text(dir).as[String].collect().toSeq
+    assert(lines.count(_.startsWith(">")) == 3)
+    assert(lines.filterNot(_.startsWith(">")).forall(_.length <= 100))
+    val back = Fastq.readFasta(spark, dir)
+      .orderBy("seq").select("id", "seq").as[(String, String)].collect().toSeq
+    assert(back.map(_._2) == Seq("A" * 250, "C" * 100, "G" * 77))
+    assert(back.head._1 == "Contig-1-250") // sorted order: A^250 first
+  }
+
+  test("StageRunner resumes completed stages and recomputes missing ones") {
+    import spark.implicits._
+    val root = tmpDir() + "/stages"
+    val runner = new StageRunner(spark, root)
+    var evals = 0
+    def body() = { evals += 1; Seq((1, "a"), (2, "b")).toDF("k", "v") }
+    val first = runner.stage("s1")(body())
+    assert(first.count() == 2 && evals == 1)
+    val second = runner.stage("s1")(body())
+    assert(second.count() == 2 && evals == 1) // resumed, not recomputed
+    runner.clean("s1")
+    assert(!runner.isComplete("s1"))
+    runner.stage("s1")(body())
+    assert(evals == 2)
+  }
+}
