@@ -134,6 +134,45 @@ object Genomics {
             KmerCodec.base((kv & 3L).toInt).toString, c)
         }
         .toDF("sub", "marker", "ext", "count")
+    }),
+
+    // -- J3: fork filter with error correction — classify edges ------------
+    // (k=7 so forks and coverage spread exist; minErrorCoverage = 8)
+    "g8_fork_classify" -> ((s, d) => {
+      val cnt = decodeCounts(countCanonical(docSeqs(s, d, col64 = false), 7), 7)
+        .withColumn("prefix", substring(col("kmer"), 1, 6))
+      val byPrefix = Window.partitionBy(col("prefix"))
+      cnt
+        .withColumn("rn", row_number().over(byPrefix.orderBy(col("count").desc, col("kmer"))))
+        .withColumn("wc", max(col("count")).over(byPrefix))
+        .select(col("prefix"), col("kmer"), col("count"),
+          when(col("rn") === 1, "win")
+            .when(col("count") <= 8 && col("wc") >= col("count") * 2, "drop")
+            .otherwise("keep").as("status"))
+    }),
+
+    // -- P8: reflected sub-kmer derive (suffix key, marker=2, head base) ---
+    "g9_subkmer_reflected" -> ((s, d) => {
+      import s.implicits._
+      countCanonical(docSeqs(s, d, col64 = false), 15)
+        .as[(Long, Long)]
+        .map { case (kv, c) =>
+          (KmerCodec.decodeLong(kv & ((1L << 28) - 1), 14), 2,
+            KmerCodec.base((kv >>> 28).toInt & 3).toString, c)
+        }
+        .toDF("sub", "marker", "ext", "count")
+    }),
+
+    // -- P10: sub-kmer -> full-kmer reassembly (split then rebuild == A1) --
+    "g10_reassemble" -> ((s, d) => {
+      import s.implicits._
+      countCanonical(docSeqs(s, d, col64 = false), 15)
+        .as[(Long, Long)]
+        .map { case (kv, c) => (kv >>> 2, (kv & 3L).toInt, c) } // split (P7)
+        .map { case (sub, ext, c) =>                            // rebuild (P10)
+          (KmerCodec.decodeLong((sub << 2) | ext, 15), c)
+        }
+        .toDF("kmer", "count")
     })
   )
 
@@ -168,6 +207,25 @@ object Genomics {
       (sqlKmerCounts(15) +
         """
           |SELECT substr(kmer, 1, 14) AS sub, 1 AS marker,
-          |  substr(kmer, 15, 1) AS ext, c AS count FROM cnt""".stripMargin)
+          |  substr(kmer, 15, 1) AS ext, c AS count FROM cnt""".stripMargin),
+    "g8_fork_classify" ->
+      (sqlKmerCounts(7) +
+        """
+          |SELECT prefix, kmer, count,
+          |  CASE WHEN rn = 1 THEN 'win'
+          |       WHEN count <= 8 AND wc >= count * 2 THEN 'drop'
+          |       ELSE 'keep' END AS status
+          |FROM (
+          |  SELECT substr(kmer, 1, 6) AS prefix, kmer, c AS count,
+          |    ROW_NUMBER() OVER (PARTITION BY substr(kmer, 1, 6) ORDER BY c DESC, kmer) AS rn,
+          |    MAX(c) OVER (PARTITION BY substr(kmer, 1, 6)) AS wc
+          |  FROM cnt)""".stripMargin),
+    "g9_subkmer_reflected" ->
+      (sqlKmerCounts(15) +
+        """
+          |SELECT substr(kmer, 2, 14) AS sub, 2 AS marker,
+          |  substr(kmer, 1, 1) AS ext, c AS count FROM cnt""".stripMargin),
+    "g10_reassemble" ->
+      (sqlKmerCounts(15) + "\nSELECT kmer, c AS count FROM cnt")
   )
 }
