@@ -173,6 +173,18 @@ object Genomics {
           (KmerCodec.decodeLong((sub << 2) | ext, 15), c)
         }
         .toDF("kmer", "count")
+    }),
+
+    // -- native Catalyst expression path: canonical_kmer() inside codegen --
+    // (same semantics as g1's typed flatMap, entirely declarative: explode
+    // positions -> substring -> canonical_kmer expression -> hash agg)
+    "g11_canonical_expr" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      documents(s, d)
+        .select(dna32(col("doc_id")).as("s"))
+        .select(col("s"), explode(sequence(lit(1), length(col("s")) - 14)).as("i"))
+        .selectExpr("canonical_kmer(substring(s, i, 15)) AS kmer")
+        .groupBy("kmer").count()
     })
   )
 
@@ -226,6 +238,8 @@ object Genomics {
           |SELECT substr(kmer, 2, 14) AS sub, 2 AS marker,
           |  substr(kmer, 1, 1) AS ext, c AS count FROM cnt""".stripMargin),
     "g10_reassemble" ->
+      (sqlKmerCounts(15) + "\nSELECT kmer, c AS count FROM cnt"),
+    "g11_canonical_expr" ->
       (sqlKmerCounts(15) + "\nSELECT kmer, c AS count FROM cnt")
   )
 }
