@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the streaming counterparts of the batch
+  * event operators ([[graft.operators.Events]]). `readStream` -> these
+  * transforms -> `writeStream`; state lives in the state store, so the
+  * operators scale with the key space, not the stream length.
+  */
+object EventStreams {
+
+  case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
+  case class SessState(start: Long, last: Long, n: Long)
+  case class ClosedSession(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
+  case class UserStats(userId: Long, nEvents: Long, total: Double)
+
+  /** Streaming analogue of e1: event-time tumbling window with watermark
+    * (late data beyond 1 hour is dropped, state is evicted). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("eventType"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("eventType"), col("n"))
+
+  /** Streaming analogue of e2: gap-based sessions via
+    * flatMapGroupsWithState — a session closes (and is emitted, Append
+    * mode) when a later event for the same user arrives past the gap. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[Event], state: GroupState[SessState]) => {
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption
+          val out = Seq.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case Some(s) if t - s.last > gapMs =>
+                out += ClosedSession(uid, s.start, s.last, s.n)
+                st = Some(SessState(t, t, 1))
+              case Some(s) =>
+                st = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+              case None =>
+                st = Some(SessState(t, t, 1))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
+  /** Running per-user aggregates via mapGroupsWithState (Update mode). */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[Event], state: GroupState[UserStats]) => {
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+          val batch = it.toSeq
+          val next = UserStats(uid, prev.nEvents + batch.size,
+            prev.total + batch.map(_.value).sum)
+          state.update(next)
+          next
+        })
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.TestSpark
+import java.sql.Timestamp
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import EventStreams._
+
+  private def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("sessionize closes sessions past the gap across microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Event(ts(0), 1L, "view", 1.0), Event(ts(10), 1L, "click", 1.0),
+        Event(ts(0), 2L, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // both sessions still open
+      in.addData(Event(ts(70), 1L, "view", 1.0))   // 60-min gap for user 1
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[ClosedSession].collect().toSeq
+      assert(closed == Seq(ClosedSession(1L, ts(0).getTime, ts(10).getTime, 2)))
+    } finally q.stop()
+  }
+
+  test("runningUserStats accumulates across microbatches (update mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = runningUserStats(in.toDS())
+      .writeStream.format("memory").queryName("ustats")
+      .outputMode("update").start()
+    try {
+      in.addData(Event(ts(0), 1L, "view", 2.0), Event(ts(1), 1L, "view", 3.0))
+      q.processAllAvailable()
+      in.addData(Event(ts(2), 1L, "buy", 5.0), Event(ts(2), 2L, "view", 7.0))
+      q.processAllAvailable()
+      val last = spark.table("ustats").as[UserStats].collect()
+        .groupBy(_.userId).map { case (u, rows) => u -> rows.maxBy(_.nEvents) }
+      assert(last(1L) == UserStats(1L, 3, 10.0))
+      assert(last(2L) == UserStats(2L, 1, 7.0))
+    } finally q.stop()
+  }
+
+  test("hourlyCounts windows by event time with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = hourlyCounts(in.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        Event(ts(5), 1L, "view", 1.0), Event(ts(20), 2L, "view", 1.0),
+        Event(ts(65), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("eventType", "n").as[(String, Long)].collect().toSet
+      assert(rows == Set(("view", 2L), ("click", 1L)))
+    } finally q.stop()
+  }
+}
