@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.sources.{Fastq, PipeOps}
+
+/** Rescue/merge operators (SURVEY J6/J8/J10, A2) plus the k-mer CSV and
+  * external-pipe round-trips (S3/S5/P5, E1-E3 shape). All declarative:
+  * position explosion + the native `canonical_kmer` expression + windows,
+  * so the per-read logic runs inside codegen and the only shuffles are the
+  * solidity join and per-read window.
+  */
+object Rescue {
+  private val K = 7
+
+  private def posKmers(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    documents(s, d)
+      .select(col("doc_id"), Genomics.dna32(col("doc_id")).as("s"))
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(1), length(col("s")) - (K - 1))).as("i"))
+      .selectExpr("doc_id", "i", s"canonical_kmer(substring(s, i, $K)) AS kmer")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- J8: mercy k-mer rescue — non-solid kmers between solid anchors ----
+    "j8_mercy_kmers" -> ((s, d) => {
+      val pk = posKmers(s, d)
+      val solid = pk.groupBy("kmer").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("kmer"), lit(1).as("is_solid"))
+      val flagged = pk.join(solid, Seq("kmer"), "left")
+        .withColumn("sf", coalesce(col("is_solid"), lit(0)))
+      val byRead = Window.partitionBy("doc_id").orderBy("i")
+      val before = byRead.rowsBetween(Window.unboundedPreceding, -1)
+      val after = byRead.rowsBetween(1, Window.unboundedFollowing)
+      flagged
+        .withColumn("solid_before", max(col("sf")).over(before))
+        .withColumn("solid_after", max(col("sf")).over(after))
+        .filter(col("sf") === 0 && col("solid_before") === 1 && col("solid_after") === 1)
+        .select(col("kmer")).distinct()
+    }),
+
+    // -- J6 + A2: contig-end fingerprints with vote counts -----------------
+    "j6_contig_ends" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      documents(s, d)
+        .select(Genomics.dna64(col("doc_id")).as("c"))
+        .selectExpr("canonical_kmer(substring(c, 1, 21)) AS head_mk",
+          "canonical_kmer(substring(c, length(c) - 20, 21)) AS tail_mk")
+        .select(explode(array(col("head_mk"), col("tail_mk"))).as("mk"))
+        .groupBy("mk").agg(count(lit(1)).as("n"))
+    }),
+
+    // -- J10: redundant-overlap contig merger ------------------------------
+    // two "assemblies" overlap by k-1=20 bases; suffix/prefix equi-join
+    // splices them (a cartesian-free merge: the join key IS the overlap)
+    "j10_overlap_merge" -> ((s, d) => {
+      val a = documents(s, d).select(col("doc_id").as("aid"),
+        substring(Genomics.dna64(col("doc_id")), 1, 40).as("sa"))
+        .withColumn("key", substring(col("sa"), 21, 20))
+      val b = documents(s, d).select(col("doc_id").as("bid"),
+        substring(Genomics.dna64(col("doc_id")), 21, 44).as("sb"))
+        .withColumn("key2", substring(col("sb"), 1, 20))
+      a.join(b, col("key") === col("key2"))
+        .select(col("aid"), col("bid"),
+          concat(col("sa"), expr("substring(sb, 21)")).as("merged"))
+    }),
+
+    // -- S5 + S3 + P5: k-mer CSV sink -> source -> binarize round-trip -----
+    "f3_csv_kmer_roundtrip" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val tmp = s"/root/repo/target/graft_io/${new java.io.File(d).getName}/kmer_csv"
+      val cnt = Genomics.decodeCounts(
+        Genomics.countCanonical(docSeqs15(s, d), 15), 15)
+      Fastq.writeCsv(cnt, tmp)
+      s.read.schema("kmer STRING, count BIGINT").csv(tmp)
+        .selectExpr("kmer_pack(kmer) AS kv", "count")    // P5 binarize
+        .selectExpr("kmer_unpack(kv, 15) AS kmer", "count") // decode back
+    }),
+
+    // -- E1-E3 shape: partition-wise subprocess pipe (identity transform) --
+    "f4_pipe_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val reads = documents(s, d).select(Genomics.dna32(col("doc_id"))
+        .cast("string")).as[String]
+      val piped = PipeOps.pipePartitions(reads, Seq("cat"))
+      Genomics.decodeCounts(Genomics.countCanonical(piped, 15), 15)
+    })
+  )
+
+  private def docSeqs15(s: SparkSession, d: String) = {
+    import s.implicits._
+    documents(s, d).select(Genomics.dna32(col("doc_id")).cast("string")).as[String]
+  }
+
+  private def sqlCanon(e: String) =
+    s"least($e, reverse(translate($e, 'ACGT', 'TGCA')))"
+  private val sqlDna32 =
+    "translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT')"
+  private val sqlDna64 = sqlDna32 +
+    " || translate(md5(CAST(doc_id AS VARCHAR) || 'x'), '0123456789abcdef', 'ACGTACGTACGTACGT')"
+
+  def oracles: Map[String, String] = Map(
+    "j8_mercy_kmers" ->
+      s"""WITH pk AS (
+         |  SELECT doc_id, i, ${sqlCanon(s"substr(s, i, $K)")} AS kmer
+         |  FROM (SELECT doc_id, s, unnest(generate_series(1, length(s) - ${K - 1})) AS i
+         |        FROM (SELECT doc_id, $sqlDna32 AS s FROM documents))),
+         |solid AS (SELECT kmer FROM pk GROUP BY kmer HAVING COUNT(*) >= 2),
+         |fl AS (SELECT p.doc_id, p.i, p.kmer,
+         |         CASE WHEN s.kmer IS NULL THEN 0 ELSE 1 END AS sf
+         |       FROM pk p LEFT JOIN solid s ON p.kmer = s.kmer)
+         |SELECT DISTINCT kmer FROM (
+         |  SELECT kmer, sf,
+         |    MAX(sf) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS solid_before,
+         |    MAX(sf) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS solid_after
+         |  FROM fl)
+         |WHERE sf = 0 AND solid_before = 1 AND solid_after = 1""".stripMargin,
+    "j6_contig_ends" ->
+      s"""WITH c AS (SELECT $sqlDna64 AS c FROM documents),
+         |mk AS (
+         |  SELECT ${sqlCanon("substr(c, 1, 21)")} AS mk FROM c
+         |  UNION ALL
+         |  SELECT ${sqlCanon("substr(c, length(c) - 20, 21)")} FROM c)
+         |SELECT mk, COUNT(*) AS n FROM mk GROUP BY mk""".stripMargin,
+    "j10_overlap_merge" ->
+      s"""WITH dna AS (SELECT doc_id, $sqlDna64 AS s FROM documents),
+         |a AS (SELECT doc_id AS aid, substr(s, 1, 40) AS sa FROM dna),
+         |b AS (SELECT doc_id AS bid, substr(s, 21, 44) AS sb FROM dna)
+         |SELECT aid, bid, sa || substr(sb, 21) AS merged
+         |FROM a JOIN b ON substr(sa, 21, 20) = substr(sb, 1, 20)""".stripMargin,
+    "f3_csv_kmer_roundtrip" -> Genomics.oracles("g1_kmer_count"),
+    "f4_pipe_roundtrip" -> Genomics.oracles("g1_kmer_count")
+  )
+}

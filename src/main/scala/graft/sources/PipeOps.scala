@@ -1,0 +1,49 @@
+package graft.sources
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter, PrintWriter}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.Dataset
+
+/** E1-E3: partition-wise subprocess pipes — each partition streams its
+  * records to a spawned process's stdin and reads transformed records from
+  * stdout (the reference hand-rolls this with ProcessBuilder + pump
+  * threads around flash/lighter/minimap2; here it is one generic operator).
+  * Degrades gracefully: availability is probed with [[available]], so
+  * pipelines feature-flag external tools instead of hard-failing.
+  */
+object PipeOps {
+
+  /** True iff `cmd` can be started on this machine (probed cheaply). */
+  def available(cmd: String): Boolean =
+    try { new ProcessBuilder(cmd, "--version").start().destroy(); true }
+    catch {
+      case _: java.io.IOException =>
+        try { new ProcessBuilder(cmd).start().destroy(); true }
+        catch { case _: java.io.IOException => false }
+    }
+
+  /** Pipe each partition's lines through `cmd` (stdin -> stdout). A writer
+    * thread pumps the input so producer and consumer never deadlock on the
+    * pipe buffer. */
+  def pipePartitions(ds: Dataset[String], cmd: Seq[String]): Dataset[String] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it0 =>
+      val it = it0.buffered
+      if (!it.hasNext) Iterator.empty
+      else {
+        val proc = new ProcessBuilder(cmd: _*)
+          .redirectError(ProcessBuilder.Redirect.INHERIT)
+          .start()
+        val writer = new Thread(() => {
+          val w = new PrintWriter(new BufferedWriter(
+            new OutputStreamWriter(proc.getOutputStream, UTF_8)))
+          try it.foreach(w.println) finally w.close()
+        }, "graft-pipe-writer")
+        writer.setDaemon(true)
+        writer.start()
+        val r = new BufferedReader(new InputStreamReader(proc.getInputStream, UTF_8))
+        Iterator.continually(r.readLine()).takeWhile(_ != null)
+      }
+    }
+  }
+}
