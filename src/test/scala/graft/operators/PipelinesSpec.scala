@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.sources.StageRunner
+import java.nio.file.Files
+
+class PipelinesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rcStr(s: String): String =
+    s.reverse.map { case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A' }
+  private def canonStr(s: String): String = { val r = rcStr(s); if (s <= r) s else r }
+  private def randGenome(n: Int, seed: Long): String = {
+    val r = new scala.util.Random(seed)
+    Array.fill(n)("ACGT"(r.nextInt(4))).mkString
+  }
+
+  test("staged dynamic-k assembly reconstructs the genome and resumes") {
+    import spark.implicits._
+    val genome = randGenome(800, seed = 41)
+    val reads = ((0 to 740 by 7) :+ 740).distinct.map { i =>
+      val w = genome.substring(i, i + 60)
+      if (i % 2 == 0) w else rcStr(w)
+    }
+    val work = Files.createTempDirectory("graft_pipeline").toString
+    val kList = Seq(15, 21, 31)
+
+    val first = Pipelines.dynamicAssembly(spark, reads.toDS(), kList, work)
+      .collect().toSet
+    assert(first.contains(canonStr(genome)),
+      s"final contigs (${first.map(_.length)}) should contain the genome")
+
+    // every stage checkpointed
+    val runner = new StageRunner(spark, work)
+    kList.foreach { k =>
+      assert(runner.isComplete(s"count_k$k") && runner.isComplete(s"contigs_k$k"))
+    }
+
+    // resumed re-run: identical result, stages untouched
+    val second = Pipelines.dynamicAssembly(spark, reads.toDS(), kList, work)
+      .collect().toSet
+    assert(second == first)
+
+    // delete the final stage: only it recomputes, same fixpoint
+    runner.clean("contigs_k31")
+    val third = Pipelines.dynamicAssembly(spark, reads.toDS(), kList, work)
+      .collect().toSet
+    assert(third == first)
+  }
+}
