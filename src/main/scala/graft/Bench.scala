@@ -34,6 +34,10 @@ object Bench {
         case e: Throwable =>
           errors :+= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
       }
+      // drop checkpoint/cache blocks the finished query left behind so they
+      // can't distort the next query's timing (outside the timed window)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

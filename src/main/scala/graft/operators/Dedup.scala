@@ -48,11 +48,12 @@ object Dedup {
     c.select(col("doc_id"), explode(sh).as("sh"))
   }
 
-  /** MinHash signatures: (doc_id, h0..h7), one shuffle. */
-  private def signatures(c: DataFrame): DataFrame = {
+  /** MinHash signatures from an exploded shingle table: (doc_id, h0..h7),
+    * one shuffle. */
+  private def signatures(sh: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(j =>
       min(md5(concat(lit(s"$j|"), col("sh")).cast("binary"))).as(s"h$j"))
-    shingled(c).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Banded buckets: (doc_id, bid, bh). */
@@ -64,14 +65,20 @@ object Dedup {
       .select(col("doc_id"), col("band.bid").as("bid"), col("band.bh").as("bh"))
   }
 
-  /** LSH candidate pairs (a < b), distinct: bucket-equality self-join. */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val bd = bands(signatures(corpus(s, d)))
+  /** LSH candidate pairs (a < b), distinct: bucket-equality self-join.
+    * The band table is materialized once (localCheckpoint) — it feeds both
+    * sides of the self-join, and without the checkpoint Spark recomputes
+    * the whole corpus->shingle->minhash chain per side. */
+  private def candidatePairsFrom(bd0: DataFrame): DataFrame = {
+    val bd = bd0.localCheckpoint()
     val l = bd.select(col("bid"), col("bh"), col("doc_id").as("a"))
     val r = bd.select(col("bid").as("bid2"), col("bh").as("bh2"), col("doc_id").as("b"))
     l.join(r, col("bid") === col("bid2") && col("bh") === col("bh2") && col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
   }
+
+  private def candidatePairs(s: SparkSession, d: String): DataFrame =
+    candidatePairsFrom(bands(signatures(shingled(corpus(s, d)))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup: hash-groupBy, keep min doc_id ------------------------
@@ -81,16 +88,20 @@ object Dedup {
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))),
 
     // -- MinHash signatures over word 3-shingles ---------------------------
-    "d2_minhash_sig" -> ((s, d) => signatures(corpus(s, d))),
+    "d2_minhash_sig" -> ((s, d) => signatures(shingled(corpus(s, d)))),
 
     // -- banded LSH candidate pairs ----------------------------------------
     "d3_lsh_pairs" -> ((s, d) => candidatePairs(s, d)),
 
     // -- exact Jaccard verification of LSH candidates ----------------------
     "d4_jaccard_verify" -> ((s, d) => {
-      val sets = shingled(corpus(s, d)).distinct()
+      // one materialization of the shingle table feeds signatures, set
+      // sizes, and the intersection join (4 consumers — without it the
+      // explode+md5 chain re-runs per consumer)
+      val sh = shingled(corpus(s, d)).localCheckpoint()
+      val sets = sh.distinct()
       val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
-      val pairs = candidatePairs(s, d)
+      val pairs = candidatePairsFrom(bands(signatures(sh)))
       val inter = pairs
         .join(sets.select(col("doc_id").as("a"), col("sh")), "a")
         .join(sets.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))

@@ -53,6 +53,7 @@ object Patching {
     // -- J13: stitch across a coverage-1 bridge ----------------------------
     "j13_stitch" -> ((s, d) => {
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val dna = documents(s, d).select(Genomics.dna64(col("doc_id")).as("s"))
       // halves sequenced twice (solid), junction bridged once (stitch kmers)
       val reads = dna.selectExpr("substring(s, 1, 32) AS r")
@@ -61,15 +62,23 @@ object Patching {
         .union(dna.selectExpr("substring(s, 33, 32)"))
         .union(dna.selectExpr("substring(s, 13, 40)")) // single bridge read
         .as[String]
-      val counts = Genomics.countCanonical(reads, 21)
+      // one materialization feeds both assembly passes
+      val counts = Genomics.countCanonical(reads, 21).localCheckpoint()
       val strict = Assembler.assemble(counts, 21, minCov = 2, maxIter = 120)
         .toDF("frag")
+        .withColumn("fkey", expr("canonical_kmer(substring(frag, 1, 21))"))
       val stitched = Assembler.assemble(counts, 21, minCov = 1, maxIter = 120)
-        .toDF("contig")
-      // keep stitched contigs spanning >= 2 strict fragments (fwd or RC)
-      val hits = stitched.crossJoin(strict)
+        .toDF("contig").localCheckpoint()
+      // candidate (contig, frag) pairs via the fragment's head k-mer —
+      // an equi-join on the marker, never contig x fragment cartesian
+      val contigKmers = stitched
+        .select(col("contig"), explode(sequence(lit(1), length(col("contig")) - 20)).as("i"))
+        .selectExpr("contig", "canonical_kmer(substring(contig, i, 21)) AS fkey")
+        .distinct()
+      val hits = contigKmers.join(strict, "fkey")
         .filter(col("contig").contains(col("frag")) ||
           col("contig").contains(reverse(translate(col("frag"), "ACGT", "TGCA"))))
+        .select(col("contig"), col("frag")).distinct()
         .groupBy("contig").agg(count(lit(1)).as("nfrag"))
         .filter(col("nfrag") >= 2)
       hits.select(col("contig"))
