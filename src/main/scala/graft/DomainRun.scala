@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Assembler, Genomics}
+import graft.sources.Fastq
+
+/** Domain end-to-end run on real FASTQ (defaults to the reference repo's
+  * bundled example reads): parse -> guard -> count canonical 31-mers ->
+  * coverage filter (reference defaults minCov=2) -> assemble -> report
+  * contig statistics as one JSON line. This is the `reflexiv run`
+  * equivalent on the only dataset the reference ships.
+  *
+  * Usage: runMain graft.DomainRun [fastqGlob] [k] [minCov] [outFasta]
+  */
+object DomainRun {
+  def main(args: Array[String]): Unit = {
+    val glob = args.headOption.getOrElse("/root/reference/example/*.fq.gz")
+    val k = args.lift(1).map(_.toInt).getOrElse(31)
+    val minCov = args.lift(2).map(_.toInt).getOrElse(2)
+    val outFasta = args.lift(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val reads = Fastq.guardReads(Fastq.fastqSequences(spark, glob), minLen = k)
+    val (nReads, tRead) = timed(reads.count())
+    val counts = Genomics.countCanonical(reads, k).localCheckpoint()
+    val (nKmers, tCount) = timed(counts.count())
+    val contigs = Assembler.assemble(counts, k, minCov = minCov, maxIter = 150,
+      minContig = 2 * k).toDF("contig").localCheckpoint()
+    val (stats, tAsm) = timed {
+      contigs.agg(
+        count(lit(1)).as("n"),
+        sum(length(col("contig"))).as("bases"),
+        max(length(col("contig"))).as("longest")).as[(Long, Long, Int)].head()
+    }
+    val lens = contigs.select(length(col("contig"))).as[Int].collect().sorted(Ordering[Int].reverse)
+    val half = lens.map(_.toLong).sum / 2
+    var acc = 0L
+    val n50 = lens.find { l => acc += l; acc >= half }.getOrElse(0)
+    outFasta.foreach(p => Fastq.writeFasta(contigs, p))
+    println(s"""{"reads":$nReads,"kmers":$nKmers,"k":$k,"min_cov":$minCov,""" +
+      s""""contigs":${stats._1},"bases":${stats._2},"longest":${stats._3},"n50":$n50,""" +
+      s""""sec_read":$tRead,"sec_count":$tCount,"sec_assemble":$tAsm}""")
+    spark.stop()
+  }
+}
