@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Graph-shape operators (SURVEY J11/J12): De Bruijn node classification
+  * (repeat/branch detection feeding the reference's `-scramble` two-branch
+  * processing) and the low-coverage fragment path (detect gaps between
+  * solid anchors and emit the bridging read fragment for re-union into the
+  * assembly loop, `ReflexivDSMain.java:585-670`).
+  */
+object GraphOps {
+  private val K = 7
+
+  private val sqlDna32 =
+    "translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT')"
+  private def sqlCanon(e: String) =
+    s"least($e, reverse(translate($e, 'ACGT', 'TGCA')))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- J12: node classification — degree-based repeat/branch detection ---
+    "j12_node_classify" -> ((s, d) => {
+      import s.implicits._
+      val cnt = Genomics.decodeCounts(
+        Genomics.countCanonical(docSeqs(s, d), K), K)
+      // oriented edge set (both strands), node = (k-1)-mer
+      val edges = cnt.select(col("kmer"))
+        .union(cnt.select(reverse(translate(col("kmer"), "ACGT", "TGCA")).as("kmer")))
+        .distinct()
+        .select(substring(col("kmer"), 1, K - 1).as("src"),
+          substring(col("kmer"), 2, K - 1).as("dst"))
+      val outDeg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outd"))
+      val inDeg = edges.groupBy(col("dst").as("node")).agg(count(lit(1)).as("ind"))
+      outDeg.join(inDeg, Seq("node"), "full_outer")
+        .select(col("node"),
+          coalesce(col("outd"), lit(0)).as("outd"),
+          coalesce(col("ind"), lit(0)).as("ind"),
+          when(coalesce(col("outd"), lit(0)) <= 1 && coalesce(col("ind"), lit(0)) <= 1, "simple")
+            .when(coalesce(col("outd"), lit(0)) > 1 && coalesce(col("ind"), lit(0)) > 1, "repeat")
+            .when(coalesce(col("outd"), lit(0)) > 1, "branch")
+            .otherwise("merge").as("klass"))
+    }),
+
+    // -- J11: low-coverage fragment path — gaps between solid anchors ------
+    "j11_low_cov_fragments" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val pk = documents(s, d)
+        .select(col("doc_id"), Genomics.dna32(col("doc_id")).as("s"))
+        .select(col("doc_id"), col("s"),
+          explode(sequence(lit(1), length(col("s")) - (K - 1))).as("i"))
+        .selectExpr("doc_id", "s", "i", s"canonical_kmer(substring(s, i, $K)) AS kmer")
+      val solid = pk.groupBy("kmer").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("kmer"), lit(1).as("is_solid"))
+      val byRead = Window.partitionBy("doc_id").orderBy("i")
+      val fl = pk.join(solid, Seq("kmer"), "left")
+        .withColumn("sf", coalesce(col("is_solid"), lit(0)))
+        .withColumn("prev_solid",
+          max(when(col("sf") === 1, col("i"))).over(
+            byRead.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("next_solid",
+          min(when(col("sf") === 1, col("i"))).over(
+            byRead.rowsBetween(1, Window.unboundedFollowing)))
+      fl.filter(col("sf") === 0 &&
+          col("prev_solid").isNotNull && col("next_solid").isNotNull)
+        .groupBy(col("doc_id"), col("prev_solid"), col("next_solid"), col("s"))
+        .agg(count(lit(1)).as("gap_kmers"))
+        // the bridging fragment spans solid anchor to solid anchor
+        .select(col("doc_id"), col("prev_solid"), col("next_solid"), col("gap_kmers"),
+          expr(s"substring(s, prev_solid, next_solid - prev_solid + $K)").as("fragment"))
+    })
+  )
+
+  private def docSeqs(s: SparkSession, d: String) = {
+    import s.implicits._
+    documents(s, d).select(Genomics.dna32(col("doc_id")).cast("string")).as[String]
+  }
+
+  def oracles: Map[String, String] = Map(
+    "j12_node_classify" ->
+      s"""WITH seq AS (SELECT $sqlDna32 AS s FROM documents),
+         |cnt AS (SELECT DISTINCT ${sqlCanon(s"substr(s, i, $K)")} AS kmer
+         |        FROM (SELECT s, unnest(generate_series(1, length(s) - ${K - 1})) AS i FROM seq)),
+         |edges AS (
+         |  SELECT DISTINCT substr(kmer, 1, ${K - 1}) AS src, substr(kmer, 2, ${K - 1}) AS dst
+         |  FROM (SELECT kmer FROM cnt
+         |        UNION SELECT reverse(translate(kmer, 'ACGT', 'TGCA')) FROM cnt)),
+         |od AS (SELECT src AS node, COUNT(*) AS outd FROM edges GROUP BY src),
+         |id AS (SELECT dst AS node, COUNT(*) AS ind FROM edges GROUP BY dst)
+         |SELECT COALESCE(od.node, id.node) AS node,
+         |  COALESCE(outd, 0) AS outd, COALESCE(ind, 0) AS ind,
+         |  CASE WHEN COALESCE(outd, 0) <= 1 AND COALESCE(ind, 0) <= 1 THEN 'simple'
+         |       WHEN COALESCE(outd, 0) > 1 AND COALESCE(ind, 0) > 1 THEN 'repeat'
+         |       WHEN COALESCE(outd, 0) > 1 THEN 'branch'
+         |       ELSE 'merge' END AS klass
+         |FROM od FULL OUTER JOIN id ON od.node = id.node""".stripMargin,
+    "j11_low_cov_fragments" ->
+      s"""WITH pk AS (
+         |  SELECT doc_id, s, i, ${sqlCanon(s"substr(s, i, $K)")} AS kmer
+         |  FROM (SELECT doc_id, s, unnest(generate_series(1, length(s) - ${K - 1})) AS i
+         |        FROM (SELECT doc_id, $sqlDna32 AS s FROM documents))),
+         |solid AS (SELECT kmer FROM pk GROUP BY kmer HAVING COUNT(*) >= 2),
+         |fl AS (
+         |  SELECT p.doc_id, p.s, p.i,
+         |    CASE WHEN t.kmer IS NULL THEN 0 ELSE 1 END AS sf
+         |  FROM pk p LEFT JOIN solid t ON p.kmer = t.kmer),
+         |mk AS (
+         |  SELECT doc_id, s, i, sf,
+         |    MAX(CASE WHEN sf = 1 THEN i END) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_solid,
+         |    MIN(CASE WHEN sf = 1 THEN i END) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_solid
+         |  FROM fl)
+         |SELECT doc_id, prev_solid, next_solid, COUNT(*) AS gap_kmers,
+         |  substr(s, prev_solid, next_solid - prev_solid + $K) AS fragment
+         |FROM mk
+         |WHERE sf = 0 AND prev_solid IS NOT NULL AND next_solid IS NOT NULL
+         |GROUP BY doc_id, prev_solid, next_solid, s""".stripMargin
+  )
+}
