@@ -113,7 +113,8 @@ object GraftFunctions {
     "canonical_kmer" -> (args => CanonicalKmer(args.head)),
     "revcomp" -> (args => ReverseComplement(args.head)),
     "kmer_pack" -> (args => KmerPack(args.head)),
-    "kmer_unpack" -> (args => KmerUnpack(args(0), args(1))))
+    "kmer_unpack" -> (args => KmerUnpack(args(0), args(1))),
+    "rolling_hash" -> (args => RollingHash(args.head)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -158,6 +158,17 @@ object Relational {
         .filter(col("n_orders") >= 12)
     }),
 
+    // -- pivot (conditional aggregation surface) ---------------------------
+    "q15_pivot" -> ((s, d) => {
+      import graft.Tables.events
+      events(s, d)
+        .withColumn("ubucket", col("user_id") % 10)
+        .groupBy("ubucket")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
     // -- per-group arg-max via window (scalar-subquery shape) --------------
     "q14_top_account" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -243,6 +254,14 @@ object Relational {
       """SELECT o_custkey, COUNT(*) AS n_orders,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12""".stripMargin,
+    "q15_pivot" ->
+      """SELECT user_id % 10 AS ubucket,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id % 10""".stripMargin,
     "q14_top_account" ->
       """SELECT n_name, c_custkey, c_name FROM (
         |  SELECT c_nationkey, c_custkey, c_name,

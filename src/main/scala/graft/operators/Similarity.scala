@@ -73,6 +73,23 @@ object Similarity {
         .select(col("vec_id"), col("neighbor"), col("rnk"), round(col("c"), 4).as("score"))
     }),
 
+    // -- embedding-cosine near-dup: bucketed pairs above threshold ---------
+    // corpus augmented with exact copies (vec_id + 10000) the near-dup
+    // pass must find; bucket equi-join keeps it cartesian-free
+    "s4_embedding_neardup" -> ((s, d) => {
+      val base = embeddings(s, d)
+      val aug = base.union(base.withColumn("vec_id", col("vec_id") + 10000))
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"),
+          bucketOf(col("embedding")).as("bkt"))
+        .withColumn("n2", dot(col("v"), col("v")))
+      val r = aug.select(col("bkt").as("bkt2"), col("vec_id").as("b"),
+        col("v").as("v2"), col("n2").as("m2"))
+      aug.join(r, col("bkt") === col("bkt2") && col("vec_id") < col("b"))
+        .withColumn("c", dot(col("v"), col("v2")) / sqrt(col("n2") * col("m2")))
+        .filter(col("c") >= 0.999)
+        .select(col("vec_id").as("a"), col("b"), round(col("c"), 4).as("score"))
+    }),
+
     // -- per-vector L2 norm + bucket id (sanity surface for the ANN path) --
     "s3_vector_stats" -> ((s, d) =>
       embeddings(s, d).select(
@@ -109,6 +126,17 @@ object Similarity {
          |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, neighbor) AS rnk
          |      FROM sc)
          |SELECT vec_id, neighbor, rnk, round(c, 4) AS score FROM r WHERE rnk <= 3""".stripMargin,
+    "s4_embedding_neardup" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, embedding FROM embeddings),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v, $sqlBucket AS bkt FROM aug),
+         |n AS (SELECT vec_id, v, bkt, list_dot_product(v, v) AS n2 FROM e),
+         |sc AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |         list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) AS c
+         |       FROM n a JOIN n b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+         |SELECT a, b, round(c, 4) AS score FROM sc WHERE c >= 0.999""".stripMargin,
     "s3_vector_stats" ->
       s"""SELECT vec_id, label,
          |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2,

@@ -66,6 +66,19 @@ object TextOps {
         md5(concat_ws(" ", array_sort(array_distinct(ws))).cast("binary")).as("bag_fp"),
         (length(col("text")).cast("long") / 100).cast("long").as("len_bucket"))),
 
+    // -- rolling-hash fingerprint (native expression, order-sensitive) -----
+    "t6_rolling_fp" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      documents(s, d).selectExpr("doc_id", "rolling_hash(text) AS fp")
+    }),
+
+    // -- BPE-ish regex token counting (words / numbers / punct) ------------
+    "t7_bpe_tokens" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe"),
+        size(split(col("text"), " ")).as("n_ws"))),
+
     // -- character trigram profile per language ----------------------------
     "t5_trigrams" -> ((s, d) =>
       documents(s, d)
@@ -115,6 +128,16 @@ object TextOps {
       """SELECT doc_id, md5(text) AS exact_fp,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp,
         |  length(text) // 100 AS len_bucket
+        |FROM documents""".stripMargin,
+    "t6_rolling_fp" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |              (h, c) -> (h * 31 + c) % 1000000000000037) AS fp
+        |FROM documents""".stripMargin,
+    "t7_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+        |  len(string_split(text, ' ')) AS n_ws
         |FROM documents""".stripMargin,
     "t5_trigrams" ->
       """SELECT lang, substr(text, i, 3) AS g, COUNT(*) AS count
