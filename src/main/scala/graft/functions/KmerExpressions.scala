@@ -105,6 +105,22 @@ case class KmerUnpack(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Catalyst optimizer rule: algebraic identities of the k-mer domain.
+  * `canonical(rc(x)) == canonical(x)` and `canonical` is idempotent —
+  * both hold for invalid input too (every side degenerates to the ""
+  * sentinel), so the rewrites are semantics-preserving unconditionally.
+  * (`rc(rc(x)) -> x` is deliberately NOT rewritten: it fails for
+  * invalid x, where the inner rc collapses to "".) */
+object KmerAlgebra extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case CanonicalKmer(ReverseComplement(x)) => CanonicalKmer(x)
+      case CanonicalKmer(c @ CanonicalKmer(_)) => c
+    }
+}
+
 /** Registration: either call [[GraftFunctions.register]] on a live session,
   * or install [[GraftExtensions]] via
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
@@ -116,18 +132,25 @@ object GraftFunctions {
     "kmer_unpack" -> (args => KmerUnpack(args(0), args(1))),
     "rolling_hash" -> (args => RollingHash(args.head)))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(KmerAlgebra)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ KmerAlgebra
+    }
+  }
 }
 
 /** SparkSessionExtensions installer for cluster-wide registration. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.KmerExpressions", name), builder))
     }
+    ext.injectOptimizerRule(_ => KmerAlgebra)
+  }
 }

@@ -39,4 +39,19 @@ class KmerExpressionsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), s"expected codegen'd project in:\n$plan")
   }
+
+  test("KmerAlgebra optimizer rule collapses canonical(revcomp(x))") {
+    GraftFunctions.register(spark)
+    val df = spark.range(16)
+      .selectExpr("kmer_unpack(id, 8) AS s")
+      .selectExpr("canonical_kmer(revcomp(s)) AS c1",
+        "canonical_kmer(canonical_kmer(s)) AS c2",
+        "canonical_kmer(s) AS c0")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("revcomp"), s"revcomp should be rewritten away:\n$opt")
+    assert("canonical_kmer".r.findAllIn(opt).size == 3, s"idempotence not applied:\n$opt")
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(2) && r.getString(1) == r.getString(2))
+    }
+  }
 }
