@@ -38,6 +38,7 @@ object Bench {
       // can't distort the next query's timing (outside the timed window)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      System.gc() // let the ContextCleaner drain before the next timing
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
