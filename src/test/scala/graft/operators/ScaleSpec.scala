@@ -27,6 +27,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(counts(1L) == expected1)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      (1 to 20000).map(i => (i.toLong % 512, s"f$i")).toDF("k", "fact")
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("fact_b")
+      (0L to 511L).map(k => (k, s"d$k")).toDF("k", "dim")
+        .write.bucketBy(8, "k").mode("overwrite").saveAsTable("dim_b")
+      val joined = spark.table("fact_b").join(spark.table("dim_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 20000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fact_b")
+      spark.sql("DROP TABLE IF EXISTS dim_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("partitioned parquet write gives a partition-pruned scan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_part").toString + "/events"
