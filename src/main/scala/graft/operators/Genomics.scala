@@ -58,7 +58,7 @@ object Genomics {
       .groupBy("kv").count()
   }
 
-  private[operators] def decodeCounts(df: DataFrame, k: Int): DataFrame = {
+  def decodeCounts(df: DataFrame, k: Int): DataFrame = {
     import df.sparkSession.implicits._
     df.as[(Long, Long)]
       .map { case (kv, c) => (KmerCodec.decodeLong(kv, k), c) }
