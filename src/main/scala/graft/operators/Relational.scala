@@ -169,6 +169,20 @@ object Relational {
         .na.fill(0L)
     }),
 
+    // -- spark.sql() API surface: correlated EXISTS (TPC-H Q4 shape) -------
+    "q16_sql_api" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_v")
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders_v
+          |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+          |  AND o_orderdate < TIMESTAMP '1997-10-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem_v
+          |              WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+          |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
     // -- per-group arg-max via window (scalar-subquery shape) --------------
     "q14_top_account" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -262,6 +276,14 @@ object Relational {
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id % 10""".stripMargin,
+    "q16_sql_api" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+        |GROUP BY o_orderpriority""".stripMargin,
     "q14_top_account" ->
       """SELECT n_name, c_custkey, c_name FROM (
         |  SELECT c_nationkey, c_custkey, c_name,

@@ -54,6 +54,12 @@ object EventStreams {
         })
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (broadcast per microbatch — the standard lookup-join shape
+    * for reference data at scale). */
+  def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("userId"), "left")
+
   /** Running per-user aggregates via mapGroupsWithState (Update mode). */
   def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
     import events.sparkSession.implicits._

@@ -50,6 +50,24 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each microbatch against the dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("userId", "tier")
+    val in = MemoryStream[Event]
+    val q = enrich(in.toDF(), dim)
+      .select("userId", "eventType", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData(Event(ts(0), 1L, "view", 1.0), Event(ts(1), 3L, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").as[(Long, String, Option[String])]
+        .collect().toSet
+      assert(rows == Set((1L, "view", Some("gold")), (3L, "view", None)))
+    } finally q.stop()
+  }
+
   test("hourlyCounts windows by event time with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
