@@ -20,8 +20,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm the parquet reader + codegen paths outside any timing
+    // warm the parquet reader + codegen + typed-pipeline paths outside any
+    // timing (the first query otherwise absorbs encoder/codegen JIT cost)
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    locally {
+      import spark.implicits._
+      val warm = graft.operators.Genomics.countCanonical(
+        Seq("ACGTACGTACGTACGTACGTACGTACGTACGT").toDS(), 21)
+      graft.operators.Assembler.assemble(warm, 21, maxIter = 6).count()
+    }
 
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]

@@ -105,6 +105,7 @@ object Assembler {
     var frags: Dataset[Frag] = edges.select("kmer").as[Long]
       .map(kv => Frag(kv >>> 2, kv & mask, KmerCodec.longToBlocks(kv, k)))
     var lastCkpt: Dataset[Frag] = null
+    var lastCount = -1L
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
@@ -115,12 +116,19 @@ object Assembler {
         if (lastCkpt != null) lastCkpt.unpersist()
         lastCkpt = ckpt
         frags = ckpt
-        // Exact convergence probe (A4, made deterministic): a merge is still
-        // possible iff some junction is both a tail and a head of open
-        // (non-cycle) fragments. No sampling, no count-stability heuristic.
-        val open = ckpt.filter(f => f.head != f.tail).toDF()
-        done = open.select(col("tail")).intersect(open.select(col("head")))
-          .isEmpty
+        // Two-tier convergence probe (A4, made exact): merges strictly
+        // shrink the count, so a changed count means "not done" without
+        // any further work; only when the count stalls run the exact
+        // test — a merge is still possible iff some junction is both a
+        // tail and a head of open (non-cycle) fragments. Never a false
+        // stop, and the intersect runs O(1) times in the common case.
+        val n = ckpt.count()
+        if (n == lastCount) {
+          val open = ckpt.filter(f => f.head != f.tail).toDF()
+          done = open.select(col("tail")).intersect(open.select(col("head")))
+            .isEmpty
+        }
+        lastCount = n
       }
     }
     frags
