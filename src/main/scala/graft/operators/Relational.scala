@@ -99,7 +99,7 @@ object Relational {
       orders(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))
     }),
 
     // -- rollup (grouping sets) -------------------------------------------

@@ -53,7 +53,7 @@ object Similarity {
       val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
       scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("vec_id").as("neighbor"), col("rnk"),
+        .select(col("q_id"), col("vec_id").as("neighbor"), col("rnk").cast("long").as("rnk"),
           round(col("c"), 4).as("score"))
     }),
 
@@ -70,7 +70,7 @@ object Similarity {
         .withColumn("c", dot(col("v"), col("v2")) / sqrt(col("n2") * col("m2")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
-        .select(col("vec_id"), col("neighbor"), col("rnk"), round(col("c"), 4).as("score"))
+        .select(col("vec_id"), col("neighbor"), col("rnk").cast("long").as("rnk"), round(col("c"), 4).as("score"))
     }),
 
     // -- embedding-cosine near-dup: bucketed pairs above threshold ---------
@@ -88,6 +88,34 @@ object Similarity {
         .withColumn("c", dot(col("v"), col("v2")) / sqrt(col("n2") * col("m2")))
         .filter(col("c") >= 0.999)
         .select(col("vec_id").as("a"), col("b"), round(col("c"), 4).as("score"))
+    }),
+
+    // -- IVF ANN: coarse quantizer (broadcast centroids) + in-cell search --
+    // centroids = deterministic subset (vec_id % 97 == 0); every vector is
+    // assigned to its nearest centroid (argmax cosine, centroid-id
+    // tie-break), queries search only their own cell (nprobe=1)
+    "s5_ivf_ann" -> ((s, d) => {
+      val all = vecs(s, d)
+      val cents = all.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cc").desc, col("cid"))
+      val assigned = all.join(broadcast(cents), lit(true))
+        .withColumn("cc", dot(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
+      val q = assigned.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("n2").as("qn2"), col("cell"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+      q.join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("c", dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id").as("neighbor"), col("rnk").cast("long").as("rnk"),
+          round(col("c"), 4).as("score"))
     }),
 
     // -- per-vector L2 norm + bucket id (sanity surface for the ANN path) --
@@ -137,6 +165,25 @@ object Similarity {
          |         list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) AS c
          |       FROM n a JOIN n b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
          |SELECT a, b, round(c, 4) AS score FROM sc WHERE c >= 0.999""".stripMargin,
+    "s5_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+        |cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 97 = 0),
+        |assigned AS (
+        |  SELECT vec_id, v, n2, cid AS cell FROM (
+        |    SELECT n.vec_id, n.v, n.n2, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / sqrt(n.n2 * c.cn2) DESC, c.cid) AS arn
+        |    FROM n CROSS JOIN cents c) WHERE arn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cell
+        |      FROM assigned WHERE vec_id % 50 = 0),
+        |sc AS (SELECT q.q_id, a.vec_id AS neighbor,
+        |         list_dot_product(q.qv, a.v) / sqrt(q.qn2 * a.n2) AS c
+        |       FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.q_id),
+        |r AS (SELECT q_id, neighbor, c,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor) AS rnk
+        |      FROM sc)
+        |SELECT q_id, neighbor, rnk, round(c, 4) AS score FROM r WHERE rnk <= 3""".stripMargin,
     "s3_vector_stats" ->
       s"""SELECT vec_id, label,
          |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2,

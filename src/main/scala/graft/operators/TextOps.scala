@@ -79,6 +79,30 @@ object TextOps {
         regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe"),
         size(split(col("text"), " ")).as("n_ws"))),
 
+    // -- overlapping token-window chunking (training-data prep) ------------
+    // 50-token chunks, stride 40 (10-token overlap between neighbors)
+    "t8_chunking" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), ws.as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(1, size(w), 40)")).as("start"))
+        .select(col("doc_id"),
+          (((col("start") - 1) / 40).cast("long")).as("chunk_id"),
+          concat_ws(" ", slice(col("w"), col("start"), lit(50))).as("chunk"),
+          least(size(col("w")) - col("start") + 1, lit(50)).cast("long").as("chunk_tokens"))
+    }),
+
+    // -- deterministic per-source stratified sampling ----------------------
+    // "random" order = md5 of the id: reproducible training-mix sampling
+    "t9_stratified_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+    }),
+
     // -- character trigram profile per language ----------------------------
     "t5_trigrams" -> ((s, d) =>
       documents(s, d)
@@ -139,6 +163,18 @@ object TextOps {
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
         |  len(string_split(text, ' ')) AS n_ws
         |FROM documents""".stripMargin,
+    "t8_chunking" ->
+      """SELECT doc_id, (start - 1) // 40 AS chunk_id,
+        |  array_to_string(w[start:least(start + 49, len(w))], ' ') AS chunk,
+        |  least(len(w) - start + 1, 50) AS chunk_tokens
+        |FROM (SELECT doc_id, w, unnest(generate_series(1, len(w), 40)) AS start
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin,
+    "t9_stratified_sample" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 5""".stripMargin,
     "t5_trigrams" ->
       """SELECT lang, substr(text, i, 3) AS g, COUNT(*) AS count
         |FROM (SELECT lang, text, unnest(generate_series(1, length(text) - 2)) AS i
