@@ -231,4 +231,29 @@ object KmerCodec {
     val rc = rcBlocks(b)
     if (compareBlocks(b, rc) <= 0) b else rc
   }
+
+  // ------------------------------------------------------ attribute word
+  // Packed (marker, left, right) attribute — the reference's
+  // `buildingAlongFromThreeInt` / `getReflexivMarker/LeftMarker/RightMarker`
+  // (`ReflexivDSDynamicKmer64.java:2685-2711,2174-2198`) re-specified
+  // cleanly: 2-bit marker in bits 62-63, then two 31-bit fields holding
+  // left/right cover-or-fork marks with a zig-zag-free offset encoding
+  // (value + 2^30) so negatives round-trip exactly.
+
+  final val AttrFieldOffset = 1 << 30
+  private val AttrFieldMask = (1L << 31) - 1
+
+  /** Pack marker (0..3) + left/right in [-2^30, 2^30). */
+  def packAttr(marker: Int, left: Int, right: Int): Long = {
+    require(marker >= 0 && marker <= 3, s"marker out of range: $marker")
+    require(left >= -AttrFieldOffset && left < AttrFieldOffset, s"left out of range: $left")
+    require(right >= -AttrFieldOffset && right < AttrFieldOffset, s"right out of range: $right")
+    (marker.toLong << 62) |
+      ((left.toLong + AttrFieldOffset) << 31) |
+      (right.toLong + AttrFieldOffset)
+  }
+
+  @inline def attrMarker(a: Long): Int = (a >>> 62).toInt
+  @inline def attrLeft(a: Long): Int = (((a >>> 31) & AttrFieldMask) - AttrFieldOffset).toInt
+  @inline def attrRight(a: Long): Int = ((a & AttrFieldMask) - AttrFieldOffset).toInt
 }

@@ -115,6 +115,16 @@ class KmerCodecSpec extends AnyFunSuite with ScalaCheckRunner {
     assert(encodeBlocks("ACGN") == null)
   }
 
+  test("attribute word pack/unpack round-trips incl. negatives") {
+    val field = Gen.chooseNum(-(1 << 30), (1 << 30) - 1)
+    check(Prop.forAll(Gen.chooseNum(0, 3), field, field) { (m, l, r) =>
+      val a = packAttr(m, l, r)
+      attrMarker(a) == m && attrLeft(a) == l && attrRight(a) == r
+    })
+    intercept[IllegalArgumentException](packAttr(4, 0, 0))
+    intercept[IllegalArgumentException](packAttr(1, 1 << 30, 0))
+  }
+
   test("contract violations fail fast") {
     intercept[IllegalArgumentException](encodeLong("A" * 32))
     intercept[IllegalArgumentException](blocksSuffixLong(encodeBlocks("ACG"), 5))
