@@ -38,6 +38,24 @@ object Multimodal {
         .toDF("doc_id", "n_bytes", "content_md5", "fake_w", "fake_h")
     }),
 
+    // -- STUB "resize": downsample payload bytes 2:1, re-extract metadata --
+    // (stands in for an image resize; the partition-wise batch shape and
+    // binary in/out schema are the real plumbing)
+    "m3_resize" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (id, payload) =>
+            val out = Array.tabulate((payload.length + 1) / 2)(i => payload(2 * i))
+            (id, out.length.toLong, md.digest(out).map("%02x".format(_)).mkString)
+          }
+        }
+        .toDF("doc_id", "resized_bytes", "resized_md5")
+    }),
+
     // -- frame sampling: 16-byte "frames", keep every 4th ------------------
     "m2_frame_sample" -> ((s, d) => {
       import s.implicits._
@@ -65,6 +83,12 @@ object Multimodal {
     "m1_media_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5,
         |  length(text) % 640 AS fake_w, (length(text) * 31) % 480 AS fake_h
+        |FROM documents""".stripMargin,
+    "m3_resize" ->
+      """SELECT doc_id,
+        |  CAST((length(text) + 1) // 2 AS BIGINT) AS resized_bytes,
+        |  md5(array_to_string(list_transform(
+        |        generate_series(1, length(text), 2), i -> substr(text, i, 1)), '')) AS resized_md5
         |FROM documents""".stripMargin,
     "m2_frame_sample" ->
       """SELECT doc_id, i AS frame_idx, md5(substr(text, i * 16 + 1, 16)) AS frame_md5
