@@ -102,9 +102,12 @@ object Assembler {
     import s.implicits._
     val mask = (1L << (2 * (k - 1))) - 1
     val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k)
+    // checkpoint the seed fragments: without this, every round before the
+    // first probe re-executes the whole count+fork-filter lineage
     var frags: Dataset[Frag] = edges.select("kmer").as[Long]
       .map(kv => Frag(kv >>> 2, kv & mask, KmerCodec.longToBlocks(kv, k)))
-    var lastCkpt: Dataset[Frag] = null
+      .localCheckpoint()
+    var lastCkpt: Dataset[Frag] = frags
     var lastCount = -1L
     var iter = 0
     var done = false
