@@ -137,11 +137,45 @@ object Assembler {
     frags
       .map { f =>
         val fw = KmerCodec.decodeBlocks(f.seq)
-        val rc = KmerCodec.decodeBlocks(KmerCodec.rcBlocks(f.seq))
-        if (fw <= rc) fw else rc
+        if (f.head == f.tail && fw.length > k - 1) {
+          // closed cycle: the two strands open at independent rotations, so
+          // plain min(fw, rc) cannot dedup them — normalize the cycle core
+          // to its minimal rotation (over both strands) and re-append the
+          // k-1 wrap bases
+          val core = fw.substring(0, fw.length - (k - 1))
+          val rcCore = core.reverse.map {
+            case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
+          }
+          val m1 = minRotation(core)
+          val m2 = minRotation(rcCore)
+          val m = if (m1 <= m2) m1 else m2
+          m + m.substring(0, k - 1)
+        } else {
+          val rc = KmerCodec.decodeBlocks(KmerCodec.rcBlocks(f.seq))
+          if (fw <= rc) fw else rc
+        }
       }
       .distinct()
       .filter(c => c.length >= minContig)
+  }
+
+  /** Booth's algorithm: lexicographically minimal rotation in O(n). */
+  private[operators] def minRotation(s: String): String = {
+    val n = s.length
+    if (n == 0) return s
+    val ss = s + s
+    var i = 0; var j = 1; var len = 0
+    while (i < n && j < n && len < n) {
+      val a = ss.charAt(i + len); val b = ss.charAt(j + len)
+      if (a == b) len += 1
+      else {
+        if (a > b) i = math.max(i + len + 1, j) else j = math.max(j + len + 1, i)
+        if (i == j) j = i + 1
+        len = 0
+      }
+    }
+    val start = math.min(i, j)
+    ss.substring(start, start + n)
   }
 
   /** Per-document micro-assembly over deterministic DNA: reads are sliding

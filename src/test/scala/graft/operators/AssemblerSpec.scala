@@ -60,6 +60,24 @@ class AssemblerSpec extends AnyFunSuite {
     }
   }
 
+  test("circular genome terminates as a closed cycle contig") {
+    import graft.core.KmerIter
+    val k = 31
+    val core = randGenome(400, seed = 43)
+    val circular = core + core.substring(0, k - 1) // wrap-around k-mers
+    val rds = reads(circular, 80, 9)
+    val contigs = assembleFrom(rds, k)
+    // both strands normalize to the same minimal-rotation cycle: a single
+    // contig covering all 400 cycle edges, with k-1 wrap bases duplicated
+    assert(contigs.size == 1)
+    assert(contigs.head.length == core.length + k - 1)
+    val expectedCore = ((0 until core.length).map(i => core.drop(i) + core.take(i)) ++
+      (0 until core.length).map { i => val r = rcStr(core); r.drop(i) + r.take(i) }).min
+    assert(contigs.head == expectedCore + expectedCore.take(k - 1))
+    val inputKmers = rds.flatMap(r => KmerIter.canonicalLong(r, k)).toSet
+    KmerIter.canonicalLong(contigs.head, k).foreach(kv => assert(inputKmers.contains(kv)))
+  }
+
   test("coverage filter drops error kmers before assembly") {
     val genome = randGenome(300, seed = 37)
     // duplicate true reads 3x, inject one erroneous read once
