@@ -19,14 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ the
     * LLM-data-pipeline layer). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Genomics.queries ++ Assembler.queries ++
+    Relational.queries ++ Genomics.queries ++ Assembler.queries ++ AssemblerWide.queries ++
       Dedup.queries ++ Similarity.queries ++ TextOps.queries ++
       Events.queries ++ Multimodal.queries ++ GenomicsIO.queries ++ Dynamic.queries ++ Rescue.queries ++ Patching.queries ++ GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Genomics.oracles ++ Assembler.oracles ++
+    Relational.oracles ++ Genomics.oracles ++ Assembler.oracles ++ AssemblerWide.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextOps.oracles ++
       Events.oracles ++ Multimodal.oracles ++ GenomicsIO.oracles ++ Dynamic.oracles ++ Rescue.oracles ++ Patching.oracles ++ GraphOps.oracles
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.core.KmerCodec
+
+/** Wide-k assembly (k > 32): the same fork-filter + randomized-contraction
+  * algorithm as [[Assembler]], with (k-1)-mer endpoint keys as strings and
+  * sequences in 2-bit block form (the reference's 64-bit variants,
+  * `ReflexivDSMain64.java` / `ReflexivDSDynamicKmer64.java`, cover this
+  * regime with `long[]` keys; the dynamic ladder runs to k=95).
+  *
+  * Keys shuffle as (k-1)-byte strings here — correctness-first; packing
+  * the keys as `Seq[Long]` blocks is a straight swap if the shuffle volume
+  * ever dominates (sequences already travel packed).
+  */
+object AssemblerWide {
+
+  /** A path fragment with string endpoints + block-packed sequence. */
+  case class FragW(head: String, tail: String, seq: Array[Long])
+
+  private def coin(f: FragW, iter: Int): Boolean = {
+    var h = f.head.hashCode.toLong * 0x9E3779B97F4A7C15L +
+      f.tail.hashCode.toLong * 0xC2B2AE3D27D4EB4FL +
+      iter.toLong * 0x165667B19E3779F9L
+    h ^= h >>> 31; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 29
+    (h & 1L) == 0L
+  }
+
+  /** P6 + J2 for block-encoded counts `(kb: Array[Long], count)`. */
+  def forkFilteredEdges(counts: DataFrame, k: Int): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val edges = counts.as[(Array[Long], Long)]
+      .flatMap { case (kb, c) =>
+        val rc = KmerCodec.rcBlocks(kb)
+        val fwd = KmerCodec.decodeBlocks(kb)
+        if (KmerCodec.compareBlocks(kb, rc) == 0) Iterator((fwd, c))
+        else Iterator((fwd, c), (KmerCodec.decodeBlocks(rc), c))
+      }
+      .map { case (km, c) => (km, km.substring(0, k - 1), km.substring(1), c) }
+      .toDF("kmer", "prefix", "suffix", "count")
+    val wOut = Window.partitionBy("prefix").orderBy(col("count").desc, col("kmer"))
+    val wIn = Window.partitionBy("suffix").orderBy(col("count").desc, col("kmer"))
+    edges
+      .withColumn("rn_out", row_number().over(wOut)).filter(col("rn_out") === 1)
+      .withColumn("rn_in", row_number().over(wIn)).filter(col("rn_in") === 1)
+      .select("kmer", "count", "prefix", "suffix")
+  }
+
+  private[operators] def mergeRound(frags: Dataset[FragW], k: Int, iter: Int): Dataset[FragW] = {
+    import frags.sparkSession.implicits._
+    frags
+      .map { f =>
+        val h = coin(f, iter)
+        (if (h) f.tail else f.head, h, f)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val (hs, ts) = it.toSeq.partition(_._2)
+        val heads = hs.map(_._3).sortBy(f => (f.head, f.tail))
+        val tails = ts.map(_._3).sortBy(f => (f.head, f.tail))
+        val merged = heads.zip(tails).map { case (a, b) =>
+          val lenB = KmerCodec.lengthOf(b.seq)
+          FragW(a.head, b.tail,
+            KmerCodec.concatBlocks(a.seq, KmerCodec.sliceBlocks(b.seq, k - 1, lenB)))
+        }
+        val rest = heads.drop(tails.length) ++ tails.drop(heads.length)
+        (merged ++ rest).iterator
+      }
+  }
+
+  /** Wide-k assembly from block-encoded canonical counts. Same contract as
+    * [[Assembler.assemble]] (exact two-tier convergence probe, cycle
+    * normalization via minimal rotation). */
+  def assemble(counts: DataFrame, k: Int, minCov: Int = 1, maxIter: Int = 60,
+               probeEvery: Int = 3, minContig: Int = 0): Dataset[String] = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k)
+    var frags: Dataset[FragW] = edges.select("kmer").as[String]
+      .map(km => FragW(km.substring(0, k - 1), km.substring(1),
+        KmerCodec.encodeBlocks(km)))
+      .localCheckpoint()
+    var lastCkpt: Dataset[FragW] = frags
+    var lastCount = -1L
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      frags = mergeRound(frags, k, iter)
+      iter += 1
+      if (iter % probeEvery == 0) {
+        val ckpt = frags.localCheckpoint()
+        if (lastCkpt != null) lastCkpt.unpersist()
+        lastCkpt = ckpt
+        frags = ckpt
+        val n = ckpt.count()
+        if (n == lastCount) {
+          val open = ckpt.filter(f => f.head != f.tail).toDF()
+          done = open.select(col("tail")).intersect(open.select(col("head")))
+            .isEmpty
+        }
+        lastCount = n
+      }
+    }
+    frags
+      .map { f =>
+        val fw = KmerCodec.decodeBlocks(f.seq)
+        if (f.head == f.tail && fw.length > k - 1) {
+          val core = fw.substring(0, fw.length - (k - 1))
+          val rcCore = core.reverse.map {
+            case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
+          }
+          val m1 = Assembler.minRotation(core)
+          val m2 = Assembler.minRotation(rcCore)
+          val m = if (m1 <= m2) m1 else m2
+          m + m.substring(0, k - 1)
+        } else {
+          val rc = KmerCodec.decodeBlocks(KmerCodec.rcBlocks(f.seq))
+          if (fw <= rc) fw else rc
+        }
+      }
+      .distinct()
+      .filter(c => c.length >= minContig)
+  }
+
+  /** a2: the a1 pipeline in the wide-k regime (k=40 over 64-base docs,
+    * reads = sliding windows len 48 step 8). Same closed-form oracle. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a2_assembly_wide" -> ((s, d) => {
+      import s.implicits._
+      val reads = documents(s, d)
+        .select(Genomics.dna64(col("doc_id")).as("g"))
+        .select(explode(expr("transform(sequence(1, 17, 8), i -> substring(g, i, 48))")).as("read"))
+        .as[String]
+      val counts = reads.flatMap(r => graft.core.KmerIter.canonicalBlocks(r, 40))
+        .toDF("kb").groupBy("kb").count()
+      assemble(counts, 40, minCov = 1, maxIter = 120).toDF("contig")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "a2_assembly_wide" ->
+      """WITH g AS (SELECT translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT')
+        |  || translate(md5(CAST(doc_id AS VARCHAR) || 'x'), '0123456789abcdef', 'ACGTACGTACGTACGT') AS s
+        |  FROM documents)
+        |SELECT DISTINCT least(s, reverse(translate(s, 'ACGT', 'TGCA'))) AS contig FROM g""".stripMargin
+  )
+}

@@ -78,6 +78,17 @@ class AssemblerSpec extends AnyFunSuite {
     KmerIter.canonicalLong(contigs.head, k).foreach(kv => assert(inputKmers.contains(kv)))
   }
 
+  test("wide-k (k=45) assembly reconstructs via the block-key path") {
+    import spark.implicits._
+    val genome = randGenome(500, seed = 47)
+    val rds = reads(genome, 100, 9)
+    val counts = rds.toDS().flatMap(r => graft.core.KmerIter.canonicalBlocks(r, 45))
+      .toDF("kb").groupBy("kb").count()
+    val contigs = AssemblerWide.assemble(counts, 45, minCov = 1, maxIter = 60)
+      .collect().toSeq
+    assert(contigs == Seq(canonStr(genome)))
+  }
+
   test("coverage filter drops error kmers before assembly") {
     val genome = randGenome(300, seed = 37)
     // duplicate true reads 3x, inject one erroneous read once
