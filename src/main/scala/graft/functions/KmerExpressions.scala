@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.{DataType, StringType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.core.KmerCodec
 
@@ -58,7 +58,8 @@ object KmerFns {
 /** `canonical_kmer(str)` — native Catalyst expression with codegen: stays
   * inside WholeStageCodegen instead of breaking the stage like a Scala UDF
   * would (SURVEY §2.7 -> "functions, not UDFs"). */
-case class CanonicalKmer(child: Expression) extends UnaryExpression {
+case class CanonicalKmer(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = "canonical_kmer"
   protected override def nullSafeEval(input: Any): Any =
@@ -70,7 +71,8 @@ case class CanonicalKmer(child: Expression) extends UnaryExpression {
 }
 
 /** `revcomp(str)`. */
-case class ReverseComplement(child: Expression) extends UnaryExpression {
+case class ReverseComplement(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = "revcomp"
   protected override def nullSafeEval(input: Any): Any =
@@ -82,7 +84,8 @@ case class ReverseComplement(child: Expression) extends UnaryExpression {
 }
 
 /** `kmer_pack(str)` -> 2-bit packed Long (-1 sentinel when invalid). */
-case class KmerPack(child: Expression) extends UnaryExpression {
+case class KmerPack(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "kmer_pack"
   protected override def nullSafeEval(input: Any): Any =
@@ -94,7 +97,8 @@ case class KmerPack(child: Expression) extends UnaryExpression {
 }
 
 /** `kmer_unpack(packed, k)` -> ACGT string. */
-case class KmerUnpack(left: Expression, right: Expression) extends BinaryExpression {
+case class KmerUnpack(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
   override def dataType: DataType = StringType
   override def prettyName: String = "kmer_unpack"
   protected override def nullSafeEval(v: Any, k: Any): Any =

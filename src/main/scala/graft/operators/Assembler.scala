@@ -149,7 +149,10 @@ object Assembler {
           val m1 = minRotation(core)
           val m2 = minRotation(rcCore)
           val m = if (m1 <= m2) m1 else m2
-          m + m.substring(0, k - 1)
+          // the k-1 wrap overhang repeats the core cyclically — a cycle
+          // whose core is shorter than k-1 (tandem repeat with period
+          // < k-1, e.g. poly-A) must wrap around the core more than once
+          m + (m * ((k - 2) / m.length + 1)).substring(0, k - 1)
         } else {
           val rc = KmerCodec.decodeBlocks(KmerCodec.rcBlocks(f.seq))
           if (fw <= rc) fw else rc

@@ -116,7 +116,9 @@ object AssemblerWide {
           val m1 = Assembler.minRotation(core)
           val m2 = Assembler.minRotation(rcCore)
           val m = if (m1 <= m2) m1 else m2
-          m + m.substring(0, k - 1)
+          // cyclic wrap: cores shorter than k-1 (period < k-1 tandem
+          // repeats) wrap around the core more than once
+          m + (m * ((k - 2) / m.length + 1)).substring(0, k - 1)
         } else {
           val rc = KmerCodec.decodeBlocks(KmerCodec.rcBlocks(f.seq))
           if (fw <= rc) fw else rc

@@ -24,7 +24,9 @@ object PipeOps {
 
   /** Pipe each partition's lines through `cmd` (stdin -> stdout). A writer
     * thread pumps the input so producer and consumer never deadlock on the
-    * pipe buffer. */
+    * pipe buffer. After stdout drains the subprocess is reaped and a
+    * non-zero exit (or a writer-side IO error) fails the task — silent
+    * truncation must never masquerade as success. */
   def pipePartitions(ds: Dataset[String], cmd: Seq[String]): Dataset[String] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it0 =>
@@ -34,15 +36,30 @@ object PipeOps {
         val proc = new ProcessBuilder(cmd: _*)
           .redirectError(ProcessBuilder.Redirect.INHERIT)
           .start()
+        val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
         val writer = new Thread(() => {
           val w = new PrintWriter(new BufferedWriter(
             new OutputStreamWriter(proc.getOutputStream, UTF_8)))
-          try it.foreach(w.println) finally w.close()
+          try it.foreach(w.println)
+          catch { case t: Throwable => writerErr.set(t) }
+          finally w.close()
         }, "graft-pipe-writer")
         writer.setDaemon(true)
         writer.start()
         val r = new BufferedReader(new InputStreamReader(proc.getInputStream, UTF_8))
-        Iterator.continually(r.readLine()).takeWhile(_ != null)
+        val out = Iterator.continually(r.readLine()).takeWhile(_ != null)
+        def finish(): Iterator[String] = {
+          r.close()
+          writer.join()
+          val rc = proc.waitFor()
+          if (rc != 0)
+            throw new java.io.IOException(s"pipe command '${cmd.head}' exited with $rc")
+          val werr = writerErr.get()
+          if (werr != null)
+            throw new java.io.IOException(s"pipe writer failed for '${cmd.head}'", werr)
+          Iterator.empty
+        }
+        out ++ finish()
       }
     }
   }

@@ -78,6 +78,46 @@ class AssemblerSpec extends AnyFunSuite {
     KmerIter.canonicalLong(contigs.head, k).foreach(kv => assert(inputKmers.contains(kv)))
   }
 
+  /** Expected contig for a De Bruijn cycle with core `core` at k: minimal
+    * rotation over both strands, then a cyclic k-1 wrap (repeats the core
+    * more than once when the period is shorter than k-1). */
+  private def expectedCycle(core: String, k: Int): String = {
+    val rc = rcStr(core)
+    val m = ((0 until core.length).map(i => core.drop(i) + core.take(i)) ++
+      (0 until rc.length).map(i => rc.drop(i) + rc.take(i))).min
+    m + (m * ((k - 2) / m.length + 1)).substring(0, k - 1)
+  }
+
+  test("tandem repeat with period 4 < k-1 assembles without crashing (r2 bench bug)") {
+    // the exact bench-warmup input that crashed round 2: period-4 read, k=21
+    val contigs = assembleFrom(Seq("ACGTACGTACGTACGTACGTACGTACGTACGT"), 21)
+    assert(contigs == Seq(expectedCycle("ACGT", 21)))
+  }
+
+  test("period-3 tandem repeat normalizes deterministically on both strands") {
+    val genome = "ACG" * 20
+    val contigs = assembleFrom(reads(genome, 40, 5), 21)
+    assert(contigs == Seq(expectedCycle("ACG", 21)))
+  }
+
+  test("period k-2 cycle (core one base short of the wrap) is wrapped cyclically") {
+    val k = 21
+    val core = randGenome(k - 2, seed = 53)
+    val genome = core * 6
+    val contigs = assembleFrom(reads(genome, 50, 7), k)
+    assert(contigs == Seq(expectedCycle(core, k)))
+  }
+
+  test("wide-k assembler survives short-period cycles too") {
+    import spark.implicits._
+    val rds = Seq("ACGT" * 16) // period 4, read len 64, k = 40
+    val counts = rds.toDS().flatMap(r => graft.core.KmerIter.canonicalBlocks(r, 40))
+      .toDF("kb").groupBy("kb").count()
+    val contigs = AssemblerWide.assemble(counts, 40, minCov = 1, maxIter = 60)
+      .collect().toSeq
+    assert(contigs == Seq(expectedCycle("ACGT", 40)))
+  }
+
   test("wide-k (k=45) assembly reconstructs via the block-key path") {
     import spark.implicits._
     val genome = randGenome(500, seed = 47)
