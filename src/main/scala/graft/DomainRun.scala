@@ -32,7 +32,14 @@ object DomainRun {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    val reads = Fastq.guardReads(Fastq.fastqSequences(spark, glob), minLen = k)
+    // "file1,file2" runs the paired-end path (mates paired positionally,
+    // then interleaved — the reference's default input mode)
+    val rawReads =
+      if (glob.contains(",")) {
+        val Array(p1, p2) = glob.split(",", 2)
+        Fastq.interleavePairs(Fastq.readPairedFastq(spark, p1, p2))
+      } else Fastq.fastqSequences(spark, glob)
+    val reads = Fastq.guardReads(rawReads, minLen = k)
     val (nReads, tRead) = timed(reads.count())
     val counts = Genomics.countCanonical(reads, k).localCheckpoint()
     val (nKmers, tCount) = timed(counts.count())

@@ -38,7 +38,17 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val reads = Fastq.guardReads(Fastq.fastqSequences(spark, fastq), minLen = k)
+    // Input selection: paired two-file mode (-fastq2, the reference's
+    // `-fastq -paired` default), else single-file with the heuristic
+    // sequence-line filter P2 (no indexing pass — the scale default);
+    // -exact-fastq forces the exact 4-line parser P1.
+    val fastq2 = opt(args, "-fastq2", "")
+    val rawReads =
+      if (fastq2.nonEmpty)
+        Fastq.interleavePairs(Fastq.readPairedFastq(spark, fastq, fastq2))
+      else if (args.contains("-exact-fastq")) Fastq.fastqSequences(spark, fastq)
+      else Fastq.fastqSequencesHeuristic(spark, fastq)
+    val reads = Fastq.guardReads(rawReads, minLen = k)
     cmd match {
       case "counter" =>
         val counts = Genomics.decodeCounts(

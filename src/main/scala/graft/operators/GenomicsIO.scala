@@ -32,6 +32,24 @@ object GenomicsIO {
       val contigs = documents(s, d).select(c.as("contig"))
       Fastq.writeFasta(contigs, tmp)
       Fastq.readFasta(s, tmp).select(col("id"), length(col("seq")).as("len"), col("seq"))
+    }),
+
+    // -- paired-end: two mate files -> positional pairing -> roundtrip ------
+    // mate2 simulates the opposite-strand mate (revcomp of the fragment
+    // end); a correct join keeps each mate1 with ITS mate2 — any off-by-one
+    // in the pairing produces different rows and a hash mismatch.
+    "f5_paired_roundtrip" -> ((s, d) => {
+      val tmp = ioDir(d)
+      // persist so both mate files are written from the SAME row order (the
+      // pairing is positional — the two writes must agree record-for-record)
+      val docs = documents(s, d).select(Genomics.dna32(col("doc_id")).as("g")).persist()
+      val m1 = docs.select(col("g").as("read"))
+      val m2 = docs.select(reverse(translate(col("g"), "ACGT", "TGCA")).as("read"))
+      Fastq.toFastqLines(m1).coalesce(1).write.mode("overwrite").text(s"$tmp/pair1")
+      Fastq.toFastqLines(m2).coalesce(1).write.mode("overwrite").text(s"$tmp/pair2")
+      docs.unpersist()
+      Fastq.readPairedFastq(s, s"$tmp/pair1", s"$tmp/pair2")
+        .select("mate1", "mate2")
     })
   )
 
@@ -46,6 +64,10 @@ object GenomicsIO {
         |  FROM documents)
         |SELECT 'Contig-' || rn || '-' || length(contig) AS id,
         |       length(contig) AS len, contig AS seq
-        |FROM (SELECT contig, ROW_NUMBER() OVER (ORDER BY contig) AS rn FROM c)""".stripMargin
+        |FROM (SELECT contig, ROW_NUMBER() OVER (ORDER BY contig) AS rn FROM c)""".stripMargin,
+    "f5_paired_roundtrip" ->
+      """SELECT translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT') AS mate1,
+        |       reverse(translate(translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT'), 'ACGT', 'TGCA')) AS mate2
+        |FROM documents""".stripMargin
   )
 }

@@ -47,6 +47,28 @@ object Fastq {
     }
   }
 
+  /** P1-paired: two-file paired FASTQ -> (pair_id, mate1, mate2). Mates
+    * pair positionally — record i of file 1 with record i of file 2 — via
+    * an equality join on the record index, which is the same contract as
+    * the reference's ID-sort pairing
+    * (`ReflexivDataFrameDecompresser.java:287`) but stays a distributed
+    * hash join instead of a total sort. */
+  def readPairedFastq(spark: SparkSession, path1: String, path2: String): DataFrame = {
+    import spark.implicits._
+    def mates(p: String) = spark.read.text(p).as[String].rdd.zipWithIndex()
+      .flatMap { case (l, i) => if (i % 4 == 1) Some((i / 4, l)) else None }
+    mates(path1).toDF("pair_id", "mate1")
+      .join(mates(path2).toDF("pair_id", "mate2"), "pair_id")
+  }
+
+  /** Interleave paired mates into a single read stream (the counting and
+    * assembly paths treat mates as independent reads, like the reference's
+    * decompresser output). */
+  def interleavePairs(pairs: DataFrame): Dataset[String] = {
+    import pairs.sparkSession.implicits._
+    pairs.select(explode(array(col("mate1"), col("mate2"))).as("read")).as[String]
+  }
+
   /** P14: read guards — minimum/maximum length, valid leading charset. */
   def guardReads(reads: Dataset[String], minLen: Int, maxLen: Int = 600): Dataset[String] =
     reads.filter(r => r.length >= minLen && r.length < maxLen &&

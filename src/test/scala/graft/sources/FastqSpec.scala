@@ -44,6 +44,24 @@ class FastqSpec extends AnyFunSuite {
     assert(back.head._1 == "Contig-1-250") // sorted order: A^250 first
   }
 
+  test("paired FASTQ pairs mates positionally and interleaves") {
+    import spark.implicits._
+    val m1 = Seq.tabulate(30)(i => "ACGT" * 6 + "AC" + "GT" * (i % 5))
+    val m2 = m1.map(_.reverse.map {
+      case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
+    })
+    val dir = tmpDir()
+    Fastq.toFastqLines(m1.toDF("read")).coalesce(1).write.mode("overwrite").text(s"$dir/p1")
+    Fastq.toFastqLines(m2.toDF("read")).coalesce(1).write.mode("overwrite").text(s"$dir/p2")
+    val pairs = Fastq.readPairedFastq(spark, s"$dir/p1", s"$dir/p2")
+      .orderBy("pair_id").select("mate1", "mate2").as[(String, String)].collect().toSeq
+    assert(pairs == m1.zip(m2))
+    val inter = Fastq.interleavePairs(
+      Fastq.readPairedFastq(spark, s"$dir/p1", s"$dir/p2"))
+      .collect().toSeq.sorted
+    assert(inter == (m1 ++ m2).sorted)
+  }
+
   test("StageRunner resumes completed stages and recomputes missing ones") {
     import spark.implicits._
     val root = tmpDir() + "/stages"

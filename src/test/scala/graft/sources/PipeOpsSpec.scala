@@ -14,6 +14,16 @@ class PipeOpsSpec extends AnyFunSuite {
     assert(out == Seq("AATT", "CCGG", "TGCA")) // complement, not reversed
   }
 
+  test("a failing subprocess fails the task instead of truncating silently") {
+    import spark.implicits._
+    val in = Seq("a", "b", "c").toDS().repartition(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      PipeOps.pipePartitions(in, Seq("false")).collect()
+    }
+    assert(ex.getMessage.contains("exited with") ||
+      Option(ex.getCause).exists(_.getMessage.contains("exited with")))
+  }
+
   test("availability probe distinguishes present and missing binaries") {
     assert(PipeOps.available("cat"))
     assert(!PipeOps.available("definitely-not-a-real-binary-xyz"))
