@@ -31,11 +31,21 @@ class PipelinesSpec extends AnyFunSuite {
     assert(first.contains(canonStr(genome)),
       s"final contigs (${first.map(_.length)}) should contain the genome")
 
-    // every stage checkpointed
+    // every stage checkpointed: one multi-k count scan, then a reduced
+    // interchange + contigs per k (the reference's `reduce` protocol)
     val runner = new StageRunner(spark, work)
+    assert(runner.isComplete("count_multik"))
     kList.foreach { k =>
-      assert(runner.isComplete(s"count_k$k") && runner.isComplete(s"contigs_k$k"))
+      assert(runner.isComplete(s"count_k${k}_reduced") &&
+        runner.isComplete(s"contigs_k$k"))
     }
+    // the k=21 round consumed the materialized reduced table, and the
+    // reduced table is read-counts + only novel contig-bridged k-mers
+    // (never larger than a full recount of reads ∪ contigs)
+    val reduced21 = spark.read.parquet(s"$work/count_k21_reduced")
+    val full21 = Genomics.countCanonical(
+      reads.toDS().unionAll(spark.read.parquet(s"$work/contigs_k15").as[String]), 21)
+    assert(reduced21.count() <= full21.count())
 
     // resumed re-run: identical result, stages untouched
     val second = Pipelines.dynamicAssembly(spark, reads.toDS(), kList, work)
