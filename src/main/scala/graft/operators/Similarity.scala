@@ -7,22 +7,51 @@ import graft.Tables._
 
 /** Similarity search over the embedding column (`Array[Float]`).
   *
-  * Two paths, mirroring what a 100 TB pipeline needs:
+  * Three paths, mirroring what a 100 TB pipeline needs:
   *  - s1: brute-force cosine top-k for a bounded QUERY SET against the full
-  *    corpus — the correctness baseline. The query side is tiny and
-  *    broadcast, so the "cross join" is a broadcast nested loop, never a
-  *    shuffle cartesian.
-  *  - s2: bucketed ANN: vectors are hashed to a 8-bit sign bucket
-  *    (hyperplane LSH with standard-basis planes — pure float sign tests,
-  *    no arithmetic, so the oracle is bit-exact), then top-k runs within
-  *    buckets only. This is the shape that survives scale: an equi-join on
-  *    the bucket id.
+  *    corpus — the correctness baseline. The query side is capped in
+  *    ABSOLUTE size (not a corpus fraction) and broadcast, so the "cross
+  *    join" is a broadcast nested loop of fixed width, never a shuffle
+  *    cartesian — the broadcast stays constant as the corpus grows.
+  *  - s2: banded hyperplane LSH (the same band/bucket shape Dedup uses for
+  *    MinHash): `bands` independent hash tables, each keyed by
+  *    `bitsPerBand` sign tests on disjoint dimensions (standard-basis
+  *    hyperplanes — pure float sign tests, no arithmetic, so the oracle is
+  *    bit-exact). Candidates = pairs sharing ANY band's bucket, deduped
+  *    BEFORE the (expensive) cosine; top-k runs over candidates only.
+  *    Scale story: expected bucket occupancy is n / 2^bitsPerBand, so the
+  *    caller grows `bitsPerBand` with log2(n) to keep in-bucket self-join
+  *    cells bounded while `bands` independently buys recall — there is no
+  *    fixed 2^8-cell table to go quadratic at 100×.
+  *  - s5: IVF with a FIXED-size coarse quantizer (absolute centroid cap):
+  *    the broadcast and the n×C assignment cost grow linearly in n, never
+  *    superlinearly.
   *
   * Dot products fold sequentially over the array (`aggregate`/`zip_with`),
   * matching DuckDB's `list_dot_product` element order; scores are emitted
   * rounded to 4 decimals.
   */
 object Similarity {
+
+  /** Banded sign-LSH parameters for the s2 query instance. At this corpus
+    * size (500-2k vectors) 8 bits/band gives ~n/256 per bucket; at 100×
+    * pass bitsPerBand ≈ log2(n / targetBucket) (e.g. 18 bits for 50M
+    * vectors and ~200-vector buckets) — recall is then recovered by adding
+    * bands, not by letting cells grow. */
+  val Bands = 4
+  val BitsPerBand = 8
+
+  /** Sign-bit hash of dims [band*bits, band*bits+bits) (1-based array). */
+  private def bandHash(emb: Column, band: Int, bits: Int): Column =
+    (0 until bits).map(j =>
+      when(element_at(emb, band * bits + j + 1) >= 0f, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** (vec_id, band, h): one row per band per vector — the LSH tables. */
+  private def bandTable(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), explode(array((0 until Bands).map(b =>
+      struct(lit(b).as("band"), bandHash(col("embedding"), b, BitsPerBand).as("h"))): _*)).as("bh"))
+      .select(col("vec_id"), col("bh.band").as("band"), col("bh.h").as("h"))
 
   /** Double-precision view of the embedding + its squared norm. */
   private def vecs(s: SparkSession, d: String): DataFrame = {
@@ -43,10 +72,12 @@ object Similarity {
       .reduce(_ + _)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // -- brute-force cosine top-5 for the query set (vec_id % 50 == 0) -----
+    // -- brute-force cosine top-5 for the query set (vec_id % 50 == 0,
+    // absolutely capped at vec_id < 5000 so the broadcast stays <=100
+    // queries no matter how large the corpus grows) -------------------------
     "s1_knn_brute" -> ((s, d) => {
       val all = vecs(s, d)
-      val q = all.filter(col("vec_id") % 50 === 0)
+      val q = all.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
       val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .withColumn("c", dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
@@ -57,16 +88,21 @@ object Similarity {
           round(col("c"), 4).as("score"))
     }),
 
-    // -- bucketed ANN: equi-join on sign bucket, top-3 within bucket -------
+    // -- banded-LSH ANN: candidates from ANY of `Bands` sign-hash tables,
+    // deduped before scoring; cosine + top-3 over candidates only ----------
     "s2_knn_bucket" -> ((s, d) => {
-      val all = embeddings(s, d)
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"),
-          bucketOf(col("embedding")).as("bkt"))
-        .withColumn("n2", dot(col("v"), col("v")))
-      val r = all.select(col("bkt").as("bkt2"), col("vec_id").as("neighbor"),
-        col("v").as("v2"), col("n2").as("m2"))
+      val base = embeddings(s, d)
+      val all = vecs(s, d)
+      val bt = bandTable(base)
+      val cand = bt.join(
+        bt.select(col("band").as("band2"), col("h").as("h2"), col("vec_id").as("neighbor")),
+        col("band") === col("band2") && col("h") === col("h2") &&
+          col("vec_id") =!= col("neighbor"))
+        .select("vec_id", "neighbor").distinct()
       val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("neighbor"))
-      all.join(r, col("bkt") === col("bkt2") && col("vec_id") =!= col("neighbor"))
+      cand.join(all, "vec_id")
+        .join(all.select(col("vec_id").as("neighbor"), col("v").as("v2"), col("n2").as("m2")),
+          "neighbor")
         .withColumn("c", dot(col("v"), col("v2")) / sqrt(col("n2") * col("m2")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
@@ -91,12 +127,13 @@ object Similarity {
     }),
 
     // -- IVF ANN: coarse quantizer (broadcast centroids) + in-cell search --
-    // centroids = deterministic subset (vec_id % 97 == 0); every vector is
-    // assigned to its nearest centroid (argmax cosine, centroid-id
-    // tie-break), queries search only their own cell (nprobe=1)
+    // centroids = FIXED-size deterministic set (first 32 vec_ids — an
+    // absolute cap, so the broadcast and the n×C assignment stay linear in
+    // n); every vector is assigned to its nearest centroid (argmax cosine,
+    // centroid-id tie-break), queries search only their own cell (nprobe=1)
     "s5_ivf_ann" -> ((s, d) => {
       val all = vecs(s, d)
-      val cents = all.filter(col("vec_id") % 97 === 0)
+      val cents = all.filter(col("vec_id") < 32)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("cc").desc, col("cid"))
@@ -105,7 +142,7 @@ object Similarity {
         .withColumn("arn", row_number().over(wAssign))
         .filter(col("arn") === 1)
         .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
-      val q = assigned.filter(col("vec_id") % 50 === 0)
+      val q = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("n2").as("qn2"), col("cell"))
       val wTop = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
@@ -132,11 +169,22 @@ object Similarity {
     .map(j => s"CASE WHEN embedding[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END")
     .mkString(" + ")
 
+  /** SQL twin of [[bandHash]] for band `b`. */
+  private def sqlBandHash(b: Int): String = (0 until BitsPerBand)
+    .map(j => s"CASE WHEN embedding[${b * BitsPerBand + j + 1}] >= 0 THEN ${1 << j} ELSE 0 END")
+    .mkString(" + ")
+
+  /** SQL twin of [[bandTable]]: one SELECT per band, UNION ALL. */
+  private val sqlBands = (0 until Bands)
+    .map(b => s"SELECT vec_id, $b AS band, ${sqlBandHash(b)} AS h FROM embeddings")
+    .mkString("\nUNION ALL\n")
+
   def oracles: Map[String, String] = Map(
     "s1_knn_brute" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
-        |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id % 50 = 0),
+        |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n
+        |      WHERE vec_id % 50 = 0 AND vec_id < 5000),
         |sc AS (SELECT q_id, vec_id AS neighbor,
         |         list_dot_product(qv, v) / sqrt(qn2 * n2) AS c
         |       FROM q, n WHERE vec_id <> q_id),
@@ -145,11 +193,17 @@ object Similarity {
         |      FROM sc)
         |SELECT q_id, neighbor, rnk, round(c, 4) AS score FROM r WHERE rnk <= 5""".stripMargin,
     "s2_knn_bucket" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, $sqlBucket AS bkt FROM embeddings),
-         |n AS (SELECT vec_id, v, bkt, list_dot_product(v, v) AS n2 FROM e),
-         |sc AS (SELECT a.vec_id, b.vec_id AS neighbor,
-         |         list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) AS c
-         |       FROM n a JOIN n b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+         |bands AS (
+         |$sqlBands),
+         |cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS neighbor
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.h = b.h AND a.vec_id <> b.vec_id),
+         |sc AS (SELECT c.vec_id, c.neighbor,
+         |         list_dot_product(x.v, y.v) / sqrt(x.n2 * y.n2) AS c
+         |       FROM cand c JOIN n x ON x.vec_id = c.vec_id
+         |                   JOIN n y ON y.vec_id = c.neighbor),
          |r AS (SELECT vec_id, neighbor, c,
          |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, neighbor) AS rnk
          |      FROM sc)
@@ -168,7 +222,7 @@ object Similarity {
     "s5_ivf_ann" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
-        |cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 97 = 0),
+        |cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 32),
         |assigned AS (
         |  SELECT vec_id, v, n2, cid AS cell FROM (
         |    SELECT n.vec_id, n.v, n.n2, c.cid,
@@ -176,7 +230,7 @@ object Similarity {
         |        ORDER BY list_dot_product(n.v, c.cv) / sqrt(n.n2 * c.cn2) DESC, c.cid) AS arn
         |    FROM n CROSS JOIN cents c) WHERE arn = 1),
         |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cell
-        |      FROM assigned WHERE vec_id % 50 = 0),
+        |      FROM assigned WHERE vec_id % 50 = 0 AND vec_id < 5000),
         |sc AS (SELECT q.q_id, a.vec_id AS neighbor,
         |         list_dot_product(q.qv, a.v) / sqrt(q.qn2 * a.n2) AS c
         |       FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.q_id),
