@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.core.KmerCodec
+import graft.sources.StageRunner
 
 /** The assembly core: the reference's "Reflexible Distributed K-mer" loop
   * (`ReflexivDSMain.java:3011-3368` extension merge, `:3369-3618` fork
@@ -95,29 +96,60 @@ object Assembler {
 
   /** Full single-k assembly from canonical k-mer counts `(kv: Long, count)`.
     * Returns canonical contig strings (each unitig assembles on both
-    * strands; keep min(contig, rc) once). */
+    * strands; keep min(contig, rc) once).
+    *
+    * `ckptDir`: when set, probe-point fragment snapshots are written to
+    * reliable storage (round-tagged Parquet via [[graft.sources.StageRunner]])
+    * instead of `localCheckpoint` — on a real cluster a lost executor after
+    * round 50 recomputes from the last durable round, and a restarted
+    * driver RESUMES the contraction at the latest completed round (the
+    * per-round coins are hashes of (endpoints, round), so a resumed run is
+    * bit-identical to an uninterrupted one). `None` keeps the cheap
+    * memory-local truncation for short interactive runs. */
   def assemble(counts: DataFrame, k: Int, minCov: Int = 1, maxIter: Int = 60,
-               probeEvery: Int = 3, minContig: Int = 0): Dataset[String] = {
+               probeEvery: Int = 3, minContig: Int = 0,
+               ckptDir: Option[String] = None): Dataset[String] = {
     val s = counts.sparkSession
     import s.implicits._
     val mask = (1L << (2 * (k - 1))) - 1
-    val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k)
+    val runner = ckptDir.map(new StageRunner(s, _))
+    val resumeIter = runner.toSeq.flatMap(_.completed("frags_i"))
+      .map(_.stripPrefix("frags_i").toInt).maxOption
     // checkpoint the seed fragments: without this, every round before the
-    // first probe re-executes the whole count+fork-filter lineage
-    var frags: Dataset[Frag] = edges.select("kmer").as[Long]
-      .map(kv => Frag(kv >>> 2, kv & mask, KmerCodec.longToBlocks(kv, k)))
-      .localCheckpoint()
+    // first probe re-executes the whole count+fork-filter lineage. (On
+    // resume the seed lineage is never built, let alone executed.)
+    def seed(): Dataset[Frag] = {
+      val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k)
+      edges.select("kmer").as[Long]
+        .map(kv => Frag(kv >>> 2, kv & mask, KmerCodec.longToBlocks(kv, k)))
+    }
+    def durable(name: String, ds: => Dataset[Frag]): Dataset[Frag] =
+      runner.get.stage(name)(ds.toDF()).as[Frag]
+    var frags: Dataset[Frag] = (runner, resumeIter) match {
+      case (Some(_), Some(i)) => durable(s"frags_i$i", sys.error("resume never recomputes"))
+      case (Some(_), None)    => durable("frags_i0", seed())
+      case _                  => seed().localCheckpoint()
+    }
     var lastCkpt: Dataset[Frag] = frags
     var lastCount = -1L
-    var iter = 0
+    var iter = resumeIter.getOrElse(0)
     var done = false
     while (iter < maxIter && !done) {
       frags = mergeRound(frags, k, iter)
       iter += 1
       if (iter % probeEvery == 0) {
-        val ckpt = frags.localCheckpoint()
-        if (lastCkpt != null) lastCkpt.unpersist()
-        lastCkpt = ckpt
+        val ckpt = runner match {
+          case Some(r) =>
+            val name = s"frags_i$iter"
+            val df = durable(name, frags)
+            r.completed("frags_i").filterNot(_ == name).foreach(r.clean)
+            df
+          case None =>
+            val c = frags.localCheckpoint()
+            if (lastCkpt != null) lastCkpt.unpersist()
+            lastCkpt = c
+            c
+        }
         frags = ckpt
         // Two-tier convergence probe (A4, made exact): merges strictly
         // shrink the count, so a changed count means "not done" without

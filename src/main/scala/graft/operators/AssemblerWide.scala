@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.core.KmerCodec
+import graft.sources.StageRunner
 
 /** Wide-k assembly (k > 32): the same fork-filter + randomized-contraction
   * algorithm as [[Assembler]], with (k-1)-mer endpoint keys as strings and
@@ -74,27 +75,49 @@ object AssemblerWide {
 
   /** Wide-k assembly from block-encoded canonical counts. Same contract as
     * [[Assembler.assemble]] (exact two-tier convergence probe, cycle
-    * normalization via minimal rotation). */
+    * normalization via minimal rotation, durable round checkpoints +
+    * restart-resume when `ckptDir` is set). */
   def assemble(counts: DataFrame, k: Int, minCov: Int = 1, maxIter: Int = 60,
-               probeEvery: Int = 3, minContig: Int = 0): Dataset[String] = {
+               probeEvery: Int = 3, minContig: Int = 0,
+               ckptDir: Option[String] = None): Dataset[String] = {
     val s = counts.sparkSession
     import s.implicits._
-    val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k)
-    var frags: Dataset[FragW] = edges.select("kmer").as[String]
-      .map(km => FragW(km.substring(0, k - 1), km.substring(1),
-        KmerCodec.encodeBlocks(km)))
-      .localCheckpoint()
+    val runner = ckptDir.map(new StageRunner(s, _))
+    val resumeIter = runner.toSeq.flatMap(_.completed("frags_i"))
+      .map(_.stripPrefix("frags_i").toInt).maxOption
+    def seed(): Dataset[FragW] = {
+      val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k)
+      edges.select("kmer").as[String]
+        .map(km => FragW(km.substring(0, k - 1), km.substring(1),
+          KmerCodec.encodeBlocks(km)))
+    }
+    def durable(name: String, ds: => Dataset[FragW]): Dataset[FragW] =
+      runner.get.stage(name)(ds.toDF()).as[FragW]
+    var frags: Dataset[FragW] = (runner, resumeIter) match {
+      case (Some(_), Some(i)) => durable(s"frags_i$i", sys.error("resume never recomputes"))
+      case (Some(_), None)    => durable("frags_i0", seed())
+      case _                  => seed().localCheckpoint()
+    }
     var lastCkpt: Dataset[FragW] = frags
     var lastCount = -1L
-    var iter = 0
+    var iter = resumeIter.getOrElse(0)
     var done = false
     while (iter < maxIter && !done) {
       frags = mergeRound(frags, k, iter)
       iter += 1
       if (iter % probeEvery == 0) {
-        val ckpt = frags.localCheckpoint()
-        if (lastCkpt != null) lastCkpt.unpersist()
-        lastCkpt = ckpt
+        val ckpt = runner match {
+          case Some(r) =>
+            val name = s"frags_i$iter"
+            val df = durable(name, frags)
+            r.completed("frags_i").filterNot(_ == name).foreach(r.clean)
+            df
+          case None =>
+            val c = frags.localCheckpoint()
+            if (lastCkpt != null) lastCkpt.unpersist()
+            lastCkpt = c
+            c
+        }
         frags = ckpt
         val n = ckpt.count()
         if (n == lastCount) {

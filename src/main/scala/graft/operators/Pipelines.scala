@@ -60,16 +60,21 @@ object Pipelines {
           .join(fromReads.select("kb"), Seq("kb"), "left_anti")
         fromReads.unionAll(bridge)
       }
+      // the in-round contraction checkpoints durably under the work dir
+      // (restart-resume mid-assembly); the scratch is dropped once the
+      // round's contigs stage has landed
+      val ckpt = Some(s"$workDir/assemble_k$k")
       contigs = runner.stage(s"contigs_k$k") {
         val out =
           if (k <= 31) {
             val longCounts = reduced.as[(Array[Long], Long)]
               .map { case (kb, c) => (KmerCodec.blocksPrefixLong(kb, k), c) }
               .toDF("kv", "count")
-            Assembler.assemble(longCounts, k, minCov = 1)
-          } else AssemblerWide.assemble(reduced, k, minCov = 1)
+            Assembler.assemble(longCounts, k, minCov = 1, ckptDir = ckpt)
+          } else AssemblerWide.assemble(reduced, k, minCov = 1, ckptDir = ckpt)
         out.toDF("contig")
       }.select(col("contig")).as[String]
+      runner.clean(s"assemble_k$k")
     }
     contigs.filter((c: String) => c.length >= minContig)
   }

@@ -31,6 +31,15 @@ final class StageRunner(spark: SparkSession, rootDir: String) {
     spark.read.parquet(p.toString)
   }
 
+  /** Names of COMPLETED stages whose name starts with `prefix` — lets an
+    * iterative operator find its latest durable snapshot after a restart. */
+  def completed(prefix: String): Seq[String] = {
+    val root = new Path(rootDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && isComplete(n))
+  }
+
   /** Delete a consumed stage directory (disk-space management between
     * dynamic-k rounds, per the reference's cleanup pass). */
   def clean(name: String): Unit = {

@@ -58,4 +58,31 @@ class PipelinesSpec extends AnyFunSuite {
       .collect().toSet
     assert(third == first)
   }
+
+  test("assembler resumes mid-contraction from durable round checkpoints") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    val genome = randGenome(600, seed = 7)
+    val reads = ((0 to 540 by 6) :+ 540).distinct.map(i => genome.substring(i, i + 60))
+    val counts = Genomics.countCanonical(reads.toDS(), 21)
+    val full = Assembler.assemble(counts, 21, maxIter = 120).collect().toSet
+    assert(full.contains(canonStr(genome)))
+
+    // "crash" after two contraction rounds: durable snapshots exist, the
+    // contraction is incomplete
+    val ckpt = Files.createTempDirectory("graft_ackpt").toString
+    Assembler.assemble(counts, 21, maxIter = 2, probeEvery = 1,
+      ckptDir = Some(ckpt)).collect()
+    assert(new StageRunner(spark, ckpt).completed("frags_i").nonEmpty)
+
+    // resume with a POISONED counts table: if the restart ever re-derived
+    // the seed fragments (instead of reading the durable round), this blows
+    // up — proving the resume recomputes nothing upstream
+    val boom = udf((x: Long) => { sys.error("seed recomputed on resume"); x })
+    val poisoned = counts.select(boom(col(counts.columns.head)).as(counts.columns.head),
+      col(counts.columns.last))
+    val resumed = Assembler.assemble(poisoned, 21, maxIter = 120,
+      ckptDir = Some(ckpt)).collect().toSet
+    assert(resumed == full)
+  }
 }
