@@ -1,75 +1,184 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Assembler, Genomics, Pipelines}
+import graft.operators.{Assembler, AssemblerWide, Dynamic, Genomics, Patching, Pipelines, Rescue}
 import graft.sources.Fastq
 
-/** CLI surface mirroring the reference's subcommands (`bin/reflexiv`):
+/** CLI surface mirroring the reference's subcommands and option set
+  * (`bin/reflexiv`; options `Parameter.java:68-147`, defaults
+  * `DefaultParam.java:54-145`):
   *
   * {{{
-  * runMain graft.Main counter -fastq <glob> -kmer 31 -cover 2 -outfile <dir>
-  * runMain graft.Main run     -fastq <glob> -kmer 31 -cover 2 -outfile <dir>
-  * runMain graft.Main meta    -fastq <glob> -klist 21,31,41 -outfile <dir>
+  * runMain graft.Main counter    -fastq <glob> -kmer 31 -cover 2 -outfile <dir>
+  * runMain graft.Main run        -fastq <glob> -kmer 31 -cover 2 -outfile <dir>
+  * runMain graft.Main meta       -fastq <glob> -klist 23,31,41,... -outfile <dir>
+  * runMain graft.Main reassemble -contig <fasta> -fastq <glob> -outfile <dir>
+  * runMain graft.Main mercy      -fastq <glob> -kmer 31 -cover 2 -outfile <dir>
+  * runMain graft.Main merger     -contig <fasta> -overlap 30 -outfile <dir>
+  * runMain graft.Main stitch     -fastq <glob> -kmer 31 -outfile <dir>
+  * runMain graft.Main reduce     -kmerc1 <csv> -kmerc2 <csv> -outfile <dir>
   * }}}
   *
-  * `counter` writes a `(kmer,count)` table; `run` writes contig FASTA;
-  * `meta` runs the staged dynamic-k pipeline with `_SUCCESS` resume under
-  * `<outfile>/stages` and writes the final FASTA.
+  * Input options: `-fastq <glob>` reads (heuristic line filter by default;
+  * `-exact-fastq` forces the 4-line parser); `-fastq2 <glob>` mate-2 file
+  * (two-file paired mode); `-inter` marks the input as interleaved paired
+  * (consumed as a single stream — pairing carries no extra signal for
+  * k-mer counting); `-fasta <glob>` FASTA reads; `-contig <fasta>`
+  * existing contigs (reassemble/merger); `-kmerc <csv>` a pre-counted
+  * `(kmer,count)` table replacing the counting stage of `run`;
+  * `-reads N` caps the number of input reads.
+  *
+  * Tuning options (reference defaults): `-kmer 31`, `-klist
+  * 23,31,41,53,67,81,95`, `-cover 2` (min k-mer coverage), `-maxcov
+  * 10000000` (max k-mer coverage — repeats/contamination clamp),
+  * `-clipf/-clipe 0` (clip N bases off read front/end), `-minlength k`
+  * (min read length), `-mincontig 500`, `-maxiter 150` (contraction-round
+  * cap), `-overlap k-1` (merger splice overlap), `-bubble` (DISABLE
+  * bubble popping, as in the reference: forks are then left unresolved
+  * and both arms surface as separate contigs), `-gzip` (gzip the CSV
+  * sink), `-partition N` (repartition the input reads), `-partitionredu N`
+  * (shuffle partitions).
   */
 object Main {
   private def opt(args: Array[String], name: String, dflt: String): String =
     args.sliding(2).collectFirst { case Array(`name`, v) => v }.getOrElse(dflt)
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.Main <counter|run|meta> [options]")
+    require(args.nonEmpty,
+      "usage: graft.Main <counter|run|meta|reassemble|mercy|merger|stitch|reduce> [options]")
     val cmd = args.head
     val fastq = opt(args, "-fastq", "/root/reference/example/*.fq.gz")
     val out = opt(args, "-outfile", "/root/repo/target/graft_cli_out")
     val k = opt(args, "-kmer", "31").toInt
     val minCov = opt(args, "-cover", "2").toInt
-    val minContig = opt(args, "-mincontig", (2 * k).toString).toInt
+    val maxCov = opt(args, "-maxcov", "10000000").toLong
+    val minContig = opt(args, "-mincontig", "500").toInt
+    val maxIter = opt(args, "-maxiter", "150").toInt
+    val clipF = opt(args, "-clipf", "0").toInt
+    val clipE = opt(args, "-clipe", "0").toInt
+    val minLen = opt(args, "-minlength", k.toString).toInt
+    val readLimit = opt(args, "-reads", "0").toLong
+    val partitions = opt(args, "-partition", "0").toInt
+    val popBubbles = !args.contains("-bubble")
+    val gzip = args.contains("-gzip")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shufflePart = opt(args, "-partitionredu", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePart)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // Input selection: paired two-file mode (-fastq2, the reference's
-    // `-fastq -paired` default), else single-file with the heuristic
-    // sequence-line filter P2 (no indexing pass — the scale default);
-    // -exact-fastq forces the exact 4-line parser P1.
-    val fastq2 = opt(args, "-fastq2", "")
-    val rawReads =
-      if (fastq2.nonEmpty)
-        Fastq.interleavePairs(Fastq.readPairedFastq(spark, fastq, fastq2))
-      else if (args.contains("-exact-fastq")) Fastq.fastqSequences(spark, fastq)
-      else Fastq.fastqSequencesHeuristic(spark, fastq)
-    val reads = Fastq.guardReads(rawReads, minLen = k)
+    /** Read stream: paired two-file / FASTA / single FASTQ, then the
+      * clip → length-guard → limit → repartition ladder. Built lazily so
+      * subcommands that take no reads (merger, reduce) never scan it. */
+    def reads: Dataset[String] = {
+      val fastq2 = opt(args, "-fastq2", "")
+      val fasta = opt(args, "-fasta", "")
+      val raw =
+        if (fastq2.nonEmpty)
+          Fastq.interleavePairs(Fastq.readPairedFastq(spark, fastq, fastq2))
+        else if (fasta.nonEmpty)
+          Fastq.readFasta(spark, fasta).select("seq").as[String]
+        else if (args.contains("-exact-fastq")) Fastq.fastqSequences(spark, fastq)
+        else Fastq.fastqSequencesHeuristic(spark, fastq)
+      val clipped =
+        if (clipF > 0 || clipE > 0)
+          raw.map(r => r.substring(clipF.min(r.length), (r.length - clipE).max(clipF.min(r.length))))
+        else raw
+      val guarded = Fastq.guardReads(clipped, minLen = minLen)
+      val limited = if (readLimit > 0) guarded.limit(readLimit.toInt) else guarded
+      if (partitions > 0) limited.repartition(partitions) else limited
+    }
+
+    /** Counting + assembly dispatch on k (packed-Long vs wide-block),
+      * honoring `-kmerc` (pre-counted table skips the counting stage). */
+    def assembleReads(kk: Int): Dataset[String] = {
+      val kmerc = opt(args, "-kmerc", "")
+      if (kk <= 31) {
+        graft.functions.GraftFunctions.register(spark)
+        val counts =
+          if (kmerc.nonEmpty)
+            spark.read.schema("kmer STRING, count BIGINT").csv(kmerc)
+              .selectExpr("kmer_pack(kmer) AS kv", "count")
+          else Genomics.countCanonical(reads, kk)
+        Assembler.assemble(counts.filter(col("count") <= maxCov), kk,
+          minCov = minCov, maxIter = maxIter, minContig = minContig,
+          popBubbles = popBubbles)
+      } else {
+        val counts =
+          if (kmerc.nonEmpty)
+            spark.read.schema("kmer STRING, count BIGINT").csv(kmerc)
+              .as[(String, Long)]
+              .map { case (km, c) => (graft.core.KmerCodec.encodeBlocks(km), c) }
+              .toDF("kb", "count")
+          else reads.flatMap(r => graft.core.KmerIter.canonicalBlocks(r, kk))
+            .toDF("kb").groupBy("kb").count()
+        AssemblerWide.assemble(counts.filter(col("count") <= maxCov), kk,
+          minCov = minCov, maxIter = maxIter, minContig = minContig,
+          popBubbles = popBubbles)
+      }
+    }
+
+    def contigInput(): Dataset[String] = {
+      val path = opt(args, "-contig", "")
+      require(path.nonEmpty, s"$cmd requires -contig <fasta>")
+      Fastq.readFasta(spark, path).select("seq").as[String]
+    }
+
     cmd match {
       case "counter" =>
         val counts = Genomics.decodeCounts(
           Genomics.countCanonical(reads, k)
-            .filter(col("count") >= minCov), k)
-        Fastq.writeCsv(counts, s"$out/Count_$k")
+            .filter(col("count").between(minCov, maxCov)), k)
+        Fastq.writeCsv(counts, s"$out/Count_$k", gzip = gzip)
         println(s"[graft] counter: wrote $out/Count_$k")
       case "run" =>
-        val contigs = Assembler.assemble(
-          Genomics.countCanonical(reads, k), k,
-          minCov = minCov, minContig = minContig).toDF("contig")
-        Fastq.writeFasta(contigs, s"$out/Assembly")
+        Fastq.writeFasta(assembleReads(k).toDF("contig"), s"$out/Assembly")
         println(s"[graft] run: wrote $out/Assembly")
       case "meta" =>
-        val kList = opt(args, "-klist", "21,31,41").split(",").map(_.trim.toInt).toSeq
+        val kList = opt(args, "-klist", "23,31,41,53,67,81,95")
+          .split(",").map(_.trim.toInt).toSeq
         val contigs = Pipelines.dynamicAssembly(
           spark, reads, kList, s"$out/stages", minCov = 1, minContig = minContig)
-        Fastq.writeFasta(contigs.toDF("contig"), s"$out/Assembly", seqCol = "contig")
+        Fastq.writeFasta(contigs.toDF("contig"), s"$out/Assembly")
         println(s"[graft] meta: wrote $out/Assembly (stages under $out/stages)")
+      case "reassemble" =>
+        val contigs = Pipelines.reassemble(spark, contigInput(), reads, k,
+          minCov = minCov, minContig = minContig)
+        Fastq.writeFasta(contigs.toDF("contig"), s"$out/Assembly")
+        println(s"[graft] reassemble: wrote $out/Assembly")
+      case "mercy" =>
+        val rescued = Rescue.mercyKmers(reads, k, solidCov = minCov)
+        Fastq.writeCsv(rescued, s"$out/Mercy_$k", gzip = gzip)
+        println(s"[graft] mercy: wrote $out/Mercy_$k")
+      case "merger" =>
+        val overlap = opt(args, "-overlap", (k - 1).toString).toInt
+        val merged = Rescue.overlapMergeContigs(contigInput(), overlap)
+        Fastq.writeFasta(merged.toDF("contig"), s"$out/Assembly")
+        println(s"[graft] merger: wrote $out/Assembly")
+      case "stitch" =>
+        val stitched = Patching.stitchReads(reads, k, strictCov = minCov)
+        Fastq.writeFasta(stitched, s"$out/Assembly", seqCol = "contig")
+        println(s"[graft] stitch: wrote $out/Assembly")
+      case "reduce" =>
+        val p1 = opt(args, "-kmerc1", "")
+        val p2 = opt(args, "-kmerc2", "")
+        require(p1.nonEmpty && p2.nonEmpty, "reduce requires -kmerc1 and -kmerc2")
+        def load(p: String) = spark.read.schema("kmer STRING, count BIGINT").csv(p)
+        val (shortT, longT) = (load(p1), load(p2))
+        // k sizes live in the tables themselves (fixed-width k-mer strings)
+        val k1 = shortT.select(length(col("kmer"))).as[Int].head()
+        val k2 = longT.select(length(col("kmer"))).as[Int].head()
+        val reduced = Dynamic.reduceCounts(shortT, longT, k1, k2)
+        Fastq.writeCsv(reduced, s"$out/Count_${k1}_reduced", gzip = gzip)
+        println(s"[graft] reduce: wrote $out/Count_${k1}_reduced (k1=$k1 k2=$k2)")
       case other =>
-        sys.error(s"unknown subcommand '$other' (counter|run|meta)")
+        sys.error(s"unknown subcommand '$other' " +
+          "(counter|run|meta|reassemble|mercy|merger|stitch|reduce)")
     }
     spark.stop()
   }

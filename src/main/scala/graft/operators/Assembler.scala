@@ -48,9 +48,17 @@ object Assembler {
   }
 
   /** P6 + J2: RC-mirror the canonical counts, then fork-filter so every
-    * (k-1)-mer node keeps at most one out- and one in-edge (max coverage,
-    * ties broken by k-mer binary order — deterministic). */
-  def forkFilteredEdges(counts: DataFrame, k: Int): DataFrame = {
+    * (k-1)-mer node keeps at most one out- and one in-edge.
+    *
+    * `popBubbles` (default, the reference's behavior) resolves each fork by
+    * keeping the max-coverage edge (ties broken by k-mer binary order —
+    * deterministic): bubbles and tips merge into the heavier path. With
+    * `popBubbles = false` (the reference's `-bubble` flag: "set to NOT
+    * remove bubbles") forks are left unresolved — only unambiguous edges
+    * survive, so contraction stops at every fork and both bubble arms are
+    * reported as separate contigs. */
+  def forkFilteredEdges(counts: DataFrame, k: Int,
+                        popBubbles: Boolean = true): DataFrame = {
     val s = counts.sparkSession
     import s.implicits._
     val mirrored = counts.as[(Long, Long)].flatMap { case (kv, c) =>
@@ -61,12 +69,20 @@ object Assembler {
     val edges = mirrored
       .withColumn("prefix", shiftright(col("kmer"), 2))
       .withColumn("suffix", col("kmer").bitwiseAND(lit(mask)))
-    val wOut = Window.partitionBy("prefix").orderBy(col("count").desc, col("kmer"))
-    val wIn = Window.partitionBy("suffix").orderBy(col("count").desc, col("kmer"))
-    edges
-      .withColumn("rn_out", row_number().over(wOut)).filter(col("rn_out") === 1)
-      .withColumn("rn_in", row_number().over(wIn)).filter(col("rn_in") === 1)
-      .select("kmer", "count", "prefix", "suffix")
+    if (popBubbles) {
+      val wOut = Window.partitionBy("prefix").orderBy(col("count").desc, col("kmer"))
+      val wIn = Window.partitionBy("suffix").orderBy(col("count").desc, col("kmer"))
+      edges
+        .withColumn("rn_out", row_number().over(wOut)).filter(col("rn_out") === 1)
+        .withColumn("rn_in", row_number().over(wIn)).filter(col("rn_in") === 1)
+        .select("kmer", "count", "prefix", "suffix")
+    } else {
+      edges
+        .withColumn("n_out", count(lit(1)).over(Window.partitionBy("prefix")))
+        .withColumn("n_in", count(lit(1)).over(Window.partitionBy("suffix")))
+        .filter(col("n_out") === 1 && col("n_in") === 1)
+        .select("kmer", "count", "prefix", "suffix")
+    }
   }
 
   /** One contraction round (J1 + P9): merge adjacent fragments whose coins
@@ -108,7 +124,8 @@ object Assembler {
     * memory-local truncation for short interactive runs. */
   def assemble(counts: DataFrame, k: Int, minCov: Int = 1, maxIter: Int = 60,
                probeEvery: Int = 3, minContig: Int = 0,
-               ckptDir: Option[String] = None): Dataset[String] = {
+               ckptDir: Option[String] = None,
+               popBubbles: Boolean = true): Dataset[String] = {
     val s = counts.sparkSession
     import s.implicits._
     val mask = (1L << (2 * (k - 1))) - 1
@@ -119,7 +136,7 @@ object Assembler {
     // first probe re-executes the whole count+fork-filter lineage. (On
     // resume the seed lineage is never built, let alone executed.)
     def seed(): Dataset[Frag] = {
-      val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k)
+      val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k, popBubbles)
       edges.select("kmer").as[Long]
         .map(kv => Frag(kv >>> 2, kv & mask, KmerCodec.longToBlocks(kv, k)))
     }

@@ -30,8 +30,10 @@ object AssemblerWide {
     (h & 1L) == 0L
   }
 
-  /** P6 + J2 for block-encoded counts `(kb: Array[Long], count)`. */
-  def forkFilteredEdges(counts: DataFrame, k: Int): DataFrame = {
+  /** P6 + J2 for block-encoded counts `(kb: Array[Long], count)`; see
+    * [[Assembler.forkFilteredEdges]] for the `popBubbles` semantics. */
+  def forkFilteredEdges(counts: DataFrame, k: Int,
+                        popBubbles: Boolean = true): DataFrame = {
     val s = counts.sparkSession
     import s.implicits._
     val edges = counts.as[(Array[Long], Long)]
@@ -43,12 +45,20 @@ object AssemblerWide {
       }
       .map { case (km, c) => (km, km.substring(0, k - 1), km.substring(1), c) }
       .toDF("kmer", "prefix", "suffix", "count")
-    val wOut = Window.partitionBy("prefix").orderBy(col("count").desc, col("kmer"))
-    val wIn = Window.partitionBy("suffix").orderBy(col("count").desc, col("kmer"))
-    edges
-      .withColumn("rn_out", row_number().over(wOut)).filter(col("rn_out") === 1)
-      .withColumn("rn_in", row_number().over(wIn)).filter(col("rn_in") === 1)
-      .select("kmer", "count", "prefix", "suffix")
+    if (popBubbles) {
+      val wOut = Window.partitionBy("prefix").orderBy(col("count").desc, col("kmer"))
+      val wIn = Window.partitionBy("suffix").orderBy(col("count").desc, col("kmer"))
+      edges
+        .withColumn("rn_out", row_number().over(wOut)).filter(col("rn_out") === 1)
+        .withColumn("rn_in", row_number().over(wIn)).filter(col("rn_in") === 1)
+        .select("kmer", "count", "prefix", "suffix")
+    } else {
+      edges
+        .withColumn("n_out", count(lit(1)).over(Window.partitionBy("prefix")))
+        .withColumn("n_in", count(lit(1)).over(Window.partitionBy("suffix")))
+        .filter(col("n_out") === 1 && col("n_in") === 1)
+        .select("kmer", "count", "prefix", "suffix")
+    }
   }
 
   private[operators] def mergeRound(frags: Dataset[FragW], k: Int, iter: Int): Dataset[FragW] = {
@@ -79,14 +89,15 @@ object AssemblerWide {
     * restart-resume when `ckptDir` is set). */
   def assemble(counts: DataFrame, k: Int, minCov: Int = 1, maxIter: Int = 60,
                probeEvery: Int = 3, minContig: Int = 0,
-               ckptDir: Option[String] = None): Dataset[String] = {
+               ckptDir: Option[String] = None,
+               popBubbles: Boolean = true): Dataset[String] = {
     val s = counts.sparkSession
     import s.implicits._
     val runner = ckptDir.map(new StageRunner(s, _))
     val resumeIter = runner.toSeq.flatMap(_.completed("frags_i"))
       .map(_.stripPrefix("frags_i").toInt).maxOption
     def seed(): Dataset[FragW] = {
-      val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k)
+      val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k, popBubbles)
       edges.select("kmer").as[String]
         .map(km => FragW(km.substring(0, k - 1), km.substring(1),
           KmerCodec.encodeBlocks(km)))

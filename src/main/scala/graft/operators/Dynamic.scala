@@ -29,6 +29,25 @@ object Dynamic {
     KmerCodec.decodeLong(KmerCodec.canonicalLong(shifted, k), k)
   }
 
+  /** J4 generic form (the `reduce` subcommand,
+    * `ReflexivDSDynamicKmerRuduction.java:199-230` semantics): drop from
+    * the shorter-k count table every k1-mer that is the left- or
+    * right-aligned canonical sub-k-mer of some longer counted k2-mer —
+    * those k1-mers carry no information the k2 table doesn't. Both inputs
+    * are decoded `(kmer STRING, count)` tables; the reduction is two
+    * projections + one anti-join, never a positional scan. */
+  def reduceCounts(shortCounts: DataFrame, longCounts: DataFrame,
+                   k1: Int, k2: Int): DataFrame = {
+    require(k1 < k2, s"reduce needs k1 < k2, got $k1 >= $k2")
+    val s = shortCounts.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val sub = longCounts.selectExpr(s"canonical_kmer(substring(kmer, 1, $k1)) AS kmer")
+      .union(longCounts.selectExpr(
+        s"canonical_kmer(substring(kmer, ${k2 - k1 + 1}, $k1)) AS kmer"))
+      .distinct()
+    shortCounts.join(sub, Seq("kmer"), "left_anti")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- J4: cross-k reduction — drop k1-mers subsumed by counted k2-mers --
     // (left-aligned pass + right-aligned pass, as two anti-join sides)

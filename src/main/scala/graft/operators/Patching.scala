@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -24,6 +24,37 @@ object Patching {
     " || translate(md5(CAST(doc_id AS VARCHAR) || 'x'), '0123456789abcdef', 'ACGTACGTACGTACGT')"
   private def sqlCanon(e: String) =
     s"least($e, reverse(translate($e, 'ACGT', 'TGCA')))"
+
+  /** J13 generic form (`ReflexivDSStitching.java:154-211` semantics): a
+    * strict assembly (minCov = `strictCov`) leaves fragments wherever
+    * coverage dips; rescuing the coverage-1 "stitch" k-mers and
+    * re-assembling bridges them. Emits the stitched contigs that span
+    * >= 2 strict fragments — the rows a stitching pass actually adds.
+    * Candidate (contig, fragment) pairs come from an equi-join on the
+    * fragment's head k-mer, never a contig × fragment cartesian. */
+  def stitchReads(reads: Dataset[String], k: Int, strictCov: Int = 2): DataFrame = {
+    val s = reads.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    // one materialization feeds both assembly passes
+    val counts = Genomics.countCanonical(reads, k).localCheckpoint()
+    val strict = Assembler.assemble(counts, k, minCov = strictCov, maxIter = 120)
+      .toDF("frag")
+      .withColumn("fkey", expr(s"canonical_kmer(substring(frag, 1, $k))"))
+    val stitched = Assembler.assemble(counts, k, minCov = 1, maxIter = 120)
+      .toDF("contig").localCheckpoint()
+    val contigKmers = stitched
+      .select(col("contig"),
+        explode(sequence(lit(1), length(col("contig")) - (k - 1))).as("i"))
+      .selectExpr("contig", s"canonical_kmer(substring(contig, i, $k)) AS fkey")
+      .distinct()
+    contigKmers.join(strict, "fkey")
+      .filter(col("contig").contains(col("frag")) ||
+        col("contig").contains(reverse(translate(col("frag"), "ACGT", "TGCA"))))
+      .select(col("contig"), col("frag")).distinct()
+      .groupBy("contig").agg(count(lit(1)).as("nfrag"))
+      .filter(col("nfrag") >= 2)
+      .select(col("contig"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- J7: contig-contig candidates via read inverted index --------------
@@ -53,7 +84,6 @@ object Patching {
     // -- J13: stitch across a coverage-1 bridge ----------------------------
     "j13_stitch" -> ((s, d) => {
       import s.implicits._
-      graft.functions.GraftFunctions.register(s)
       val dna = documents(s, d).select(Genomics.dna64(col("doc_id")).as("s"))
       // halves sequenced twice (solid), junction bridged once (stitch kmers)
       val reads = dna.selectExpr("substring(s, 1, 32) AS r")
@@ -62,26 +92,7 @@ object Patching {
         .union(dna.selectExpr("substring(s, 33, 32)"))
         .union(dna.selectExpr("substring(s, 13, 40)")) // single bridge read
         .as[String]
-      // one materialization feeds both assembly passes
-      val counts = Genomics.countCanonical(reads, 21).localCheckpoint()
-      val strict = Assembler.assemble(counts, 21, minCov = 2, maxIter = 120)
-        .toDF("frag")
-        .withColumn("fkey", expr("canonical_kmer(substring(frag, 1, 21))"))
-      val stitched = Assembler.assemble(counts, 21, minCov = 1, maxIter = 120)
-        .toDF("contig").localCheckpoint()
-      // candidate (contig, frag) pairs via the fragment's head k-mer —
-      // an equi-join on the marker, never contig x fragment cartesian
-      val contigKmers = stitched
-        .select(col("contig"), explode(sequence(lit(1), length(col("contig")) - 20)).as("i"))
-        .selectExpr("contig", "canonical_kmer(substring(contig, i, 21)) AS fkey")
-        .distinct()
-      val hits = contigKmers.join(strict, "fkey")
-        .filter(col("contig").contains(col("frag")) ||
-          col("contig").contains(reverse(translate(col("frag"), "ACGT", "TGCA"))))
-        .select(col("contig"), col("frag")).distinct()
-        .groupBy("contig").agg(count(lit(1)).as("nfrag"))
-        .filter(col("nfrag") >= 2)
-      hits.select(col("contig"))
+      stitchReads(reads, 21)
     })
   )
 

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables.documents
 import graft.core.{KmerCodec, KmerIter}
 import graft.sources.StageRunner
 
@@ -65,17 +66,74 @@ object Pipelines {
       // round's contigs stage has landed
       val ckpt = Some(s"$workDir/assemble_k$k")
       contigs = runner.stage(s"contigs_k$k") {
-        val out =
-          if (k <= 31) {
-            val longCounts = reduced.as[(Array[Long], Long)]
-              .map { case (kb, c) => (KmerCodec.blocksPrefixLong(kb, k), c) }
-              .toDF("kv", "count")
-            Assembler.assemble(longCounts, k, minCov = 1, ckptDir = ckpt)
-          } else AssemblerWide.assemble(reduced, k, minCov = 1, ckptDir = ckpt)
-        out.toDF("contig")
+        assembleBlocks(reduced, k, ckpt).toDF("contig")
       }.select(col("contig")).as[String]
       runner.clean(s"assemble_k$k")
     }
     contigs.filter((c: String) => c.length >= minContig)
   }
+
+  /** Dispatch block-form canonical counts `(kb: Array[Long], count)` to the
+    * packed-Long assembler (k <= 31) or the wide-block assembler. */
+  private def assembleBlocks(counts: DataFrame, k: Int,
+                             ckptDir: Option[String]): Dataset[String] = {
+    val s = counts.sparkSession
+    import s.implicits._
+    if (k <= 31) {
+      val longCounts = counts.as[(Array[Long], Long)]
+        .map { case (kb, c) => (KmerCodec.blocksPrefixLong(kb, k), c) }
+        .toDF("kv", "count")
+      Assembler.assemble(longCounts, k, minCov = 1, ckptDir = ckptDir)
+    } else AssemblerWide.assemble(counts, k, minCov = 1, ckptDir = ckptDir)
+  }
+
+  /** Reassembler (the reference's `ReflexivDSReAssembler.java:112,350`
+    * semantics, Spark-first): EXTEND existing contigs / gene fragments with
+    * new reads instead of assembling from scratch. The contigs' k-mers are
+    * trusted seeds (they survived a previous assembly's coverage gate);
+    * read k-mers pass the `minCov` gate and contribute only novel bridging
+    * k-mers via the same anti-join interchange `dynamicAssembly` uses — so
+    * the work is proportional to reads + contigs, with no recount of
+    * anything already assembled. */
+  def reassemble(spark: SparkSession, contigs: Dataset[String],
+                 reads: Dataset[String], k: Int, minCov: Int = 1,
+                 minContig: Int = 0, ckptDir: Option[String] = None): Dataset[String] = {
+    import spark.implicits._
+    // Trust boost: seed k-mers carry a count far above any physical read
+    // coverage, so at a fork between the existing contig path and a novel
+    // read-derived k-mer (e.g. a recurrent sequencing error with coverage
+    // >= minCov) the fork filter always keeps the contig path — reads can
+    // only EXTEND contigs, never shatter them mid-body.
+    val trust = 1L << 40
+    val seed = contigs.flatMap(c => KmerIter.canonicalBlocks(c, k))
+      .toDF("kb").groupBy("kb").count()
+      .select(col("kb"), (col("count") + lit(trust)).as("count"))
+    val novel = reads.flatMap(r => KmerIter.canonicalBlocks(r, k))
+      .toDF("kb").groupBy("kb").count()
+      .filter(col("count") >= minCov)
+      .join(seed.select("kb"), Seq("kb"), "left_anti")
+    assembleBlocks(seed.unionAll(novel), k, ckptDir)
+      .filter((c: String) => c.length >= minContig)
+  }
+
+  /** a3: per-document reassembly — a TRUNCATED contig (bases 1-40 of the
+    * 64-base genome) plus tail-only reads (windows from base 21 on, so the
+    * reads alone cannot reach the head) must reconstruct the full genome
+    * by extension. Oracle-checkable like a1: collision-free per-document
+    * DNA makes the fixpoint exactly `least(s, rc(s))`. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a3_reassemble" -> ((s, d) => {
+      import s.implicits._
+      val dna = documents(s, d).select(Genomics.dna64(col("doc_id")).as("g"))
+      val contigs = dna.select(substring(col("g"), 1, 40).as("c")).as[String]
+      val reads = dna
+        .select(explode(expr("transform(sequence(21, 33, 4), i -> substring(g, i, 32))")).as("read"))
+        .as[String]
+      reassemble(s, contigs, reads, 21).toDF("contig")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "a3_reassemble" -> Assembler.oracles("a1_assembly")
+  )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -22,6 +22,54 @@ object Rescue {
       .select(col("doc_id"), col("s"),
         explode(sequence(lit(1), length(col("s")) - (K - 1))).as("i"))
       .selectExpr("doc_id", "i", s"canonical_kmer(substring(s, i, $K)) AS kmer")
+  }
+
+  /** J8 generic form: rescue non-solid k-mers that sit between solid
+    * anchors within a read (the reference's mercy-kmer pass,
+    * `ReflexivDSDynamicMercyKmer.java` semantics) — low-coverage k-mers
+    * bridging two solid stretches are real sequence, not error, in
+    * low-coverage runs. Returns the rescued k-mers (canonical, distinct). */
+  def mercyKmers(reads: Dataset[String], k: Int, solidCov: Int = 2): DataFrame = {
+    val s = reads.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val withId = reads.toDF("r").withColumn("rid", monotonically_increasing_id())
+    val pk = withId
+      .select(col("rid"), col("r"),
+        explode(sequence(lit(1), length(col("r")) - (k - 1))).as("i"))
+      .selectExpr("rid", "i", s"canonical_kmer(substring(r, i, $k)) AS kmer")
+    val solid = pk.groupBy("kmer").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= solidCov).select(col("kmer"), lit(1).as("is_solid"))
+    val flagged = pk.join(solid, Seq("kmer"), "left")
+      .withColumn("sf", coalesce(col("is_solid"), lit(0)))
+    val byRead = Window.partitionBy("rid").orderBy("i")
+    val before = byRead.rowsBetween(Window.unboundedPreceding, -1)
+    val after = byRead.rowsBetween(1, Window.unboundedFollowing)
+    flagged
+      .withColumn("solid_before", max(col("sf")).over(before))
+      .withColumn("solid_after", max(col("sf")).over(after))
+      .filter(col("sf") === 0 && col("solid_before") === 1 && col("solid_after") === 1)
+      .select(col("kmer")).distinct()
+  }
+
+  /** J10 generic form: splice contigs whose `overlap`-base suffix equals
+    * another contig's prefix (one deterministic pass — the join key IS the
+    * overlap, so the merge is an equi-join, never contig × contig).
+    * Contigs that take part in no splice pass through unchanged. */
+  def overlapMergeContigs(contigs: Dataset[String], overlap: Int): Dataset[String] = {
+    val s = contigs.sparkSession
+    import s.implicits._
+    val df = contigs.toDF("c")
+    val a = df.select(col("c").as("ca"),
+      expr(s"substring(c, length(c) - ${overlap - 1}, $overlap)").as("key"))
+    val b = df.select(col("c").as("cb"),
+      expr(s"substring(c, 1, $overlap)").as("key"))
+    val pairs = a.join(b, "key").filter(col("ca") =!= col("cb"))
+    val merged = pairs
+      .select(concat(col("ca"), expr(s"substring(cb, ${overlap + 1})")).as("c"))
+    val consumed = pairs.select(col("ca").as("c"))
+      .unionAll(pairs.select(col("cb").as("c"))).distinct()
+    merged.unionAll(df.join(consumed, Seq("c"), "left_anti"))
+      .select(col("c")).as[String]
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

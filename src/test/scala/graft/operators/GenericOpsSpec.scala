@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.core.KmerIter
+
+/** Specs for the generic (CLI-facing) forms of the round-3 operators:
+  * mercy rescue, overlap merger, cross-k reduce, reassemble, and the
+  * `-bubble` (popBubbles=false) fork mode. */
+class GenericOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rcStr(s: String): String =
+    s.reverse.map { case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A' }
+  private def canonStr(s: String): String = { val r = rcStr(s); if (s <= r) s else r }
+  private def randGenome(n: Int, seed: Long): String = {
+    val r = new scala.util.Random(seed)
+    Array.fill(n)("ACGT"(r.nextInt(4))).mkString
+  }
+
+  test("mercyKmers rescues exactly the non-solid kmers between solid anchors") {
+    import spark.implicits._
+    val k = 21
+    val g = randGenome(80, seed = 41)
+    // prefix [0,30) and suffix [50,80) double-covered; middle only in g
+    val rds = Seq(g, g.substring(0, 30), g.substring(0, 30),
+      g.substring(50, 80), g.substring(50, 80))
+    val rescued = Rescue.mercyKmers(rds.toDS(), k, solidCov = 2)
+      .as[String].collect().toSet
+    val solid = (0 to 9).map(i => canonStr(g.substring(i, i + k))).toSet ++
+      (50 to 59).map(i => canonStr(g.substring(i, i + k))).toSet
+    val expected = (10 to 49).map(i => canonStr(g.substring(i, i + k))).toSet -- solid
+    assert(rescued == expected)
+  }
+
+  test("overlapMergeContigs splices on exact suffix/prefix overlap, passes others through") {
+    import spark.implicits._
+    val g = randGenome(100, seed = 43)
+    val a = g.substring(0, 60)
+    val b = g.substring(40, 100) // overlaps a by 20
+    val lone = randGenome(50, seed = 47)
+    val merged = Rescue.overlapMergeContigs(Seq(a, b, lone).toDS(), overlap = 20)
+      .collect().toSet
+    assert(merged == Set(g, lone))
+  }
+
+  test("reduceCounts drops short kmers subsumed left- or right-aligned by long kmers") {
+    import spark.implicits._
+    val shortT = Seq(("AAACC", 3L), ("CCCGG", 2L), ("AAAAA", 7L)).toDF("kmer", "count")
+    val longT = Seq(("AAACCCGG", 5L)).toDF("kmer", "count")
+    // left-aligned sub = canon(AAACC) = AAACC; right-aligned = canon(CCCGG) = CCCGG
+    val out = Dynamic.reduceCounts(shortT, longT, 5, 8)
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(("AAAAA", 7L)))
+  }
+
+  test("reassemble extends a truncated contig with tail-only reads to the full genome") {
+    import spark.implicits._
+    val g = randGenome(200, seed = 53)
+    val contig = g.substring(0, 120)
+    val rds = (100 to 168 by 4).map(i => g.substring(i, i + 32)) :+ g.substring(168, 200)
+    val out = Pipelines.reassemble(spark, Seq(contig).toDS(), rds.toDS(), k = 21)
+      .collect().toSeq
+    assert(out == Seq(canonStr(g)))
+  }
+
+  test("popBubbles=false keeps both bubble arms as separate contigs") {
+    import spark.implicits._
+    val k = 31
+    val p = randGenome(120, seed = 59)
+    val q = randGenome(120, seed = 61)
+    val v1 = randGenome(100, seed = 67)
+    val v2 = randGenome(100, seed = 71)
+    val ga = p + v1 + q
+    val gb = p + v2 + q
+    def rds(g: String) =
+      ((0 to g.length - 80 by 7) :+ (g.length - 80)).distinct.map { i =>
+        val w = g.substring(i, i + 80); if (i % 2 == 0) w else rcStr(w)
+      }
+    val counts = Genomics.countCanonical((rds(ga) ++ rds(gb)).toDS(), k)
+
+    val popped = Assembler.assemble(counts, k, minCov = 1, maxIter = 40).collect().toSeq
+    val kept = Assembler.assemble(counts, k, minCov = 1, maxIter = 40,
+      popBubbles = false).collect().toSeq
+
+    val inputKmers = (rds(ga) ++ rds(gb)).flatMap(r => KmerIter.canonicalLong(r, k)).toSet
+    kept.foreach { c =>
+      KmerIter.canonicalLong(c, k).foreach(kv => assert(inputKmers.contains(kv)))
+    }
+    // both variant arms survive the no-pop mode (their interior kmers are
+    // unambiguous)
+    def hasArm(contigs: Seq[String], arm: String) = {
+      val probe = canonStr(arm.substring(30, 30 + k))
+      contigs.exists(c => c.contains(probe) || c.contains(rcStr(probe)))
+    }
+    assert(hasArm(kept, v1) && hasArm(kept, v2))
+    // popping merges THROUGH the fork (a contig spans prefix + an arm);
+    // no-pop breaks every path at the fork nodes, so the longest contig
+    // stays bounded by the shared prefix/suffix plus the junction overhang
+    assert(kept.map(_.length).max < p.length + 2 * k)
+    assert(popped.map(_.length).max >= p.length + v1.length - 2 * k)
+  }
+}
