@@ -85,6 +85,52 @@ object Assembler {
     }
   }
 
+  /** Last-mile local contraction: once the fragment count falls below
+    * `localThreshold`, the remaining path/cycle structure fits in one task,
+    * so the remaining O(log L) shuffle rounds are replaced by one
+    * chain-following pass over all fragments in a single partition. After
+    * the fork filter every node has in/out degree <= 1, so fragment heads
+    * are unique and the walk is deterministic. Concatenation goes through
+    * one growable 2-bit Builder per chain — linear in output length, never
+    * a quadratic re-copy. A closed cycle contracts at a rotation that
+    * differs from the distributed merge order, but cycles are normalized
+    * to their minimal rotation downstream, so final contigs are identical
+    * either way. Generic over the endpoint key type (packed `Long` for
+    * k <= 32, `String` for the wide regime). */
+  private[operators] def contractChains[K](frags: Array[(K, K, Array[Long])],
+                                           k: Int): Iterator[(K, K, Array[Long])] = {
+    import scala.collection.mutable
+    val byHead = new mutable.HashMap[K, (K, K, Array[Long])]()
+    frags.foreach { f =>
+      require(byHead.put(f._1, f).isEmpty,
+        "duplicate fragment head — fork-filter degree invariant broken")
+    }
+    val isTail = new mutable.HashSet[K]()
+    frags.foreach(f => isTail += f._2)
+    val visited = new mutable.HashSet[K]()
+    val emitted = mutable.ArrayBuffer.empty[(K, K, Array[Long])]
+    def walk(start: (K, K, Array[Long])): (K, K, Array[Long]) = {
+      val bld = new KmerCodec.Builder(KmerCodec.lengthOf(start._3))
+      bld.appendAll(start._3)
+      visited += start._1
+      var tail = start._2
+      var next = if (tail == start._1) None else byHead.get(tail)
+      while (next.isDefined && next.get._1 != start._1) {
+        val g = next.get
+        visited += g._1
+        val len = KmerCodec.lengthOf(g._3)
+        var i = k - 1
+        while (i < len) { bld.append(KmerCodec.baseAt(g._3, i)); i += 1 }
+        tail = g._2
+        next = byHead.get(tail)
+      }
+      (start._1, tail, bld.result())
+    }
+    frags.foreach { f => if (!isTail.contains(f._1)) emitted += walk(f) } // open paths
+    frags.foreach { f => if (!visited.contains(f._1)) emitted += walk(f) } // cycles
+    emitted.iterator
+  }
+
   /** One contraction round (J1 + P9): merge adjacent fragments whose coins
     * line up. Exactly one offer per fragment => each key group holds at
     * most one head-offer and one tail-offer. */
@@ -121,11 +167,21 @@ object Assembler {
     * driver RESUMES the contraction at the latest completed round (the
     * per-round coins are hashes of (endpoints, round), so a resumed run is
     * bit-identical to an uninterrupted one). `None` keeps the cheap
-    * memory-local truncation for short interactive runs. */
+    * memory-local truncation for short interactive runs.
+    *
+    * `localThreshold`: fragment count below which the contraction finishes
+    * in a single-task chain-following pass ([[contractChains]]) instead of
+    * further shuffle rounds. Distributed rounds shrink the fragment count
+    * geometrically, so at any input scale the endgame drops under this
+    * bound after O(log L) rounds and the remaining rounds (each a full
+    * cluster-wide shuffle barrier over a tiny dataset) are replaced by one
+    * task. 2M fragments ≈ low hundreds of MB in one task. Set 0 to force
+    * the fully distributed path. */
   def assemble(counts: DataFrame, k: Int, minCov: Int = 1, maxIter: Int = 60,
                probeEvery: Int = 3, minContig: Int = 0,
                ckptDir: Option[String] = None,
-               popBubbles: Boolean = true): Dataset[String] = {
+               popBubbles: Boolean = true,
+               localThreshold: Long = 2000000L): Dataset[String] = {
     val s = counts.sparkSession
     import s.implicits._
     val mask = (1L << (2 * (k - 1))) - 1
@@ -151,36 +207,50 @@ object Assembler {
     var lastCount = -1L
     var iter = resumeIter.getOrElse(0)
     var done = false
+    // seed/resume state is already materialized, so this count is one
+    // cheap cached-scan job — it decides distributed-vs-local entry
+    var n = frags.count()
     while (iter < maxIter && !done) {
-      frags = mergeRound(frags, k, iter)
-      iter += 1
-      if (iter % probeEvery == 0) {
-        val ckpt = runner match {
-          case Some(r) =>
-            val name = s"frags_i$iter"
-            val df = durable(name, frags)
-            r.completed("frags_i").filterNot(_ == name).foreach(r.clean)
-            df
-          case None =>
-            val c = frags.localCheckpoint()
-            if (lastCkpt != null) lastCkpt.unpersist()
-            lastCkpt = c
-            c
+      if (n <= localThreshold) {
+        // last-mile: the fragments fit one task — finish the contraction
+        // in a single chain-following pass instead of more rounds.
+        // coalesce, not repartition: narrow read of the cached partitions.
+        frags = frags.coalesce(1).mapPartitions { it =>
+          contractChains(it.map(f => (f.head, f.tail, f.seq)).toArray, k)
+            .map { case (h, t, sq) => Frag(h, t, sq) }
         }
-        frags = ckpt
-        // Two-tier convergence probe (A4, made exact): merges strictly
-        // shrink the count, so a changed count means "not done" without
-        // any further work; only when the count stalls run the exact
-        // test — a merge is still possible iff some junction is both a
-        // tail and a head of open (non-cycle) fragments. Never a false
-        // stop, and the intersect runs O(1) times in the common case.
-        val n = ckpt.count()
-        if (n == lastCount) {
-          val open = ckpt.filter(f => f.head != f.tail).toDF()
-          done = open.select(col("tail")).intersect(open.select(col("head")))
-            .isEmpty
+        done = true
+      } else {
+        frags = mergeRound(frags, k, iter)
+        iter += 1
+        if (iter % probeEvery == 0) {
+          val ckpt = runner match {
+            case Some(r) =>
+              val name = s"frags_i$iter"
+              val df = durable(name, frags)
+              r.completed("frags_i").filterNot(_ == name).foreach(r.clean)
+              df
+            case None =>
+              val c = frags.localCheckpoint()
+              if (lastCkpt != null) lastCkpt.unpersist()
+              lastCkpt = c
+              c
+          }
+          frags = ckpt
+          // Two-tier convergence probe (A4, made exact): merges strictly
+          // shrink the count, so a changed count means "not done" without
+          // any further work; only when the count stalls run the exact
+          // test — a merge is still possible iff some junction is both a
+          // tail and a head of open (non-cycle) fragments. Never a false
+          // stop, and the intersect runs O(1) times in the common case.
+          n = ckpt.count()
+          if (n == lastCount) {
+            val open = ckpt.filter(f => f.head != f.tail).toDF()
+            done = open.select(col("tail")).intersect(open.select(col("head")))
+              .isEmpty
+          }
+          lastCount = n
         }
-        lastCount = n
       }
     }
     frags

@@ -90,7 +90,8 @@ object AssemblerWide {
   def assemble(counts: DataFrame, k: Int, minCov: Int = 1, maxIter: Int = 60,
                probeEvery: Int = 3, minContig: Int = 0,
                ckptDir: Option[String] = None,
-               popBubbles: Boolean = true): Dataset[String] = {
+               popBubbles: Boolean = true,
+               localThreshold: Long = 2000000L): Dataset[String] = {
     val s = counts.sparkSession
     import s.implicits._
     val runner = ckptDir.map(new StageRunner(s, _))
@@ -113,30 +114,41 @@ object AssemblerWide {
     var lastCount = -1L
     var iter = resumeIter.getOrElse(0)
     var done = false
+    // one cheap cached-scan job deciding distributed-vs-local entry
+    var n = frags.count()
     while (iter < maxIter && !done) {
-      frags = mergeRound(frags, k, iter)
-      iter += 1
-      if (iter % probeEvery == 0) {
-        val ckpt = runner match {
-          case Some(r) =>
-            val name = s"frags_i$iter"
-            val df = durable(name, frags)
-            r.completed("frags_i").filterNot(_ == name).foreach(r.clean)
-            df
-          case None =>
-            val c = frags.localCheckpoint()
-            if (lastCkpt != null) lastCkpt.unpersist()
-            lastCkpt = c
-            c
+      if (n <= localThreshold) {
+        // last-mile local contraction (see Assembler.contractChains)
+        frags = frags.coalesce(1).mapPartitions { it =>
+          Assembler.contractChains(it.map(f => (f.head, f.tail, f.seq)).toArray, k)
+            .map { case (h, t, sq) => FragW(h, t, sq) }
         }
-        frags = ckpt
-        val n = ckpt.count()
-        if (n == lastCount) {
-          val open = ckpt.filter(f => f.head != f.tail).toDF()
-          done = open.select(col("tail")).intersect(open.select(col("head")))
-            .isEmpty
+        done = true
+      } else {
+        frags = mergeRound(frags, k, iter)
+        iter += 1
+        if (iter % probeEvery == 0) {
+          val ckpt = runner match {
+            case Some(r) =>
+              val name = s"frags_i$iter"
+              val df = durable(name, frags)
+              r.completed("frags_i").filterNot(_ == name).foreach(r.clean)
+              df
+            case None =>
+              val c = frags.localCheckpoint()
+              if (lastCkpt != null) lastCkpt.unpersist()
+              lastCkpt = c
+              c
+          }
+          frags = ckpt
+          n = ckpt.count()
+          if (n == lastCount) {
+            val open = ckpt.filter(f => f.head != f.tail).toDF()
+            done = open.select(col("tail")).intersect(open.select(col("head")))
+              .isEmpty
+          }
+          lastCount = n
         }
-        lastCount = n
       }
     }
     frags

@@ -64,6 +64,40 @@ class GenericOpsSpec extends AnyFunSuite {
     assert(out == Seq(canonStr(g)))
   }
 
+  test("last-mile local contraction matches distributed contraction (incl. a cycle)") {
+    import spark.implicits._
+    val k = 21
+    val g = randGenome(500, seed = 73)
+    val circ = g + g.substring(0, 80) // reads across the wrap close a De Bruijn cycle
+    val lin = randGenome(300, seed = 79)
+    val rds = (0 to circ.length - 60 by 5).map(i => circ.substring(i, i + 60)) ++
+      ((0 to lin.length - 60 by 5) :+ (lin.length - 60)).distinct
+        .map(i => lin.substring(i, i + 60))
+    val counts = Genomics.countCanonical(rds.toDS(), k).localCheckpoint()
+    val local = Assembler.assemble(counts, k, minCov = 1, maxIter = 80)
+      .collect().toSet
+    val dist = Assembler.assemble(counts, k, minCov = 1, maxIter = 80,
+      localThreshold = 0).collect().toSet
+    assert(local.nonEmpty)
+    assert(local == dist)
+  }
+
+  test("wide-k local contraction matches distributed contraction") {
+    import spark.implicits._
+    val k = 40
+    val g = randGenome(300, seed = 83)
+    val rds = ((0 to g.length - 80 by 7) :+ (g.length - 80)).distinct
+      .map(i => g.substring(i, i + 80))
+    val counts = rds.toDS().flatMap(r => KmerIter.canonicalBlocks(r, k))
+      .toDF("kb").groupBy("kb").count().localCheckpoint()
+    val local = AssemblerWide.assemble(counts, k, minCov = 1, maxIter = 80)
+      .collect().toSet
+    val dist = AssemblerWide.assemble(counts, k, minCov = 1, maxIter = 80,
+      localThreshold = 0).collect().toSet
+    assert(local == Set(canonStr(g)))
+    assert(local == dist)
+  }
+
   test("popBubbles=false keeps both bubble arms as separate contigs") {
     import spark.implicits._
     val k = 31
