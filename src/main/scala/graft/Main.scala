@@ -18,6 +18,7 @@ import graft.sources.Fastq
   * runMain graft.Main merger     -contig <fasta> -overlap 30 -outfile <dir>
   * runMain graft.Main stitch     -fastq <glob> -kmer 31 -outfile <dir>
   * runMain graft.Main reduce     -kmerc1 <csv> -kmerc2 <csv> -outfile <dir>
+  * runMain graft.Main extend     -contig <fasta> -sam <sam> -outfile <dir>
   * }}}
   *
   * Input options: `-fastq <glob>` reads (heuristic line filter by default;
@@ -46,7 +47,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Main <counter|run|meta|reassemble|mercy|merger|stitch|reduce> [options]")
+      "usage: graft.Main <counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend> [options]")
     val cmd = args.head
     val fastq = opt(args, "-fastq", "/root/reference/example/*.fq.gz")
     val out = opt(args, "-outfile", "/root/repo/target/graft_cli_out")
@@ -55,6 +56,11 @@ object Main {
     val maxCov = opt(args, "-maxcov", "10000000").toLong
     val minContig = opt(args, "-mincontig", "500").toInt
     val maxIter = opt(args, "-maxiter", "150").toInt
+    // reference default: minErrorCoverage = 4 * minKmerCoverage — fork
+    // losers at or below this coverage (and outweighed 2x by the winner)
+    // are sequencing errors; above it they mark genuine repeats and the
+    // fork is left contested. -error 0 disables the rule (always resolve).
+    val minError = opt(args, "-error", (4 * minCov).toString).toInt
     val clipF = opt(args, "-clipf", "0").toInt
     val clipE = opt(args, "-clipe", "0").toInt
     val minLen = opt(args, "-minlength", k.toString).toInt
@@ -107,7 +113,7 @@ object Main {
           else Genomics.countCanonical(reads, kk)
         Assembler.assemble(counts.filter(col("count") <= maxCov), kk,
           minCov = minCov, maxIter = maxIter, minContig = minContig,
-          popBubbles = popBubbles)
+          popBubbles = popBubbles, minError = minError)
       } else {
         val counts =
           if (kmerc.nonEmpty)
@@ -119,7 +125,7 @@ object Main {
             .toDF("kb").groupBy("kb").count()
         AssemblerWide.assemble(counts.filter(col("count") <= maxCov), kk,
           minCov = minCov, maxIter = maxIter, minContig = minContig,
-          popBubbles = popBubbles)
+          popBubbles = popBubbles, minError = minError)
       }
     }
 
@@ -164,6 +170,24 @@ object Main {
         val stitched = Patching.stitchReads(reads, k, strictCov = minCov)
         Fastq.writeFasta(stitched, s"$out/Assembly", seqCol = "contig")
         println(s"[graft] stitch: wrote $out/Assembly")
+      case "extend" =>
+        // E3 end-to-end: SAM-driven contig-end extension. The SAM comes
+        // from any aligner (the reference pipes minimap2; pipe via
+        // graft.sources.PipeOps when the binary exists) — the consensus
+        // operator itself needs no external binary.
+        val samPath = opt(args, "-sam", "")
+        require(samPath.nonEmpty, "extend requires -sam <sam file/dir>")
+        val contigs = Fastq.readFasta(spark, opt(args, "-contig", "")
+          .ensuring(_.nonEmpty, "extend requires -contig <fasta>"))
+        val sam = spark.read.text(samPath).as[String]
+          .filter(l => l.nonEmpty && !l.startsWith("@"))
+          .map { l => val f = l.split("\t"); (f(2), f(3).toInt, f(5), f(9)) }
+          .toDF("contig", "pos", "cigar", "seq")
+          .filter(col("contig") =!= "*" && col("cigar") =!= "*")
+        val extended = operators.SamConsensus.extendContigs(contigs, sam,
+          minDepth = minCov)
+        Fastq.writeFasta(extended.select(col("extended").as("contig")), s"$out/Assembly")
+        println(s"[graft] extend: wrote $out/Assembly")
       case "reduce" =>
         val p1 = opt(args, "-kmerc1", "")
         val p2 = opt(args, "-kmerc2", "")
@@ -178,7 +202,7 @@ object Main {
         println(s"[graft] reduce: wrote $out/Count_${k1}_reduced (k1=$k1 k2=$k2)")
       case other =>
         sys.error(s"unknown subcommand '$other' " +
-          "(counter|run|meta|reassemble|mercy|merger|stitch|reduce)")
+          "(counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend)")
     }
     spark.stop()
   }

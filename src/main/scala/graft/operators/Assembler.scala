@@ -47,18 +47,57 @@ object Assembler {
     (h & 1L) == 0L
   }
 
-  /** P6 + J2: RC-mirror the canonical counts, then fork-filter so every
-    * (k-1)-mer node keeps at most one out- and one in-edge.
+  /** Shared fork resolution over an edge table with `kmer, count, prefix,
+    * suffix` columns (key type is Long for k <= 32, String in the wide
+    * regime — the plan is identical).
     *
-    * `popBubbles` (default, the reference's behavior) resolves each fork by
-    * keeping the max-coverage edge (ties broken by k-mer binary order —
-    * deterministic): bubbles and tips merge into the heavier path. With
+    * `popBubbles = true, minError = 0` (default): every fork resolves to
+    * its max-coverage edge (ties broken by k-mer binary order —
+    * deterministic); bubbles and tips merge into the heavier path.
+    *
+    * `popBubbles = true, minError > 0` (the reference's `-error`
+    * minErrorCoverage rule, J3 — same classification as `g8_fork_classify`):
+    * a losing edge is a sequencing ERROR (dropped, winner merges through)
+    * only when its coverage is <= minError AND the winner has >= 2x its
+    * coverage; a loser above that bar marks a genuine REPEAT — the node
+    * stays contested, all its edges are removed, and contraction breaks
+    * there instead of chimera-joining two repeat copies.
+    *
     * `popBubbles = false` (the reference's `-bubble` flag: "set to NOT
-    * remove bubbles") forks are left unresolved — only unambiguous edges
-    * survive, so contraction stops at every fork and both bubble arms are
-    * reported as separate contigs. */
+    * remove bubbles"): forks are never resolved — only unambiguous edges
+    * survive, so both bubble arms surface as separate contigs. */
+  private[operators] def resolveForks(edges: DataFrame, popBubbles: Boolean,
+                                      minError: Int): DataFrame = {
+    def side(df: DataFrame, key: String): DataFrame = {
+      val w = Window.partitionBy(key)
+      val wOrd = w.orderBy(col("count").desc, col("kmer"))
+      if (minError <= 0)
+        df.withColumn("rn", row_number().over(wOrd))
+          .filter(col("rn") === 1).drop("rn")
+      else
+        df.withColumn("rn", row_number().over(wOrd))
+          .withColumn("wc", max(col("count")).over(w))
+          .withColumn("contested", max(when(col("rn") > 1 &&
+            (col("count") > minError || col("wc") < col("count") * 2), lit(1))
+            .otherwise(lit(0))).over(w))
+          .filter(col("contested") === 0 && col("rn") === 1)
+          .drop("rn", "wc", "contested")
+    }
+    val resolved =
+      if (popBubbles) side(side(edges, "prefix"), "suffix")
+      else edges
+        .withColumn("n_out", count(lit(1)).over(Window.partitionBy("prefix")))
+        .withColumn("n_in", count(lit(1)).over(Window.partitionBy("suffix")))
+        .filter(col("n_out") === 1 && col("n_in") === 1)
+    resolved.select("kmer", "count", "prefix", "suffix")
+  }
+
+  /** P6 + J2: RC-mirror the canonical counts, then fork-filter so every
+    * (k-1)-mer node keeps at most one out- and one in-edge (see
+    * [[resolveForks]] for the popBubbles / minError semantics). */
   def forkFilteredEdges(counts: DataFrame, k: Int,
-                        popBubbles: Boolean = true): DataFrame = {
+                        popBubbles: Boolean = true,
+                        minError: Int = 0): DataFrame = {
     val s = counts.sparkSession
     import s.implicits._
     val mirrored = counts.as[(Long, Long)].flatMap { case (kv, c) =>
@@ -69,20 +108,7 @@ object Assembler {
     val edges = mirrored
       .withColumn("prefix", shiftright(col("kmer"), 2))
       .withColumn("suffix", col("kmer").bitwiseAND(lit(mask)))
-    if (popBubbles) {
-      val wOut = Window.partitionBy("prefix").orderBy(col("count").desc, col("kmer"))
-      val wIn = Window.partitionBy("suffix").orderBy(col("count").desc, col("kmer"))
-      edges
-        .withColumn("rn_out", row_number().over(wOut)).filter(col("rn_out") === 1)
-        .withColumn("rn_in", row_number().over(wIn)).filter(col("rn_in") === 1)
-        .select("kmer", "count", "prefix", "suffix")
-    } else {
-      edges
-        .withColumn("n_out", count(lit(1)).over(Window.partitionBy("prefix")))
-        .withColumn("n_in", count(lit(1)).over(Window.partitionBy("suffix")))
-        .filter(col("n_out") === 1 && col("n_in") === 1)
-        .select("kmer", "count", "prefix", "suffix")
-    }
+    resolveForks(edges, popBubbles, minError)
   }
 
   /** Last-mile local contraction: once the fragment count falls below
@@ -181,7 +207,8 @@ object Assembler {
                probeEvery: Int = 3, minContig: Int = 0,
                ckptDir: Option[String] = None,
                popBubbles: Boolean = true,
-               localThreshold: Long = 2000000L): Dataset[String] = {
+               localThreshold: Long = 2000000L,
+               minError: Int = 0): Dataset[String] = {
     val s = counts.sparkSession
     import s.implicits._
     val mask = (1L << (2 * (k - 1))) - 1
@@ -192,7 +219,8 @@ object Assembler {
     // first probe re-executes the whole count+fork-filter lineage. (On
     // resume the seed lineage is never built, let alone executed.)
     def seed(): Dataset[Frag] = {
-      val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k, popBubbles)
+      val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k,
+        popBubbles, minError)
       edges.select("kmer").as[Long]
         .map(kv => Frag(kv >>> 2, kv & mask, KmerCodec.longToBlocks(kv, k)))
     }

@@ -31,9 +31,11 @@ object AssemblerWide {
   }
 
   /** P6 + J2 for block-encoded counts `(kb: Array[Long], count)`; see
-    * [[Assembler.forkFilteredEdges]] for the `popBubbles` semantics. */
+    * [[Assembler.resolveForks]] for the `popBubbles` / `minError`
+    * semantics. */
   def forkFilteredEdges(counts: DataFrame, k: Int,
-                        popBubbles: Boolean = true): DataFrame = {
+                        popBubbles: Boolean = true,
+                        minError: Int = 0): DataFrame = {
     val s = counts.sparkSession
     import s.implicits._
     val edges = counts.as[(Array[Long], Long)]
@@ -45,20 +47,7 @@ object AssemblerWide {
       }
       .map { case (km, c) => (km, km.substring(0, k - 1), km.substring(1), c) }
       .toDF("kmer", "prefix", "suffix", "count")
-    if (popBubbles) {
-      val wOut = Window.partitionBy("prefix").orderBy(col("count").desc, col("kmer"))
-      val wIn = Window.partitionBy("suffix").orderBy(col("count").desc, col("kmer"))
-      edges
-        .withColumn("rn_out", row_number().over(wOut)).filter(col("rn_out") === 1)
-        .withColumn("rn_in", row_number().over(wIn)).filter(col("rn_in") === 1)
-        .select("kmer", "count", "prefix", "suffix")
-    } else {
-      edges
-        .withColumn("n_out", count(lit(1)).over(Window.partitionBy("prefix")))
-        .withColumn("n_in", count(lit(1)).over(Window.partitionBy("suffix")))
-        .filter(col("n_out") === 1 && col("n_in") === 1)
-        .select("kmer", "count", "prefix", "suffix")
-    }
+    Assembler.resolveForks(edges, popBubbles, minError)
   }
 
   private[operators] def mergeRound(frags: Dataset[FragW], k: Int, iter: Int): Dataset[FragW] = {
@@ -91,14 +80,16 @@ object AssemblerWide {
                probeEvery: Int = 3, minContig: Int = 0,
                ckptDir: Option[String] = None,
                popBubbles: Boolean = true,
-               localThreshold: Long = 2000000L): Dataset[String] = {
+               localThreshold: Long = 2000000L,
+               minError: Int = 0): Dataset[String] = {
     val s = counts.sparkSession
     import s.implicits._
     val runner = ckptDir.map(new StageRunner(s, _))
     val resumeIter = runner.toSeq.flatMap(_.completed("frags_i"))
       .map(_.stripPrefix("frags_i").toInt).maxOption
     def seed(): Dataset[FragW] = {
-      val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k, popBubbles)
+      val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k,
+        popBubbles, minError)
       edges.select("kmer").as[String]
         .map(km => FragW(km.substring(0, k - 1), km.substring(1),
           KmerCodec.encodeBlocks(km)))

@@ -98,6 +98,38 @@ class GenericOpsSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  test("minError fork rule: error arms merge through, repeat-grade arms stay contested") {
+    import spark.implicits._
+    val k = 31
+    val p = randGenome(120, seed = 101)
+    val q = randGenome(120, seed = 103)
+    val v1 = randGenome(100, seed = 107)
+    val v2 = randGenome(100, seed = 109)
+    def rds(g: String, copies: Int) =
+      (1 to copies).flatMap(_ =>
+        ((0 to g.length - 80 by 7) :+ (g.length - 80)).distinct.map { i =>
+          val w = g.substring(i, i + 80); if (i % 2 == 0) w else rcStr(w)
+        })
+    // error case: main path 10x, variant arm 1x -> loser cov 1 <= 8 and
+    // outweighed 2x -> dropped; the winner genome reconstructs exactly
+    val errCounts = Genomics.countCanonical(
+      (rds(p + v1 + q, 10) ++ rds(p + v2 + q, 1)).toDS(), k)
+    val errOut = Assembler.assemble(errCounts, k, minCov = 1, maxIter = 60,
+      minError = 8).collect().toSeq
+    assert(errOut.contains(canonStr(p + v1 + q)))
+    // repeat case: both arms 5x -> loser cov 5 > wc/2 -> contested node,
+    // no contig spans the fork junctions
+    val repCounts = Genomics.countCanonical(
+      (rds(p + v1 + q, 5) ++ rds(p + v2 + q, 5)).toDS(), k)
+    val repOut = Assembler.assemble(repCounts, k, minCov = 1, maxIter = 60,
+      minError = 8).collect().toSeq
+    assert(repOut.map(_.length).max < p.length + 2 * k)
+    // and without the rule the same input merges straight through a fork
+    val noRule = Assembler.assemble(repCounts, k, minCov = 1, maxIter = 60)
+      .collect().toSeq
+    assert(noRule.map(_.length).max >= p.length + v1.length - 2 * k)
+  }
+
   test("popBubbles=false keeps both bubble arms as separate contigs") {
     import spark.implicits._
     val k = 31
