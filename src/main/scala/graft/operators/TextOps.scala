@@ -110,7 +110,72 @@ object TextOps {
           explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
         .select(col("lang"), expr("substring(text, i, 3)").as("g"))
         .groupBy("lang", "g").count()
-        .filter(col("count") >= 50))
+        .filter(col("count") >= 50)),
+
+    // -- test-set decontamination via 5-gram overlap -----------------------
+    // docs with doc_id % 100 == 0 form the held-out "benchmark"; the
+    // training corpus is everything else plus injected contaminated copies
+    // (id + 300000, last 2 words dropped) the filter must flag. The test
+    // shingle set is fixed-size regardless of corpus scale, so it is
+    // explicitly broadcast — the training side is one scan + one hash agg.
+    "t10_decontaminate" -> ((s, d) => {
+      val doc = documents(s, d)
+      val testDocs = doc.filter(col("doc_id") % 100 === 0)
+      val trainDocs = doc.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .union(testDocs.select((col("doc_id") + 300000).as("doc_id"),
+          concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))).as("text")))
+      def sh5(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        explode(when(size(ws) >= 5,
+          transform(sequence(lit(1), size(ws) - 4),
+            i => concat_ws(" ", slice(ws, i, lit(5)))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+      val testSh = sh5(testDocs).select("sh").distinct()
+      sh5(trainDocs).distinct()
+        .join(broadcast(testSh), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    }),
+
+    // -- PII scrubbing: count + redact emails and phone-like numbers -------
+    // deterministic PII is appended to every doc (both engines build the
+    // same augmented text) so the scrubber always has work to verify
+    "t11_pii_scrub" -> ((s, d) => {
+      val aug = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now"))
+      val email = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+      val phone = "555-[0-9][0-9][0-9][0-9]"
+      documents(s, d).select(
+        col("doc_id"),
+        regexp_count(aug, lit(email)).as("n_emails"),
+        regexp_count(aug, lit(phone)).as("n_phones"),
+        regexp_replace(regexp_replace(aug, email, "<EMAIL>"), phone, "<PHONE>")
+          .as("clean"))
+    }),
+
+    // -- repetition filter (quality heuristic a la Gopher): flag documents
+    // dominated by a single 2-gram or by duplicated 3-grams ----------------
+    "t12_repetition" -> ((s, d) => {
+      def grams(n: Int): Column = explode(when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+      val doc = documents(s, d)
+      val a2 = doc.select(col("doc_id"), grams(2).as("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(max(col("count")).as("top2"), sum(col("count")).as("tot2"))
+      val a3 = doc.select(col("doc_id"), grams(3).as("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(coalesce(sum(when(col("count") >= 2, col("count"))), lit(0L)).as("dup3"),
+          sum(col("count")).as("tot3"))
+      a2.join(a3, "doc_id").select(
+        col("doc_id"),
+        round(col("top2").cast("double") / col("tot2"), 4).as("top_2gram_frac"),
+        round(col("dup3").cast("double") / col("tot3"), 4).as("dup_3gram_frac"),
+        when(col("top2").cast("double") / col("tot2") > 0.08 ||
+          col("dup3").cast("double") / col("tot3") > 0.3, 1).otherwise(0).as("repetitive"))
+    })
   )
 
   private def sqlVotes(set: Seq[String], name: String) =
@@ -180,6 +245,50 @@ object TextOps {
         |FROM (SELECT lang, text, unnest(generate_series(1, length(text) - 2)) AS i
         |      FROM documents)
         |GROUP BY lang, substr(text, i, 3)
-        |HAVING COUNT(*) >= 50""".stripMargin
+        |HAVING COUNT(*) >= 50""".stripMargin,
+    "t10_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |test AS (SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS sh
+        |         FROM (SELECT w, unnest(generate_series(1, len(w) - 4)) AS i
+        |               FROM w WHERE doc_id % 100 = 0)),
+        |train AS (SELECT doc_id, w FROM w WHERE doc_id % 100 <> 0
+        |          UNION ALL
+        |          SELECT doc_id + 300000, w[1:greatest(len(w) - 2, 1)]
+        |          FROM w WHERE doc_id % 100 = 0),
+        |tsh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+        |              FROM train))
+        |SELECT doc_id, COUNT(*) AS n_hits FROM tsh JOIN test USING (sh)
+        |GROUP BY doc_id""".stripMargin,
+    "t11_pii_scrub" ->
+      """WITH a AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-'
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS n_emails,
+        |  len(regexp_extract_all(aug, '555-[0-9][0-9][0-9][0-9]')) AS n_phones,
+        |  regexp_replace(regexp_replace(aug, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+        |                 '555-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS clean
+        |FROM a""".stripMargin,
+    "t12_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM
+        |        (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        |         FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM w))
+        |       GROUP BY doc_id, g),
+        |a2 AS (SELECT doc_id, MAX(c) AS top2, SUM(c) AS tot2 FROM c2 GROUP BY doc_id),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM
+        |        (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |         FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM w))
+        |       GROUP BY doc_id, g),
+        |a3 AS (SELECT doc_id, coalesce(SUM(CASE WHEN c >= 2 THEN c END), 0) AS dup3,
+        |              SUM(c) AS tot3 FROM c3 GROUP BY doc_id)
+        |SELECT a2.doc_id AS doc_id,
+        |  round(CAST(top2 AS DOUBLE) / tot2, 4) AS top_2gram_frac,
+        |  round(CAST(dup3 AS DOUBLE) / tot3, 4) AS dup_3gram_frac,
+        |  CASE WHEN CAST(top2 AS DOUBLE) / tot2 > 0.08
+        |         OR CAST(dup3 AS DOUBLE) / tot3 > 0.3 THEN 1 ELSE 0 END AS repetitive
+        |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id""".stripMargin
   )
 }
