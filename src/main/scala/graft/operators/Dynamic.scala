@@ -83,6 +83,12 @@ object Dynamic {
     // -- A3 + J9: marker-kmer vote + containment dedup ---------------------
     // Corpus augmented with strict substrings (doc_id + 200000) the dedup
     // must remove; survivors are the maximal contigs.
+    // Scale shape: the PROBE side samples one marker per contig (the
+    // reference samples a few, `ReflexivDSDynamicKmerDedup.java:2206`) —
+    // a contained contig's first canonical k-mer necessarily appears in
+    // its container's full marker set, so one probe marker finds every
+    // true containment while the probe table stays O(contigs), not
+    // O(total bases).
     "j9_contig_dedup" -> ((s, d) => {
       import s.implicits._
       val doc = documents(s, d)
@@ -95,7 +101,12 @@ object Dynamic {
           KmerIter.canonicalLong(seq, 21).map(kv => (cid, KmerCodec.decodeLong(kv, 21)))
         }
         .toDF("cid", "mk").distinct()
-      val a = markers.join(withLen.select(col("cid"), col("len").as("la"),
+      val probes = withLen.select(col("cid"), col("seq")).as[(Long, String)]
+        .flatMap { case (cid, seq) =>
+          KmerIter.canonicalLong(seq, 21).take(1).map(kv => (cid, KmerCodec.decodeLong(kv, 21)))
+        }
+        .toDF("cid", "mk")
+      val a = probes.join(withLen.select(col("cid"), col("len").as("la"),
         col("seq").as("sa")), "cid")
         .select(col("cid").as("ca"), col("mk"), col("la"), col("sa"))
       val b = markers.join(withLen.select(col("cid"), col("len").as("lb"),

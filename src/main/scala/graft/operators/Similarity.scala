@@ -85,7 +85,7 @@ object Similarity {
       scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("vec_id").as("neighbor"), col("rnk").cast("long").as("rnk"),
-          round(col("c"), 4).as("score"))
+          (round(col("c"), 4) + lit(0.0)).as("score"))
     }),
 
     // -- banded-LSH ANN: candidates from ANY of `Bands` sign-hash tables,
@@ -106,7 +106,7 @@ object Similarity {
         .withColumn("c", dot(col("v"), col("v2")) / sqrt(col("n2") * col("m2")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
-        .select(col("vec_id"), col("neighbor"), col("rnk").cast("long").as("rnk"), round(col("c"), 4).as("score"))
+        .select(col("vec_id"), col("neighbor"), col("rnk").cast("long").as("rnk"), (round(col("c"), 4) + lit(0.0)).as("score"))
     }),
 
     // -- embedding-cosine near-dup: bucketed pairs above threshold ---------
@@ -123,7 +123,7 @@ object Similarity {
       aug.join(r, col("bkt") === col("bkt2") && col("vec_id") < col("b"))
         .withColumn("c", dot(col("v"), col("v2")) / sqrt(col("n2") * col("m2")))
         .filter(col("c") >= 0.999)
-        .select(col("vec_id").as("a"), col("b"), round(col("c"), 4).as("score"))
+        .select(col("vec_id").as("a"), col("b"), (round(col("c"), 4) + lit(0.0)).as("score"))
     }),
 
     // -- IVF ANN: coarse quantizer (broadcast centroids) + in-cell search --
@@ -152,7 +152,7 @@ object Similarity {
         .withColumn("rnk", row_number().over(wTop))
         .filter(col("rnk") <= 3)
         .select(col("q_id"), col("vec_id").as("neighbor"), col("rnk").cast("long").as("rnk"),
-          round(col("c"), 4).as("score"))
+          (round(col("c"), 4) + lit(0.0)).as("score"))
     }),
 
     // -- per-vector L2 norm + bucket id (sanity surface for the ANN path) --
@@ -191,7 +191,7 @@ object Similarity {
         |r AS (SELECT q_id, neighbor, c,
         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor) AS rnk
         |      FROM sc)
-        |SELECT q_id, neighbor, rnk, round(c, 4) AS score FROM r WHERE rnk <= 5""".stripMargin,
+        |SELECT q_id, neighbor, rnk, round(c, 4) + 0 AS score FROM r WHERE rnk <= 5""".stripMargin,
     "s2_knn_bucket" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
@@ -207,7 +207,7 @@ object Similarity {
          |r AS (SELECT vec_id, neighbor, c,
          |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, neighbor) AS rnk
          |      FROM sc)
-         |SELECT vec_id, neighbor, rnk, round(c, 4) AS score FROM r WHERE rnk <= 3""".stripMargin,
+         |SELECT vec_id, neighbor, rnk, round(c, 4) + 0 AS score FROM r WHERE rnk <= 3""".stripMargin,
     "s4_embedding_neardup" ->
       s"""WITH aug AS (
          |  SELECT vec_id, embedding FROM embeddings
@@ -218,7 +218,7 @@ object Similarity {
          |sc AS (SELECT a.vec_id AS a, b.vec_id AS b,
          |         list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) AS c
          |       FROM n a JOIN n b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
-         |SELECT a, b, round(c, 4) AS score FROM sc WHERE c >= 0.999""".stripMargin,
+         |SELECT a, b, round(c, 4) + 0 AS score FROM sc WHERE c >= 0.999""".stripMargin,
     "s5_ivf_ann" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
@@ -237,7 +237,7 @@ object Similarity {
         |r AS (SELECT q_id, neighbor, c,
         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor) AS rnk
         |      FROM sc)
-        |SELECT q_id, neighbor, rnk, round(c, 4) AS score FROM r WHERE rnk <= 3""".stripMargin,
+        |SELECT q_id, neighbor, rnk, round(c, 4) + 0 AS score FROM r WHERE rnk <= 3""".stripMargin,
     "s3_vector_stats" ->
       s"""SELECT vec_id, label,
          |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2,
