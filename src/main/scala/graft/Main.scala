@@ -149,12 +149,13 @@ object Main {
         val kList = opt(args, "-klist", "23,31,41,53,67,81,95")
           .split(",").map(_.trim.toInt).toSeq
         val contigs = Pipelines.dynamicAssembly(
-          spark, reads, kList, s"$out/stages", minCov = 1, minContig = minContig)
+          spark, reads, kList, s"$out/stages", minCov = minCov,
+          minContig = minContig, minError = minError)
         Fastq.writeFasta(contigs.toDF("contig"), s"$out/Assembly")
         println(s"[graft] meta: wrote $out/Assembly (stages under $out/stages)")
       case "reassemble" =>
         val contigs = Pipelines.reassemble(spark, contigInput(), reads, k,
-          minCov = minCov, minContig = minContig)
+          minCov = minCov, minContig = minContig, minError = minError)
         Fastq.writeFasta(contigs.toDF("contig"), s"$out/Assembly")
         println(s"[graft] reassemble: wrote $out/Assembly")
       case "mercy" =>

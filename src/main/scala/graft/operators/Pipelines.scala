@@ -41,7 +41,8 @@ object Pipelines {
     * covered k-mers in an earlier round). */
   def dynamicAssembly(spark: SparkSession, reads: Dataset[String],
                       kList: Seq[Int], workDir: String,
-                      minCov: Int = 1, minContig: Int = 0): Dataset[String] = {
+                      minCov: Int = 1, minContig: Int = 0,
+                      minError: Int = 0): Dataset[String] = {
     import spark.implicits._
     val runner = new StageRunner(spark, workDir)
     val ks = kList.sorted
@@ -56,8 +57,14 @@ object Pipelines {
       val reduced = runner.stage(s"count_k${k}_reduced") {
         val fromReads = multik.filter(col("k") === k)
           .select("kb", "count").filter(col("count") >= minCov)
+        // bridge k-mers carry the same trust boost reassemble() uses: the
+        // previous round's contigs already passed their coverage gate, so
+        // at a fork between a contig path and a recurrent read error the
+        // fork filter must keep the contig path (at large k the raw
+        // bridge occurrence is 1 and would otherwise lose the fork).
         val bridge = contigs.flatMap(c => KmerIter.canonicalBlocks(c, k))
           .toDF("kb").groupBy("kb").count()
+          .select(col("kb"), (col("count") + lit(1L << 40)).as("count"))
           .join(fromReads.select("kb"), Seq("kb"), "left_anti")
         fromReads.unionAll(bridge)
       }
@@ -66,7 +73,7 @@ object Pipelines {
       // round's contigs stage has landed
       val ckpt = Some(s"$workDir/assemble_k$k")
       contigs = runner.stage(s"contigs_k$k") {
-        assembleBlocks(reduced, k, ckpt).toDF("contig")
+        assembleBlocks(reduced, k, ckpt, minError).toDF("contig")
       }.select(col("contig")).as[String]
       runner.clean(s"assemble_k$k")
     }
@@ -76,15 +83,18 @@ object Pipelines {
   /** Dispatch block-form canonical counts `(kb: Array[Long], count)` to the
     * packed-Long assembler (k <= 31) or the wide-block assembler. */
   private def assembleBlocks(counts: DataFrame, k: Int,
-                             ckptDir: Option[String]): Dataset[String] = {
+                             ckptDir: Option[String],
+                             minError: Int = 0): Dataset[String] = {
     val s = counts.sparkSession
     import s.implicits._
     if (k <= 31) {
       val longCounts = counts.as[(Array[Long], Long)]
         .map { case (kb, c) => (KmerCodec.blocksPrefixLong(kb, k), c) }
         .toDF("kv", "count")
-      Assembler.assemble(longCounts, k, minCov = 1, ckptDir = ckptDir)
-    } else AssemblerWide.assemble(counts, k, minCov = 1, ckptDir = ckptDir)
+      Assembler.assemble(longCounts, k, minCov = 1, ckptDir = ckptDir,
+        minError = minError)
+    } else AssemblerWide.assemble(counts, k, minCov = 1, ckptDir = ckptDir,
+      minError = minError)
   }
 
   /** Reassembler (the reference's `ReflexivDSReAssembler.java:112,350`
@@ -97,7 +107,8 @@ object Pipelines {
     * anything already assembled. */
   def reassemble(spark: SparkSession, contigs: Dataset[String],
                  reads: Dataset[String], k: Int, minCov: Int = 1,
-                 minContig: Int = 0, ckptDir: Option[String] = None): Dataset[String] = {
+                 minContig: Int = 0, ckptDir: Option[String] = None,
+                 minError: Int = 0): Dataset[String] = {
     import spark.implicits._
     // Trust boost: seed k-mers carry a count far above any physical read
     // coverage, so at a fork between the existing contig path and a novel
@@ -112,7 +123,7 @@ object Pipelines {
       .toDF("kb").groupBy("kb").count()
       .filter(col("count") >= minCov)
       .join(seed.select("kb"), Seq("kb"), "left_anti")
-    assembleBlocks(seed.unionAll(novel), k, ckptDir)
+    assembleBlocks(seed.unionAll(novel), k, ckptDir, minError)
       .filter((c: String) => c.length >= minContig)
   }
 

@@ -130,6 +130,33 @@ class GenericOpsSpec extends AnyFunSuite {
     assert(noRule.map(_.length).max >= p.length + v1.length - 2 * k)
   }
 
+  test("inverted repeat cannot hairpin into the reverse strand under minError") {
+    import spark.implicits._
+    val k = 21
+    val r = randGenome(30, seed = 113) // inverted repeat, k-1 <= |r| < 2k
+    val g = randGenome(150, seed = 127) + r + randGenome(100, seed = 131) +
+      rcStr(r) + randGenome(150, seed = 137)
+    val rds = (1 to 5).flatMap(_ =>
+      ((0 to g.length - 60 by 5) :+ (g.length - 60)).distinct.map { i =>
+        val w = g.substring(i, i + 60); if (i % 2 == 0) w else rcStr(w)
+      })
+    val counts = Genomics.countCanonical(rds.toDS(), k).localCheckpoint()
+    // contested forks at the repeat junctions -> every contig stays on one
+    // strand (a substring of g or rc(g)); without the rule the max-coverage
+    // winner can walk into the reverse strand and emit a hairpin chimera
+    val out = Assembler.assemble(counts, k, minCov = 1, maxIter = 60,
+      minError = 8).collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach(c => assert(g.contains(c) || rcStr(g).contains(c),
+      s"chimeric contig of length ${c.length}"))
+    // the dynamic ladder then bridges the break: k=41 has k-1 > |r|, so the
+    // repeat is no longer a fork and the genome reconstructs end-to-end
+    val dir = java.nio.file.Files.createTempDirectory("graft-ladder").toString
+    val contigs = Pipelines.dynamicAssembly(spark, rds.toDS(), Seq(21, 41),
+      dir, minCov = 1, minError = 8).collect().toSeq
+    assert(contigs.contains(canonStr(g)))
+  }
+
   test("popBubbles=false keeps both bubble arms as separate contigs") {
     import spark.implicits._
     val k = 31
