@@ -8,26 +8,44 @@ import graft.core.KmerCodec
 import graft.sources.StageRunner
 
 /** Wide-k assembly (k > 32): the same fork-filter + randomized-contraction
-  * algorithm as [[Assembler]], with (k-1)-mer endpoint keys as strings and
-  * sequences in 2-bit block form (the reference's 64-bit variants,
+  * algorithm as [[Assembler]], with (k-1)-mer endpoint keys AND sequences
+  * in 2-bit block form (the reference's 64-bit variants,
   * `ReflexivDSMain64.java` / `ReflexivDSDynamicKmer64.java`, cover this
   * regime with `long[]` keys; the dynamic ladder runs to k=95).
   *
-  * Keys shuffle as (k-1)-byte strings here — correctness-first; packing
-  * the keys as `Seq[Long]` blocks is a straight swap if the shuffle volume
-  * ever dominates (sequences already travel packed).
+  * Endpoint keys shuffle as packed `Array[Long]` blocks — 24 B at k=95
+  * vs 94 B as a string — so per-round shuffle volume stays ~4x smaller
+  * in the wide regime. Arrays have reference equality on the JVM, so
+  * every content comparison below goes through `java.util.Arrays.equals`
+  * / `KmerCodec.compareBlocks`, and group keys are wrapped `.toSeq`
+  * (content hash/equality) right before the shuffle.
   */
 object AssemblerWide {
 
-  /** A path fragment with string endpoints + block-packed sequence. */
-  case class FragW(head: String, tail: String, seq: Array[Long])
+  /** A path fragment with block-packed endpoints + sequence. */
+  case class FragW(head: Array[Long], tail: Array[Long], seq: Array[Long])
+
+  private def hashBlocks(b: Array[Long]): Long = {
+    var h = 0x165667B19E3779F9L
+    var i = 0
+    while (i < b.length) { h = (h + b(i)) * 0x9E3779B97F4A7C15L; i += 1 }
+    h
+  }
 
   private def coin(f: FragW, iter: Int): Boolean = {
-    var h = f.head.hashCode.toLong * 0x9E3779B97F4A7C15L +
-      f.tail.hashCode.toLong * 0xC2B2AE3D27D4EB4FL +
+    var h = hashBlocks(f.head) * 0x9E3779B97F4A7C15L +
+      hashBlocks(f.tail) * 0xC2B2AE3D27D4EB4FL +
       iter.toLong * 0x165667B19E3779F9L
     h ^= h >>> 31; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 29
     (h & 1L) == 0L
+  }
+
+  /** Deterministic content ordering for the merge pairing. */
+  private val fragOrd: Ordering[FragW] = new Ordering[FragW] {
+    def compare(a: FragW, b: FragW): Int = {
+      val c = KmerCodec.compareBlocks(a.head, b.head)
+      if (c != 0) c else KmerCodec.compareBlocks(a.tail, b.tail)
+    }
   }
 
   /** P6 + J2 for block-encoded counts `(kb: Array[Long], count)`; see
@@ -55,13 +73,14 @@ object AssemblerWide {
     frags
       .map { f =>
         val h = coin(f, iter)
-        (if (h) f.tail else f.head, h, f)
+        // Seq wrapper: content-based equality/hash for the group key
+        ((if (h) f.tail else f.head).toSeq, h, f)
       }
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val (hs, ts) = it.toSeq.partition(_._2)
-        val heads = hs.map(_._3).sortBy(f => (f.head, f.tail))
-        val tails = ts.map(_._3).sortBy(f => (f.head, f.tail))
+        val heads = hs.map(_._3).sorted(fragOrd)
+        val tails = ts.map(_._3).sorted(fragOrd)
         val merged = heads.zip(tails).map { case (a, b) =>
           val lenB = KmerCodec.lengthOf(b.seq)
           FragW(a.head, b.tail,
@@ -91,8 +110,11 @@ object AssemblerWide {
       val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k,
         popBubbles, minError)
       edges.select("kmer").as[String]
-        .map(km => FragW(km.substring(0, k - 1), km.substring(1),
-          KmerCodec.encodeBlocks(km)))
+        .map { km =>
+          val blocks = KmerCodec.encodeBlocks(km)
+          FragW(KmerCodec.sliceBlocks(blocks, 0, k - 1),
+            KmerCodec.sliceBlocks(blocks, 1, k), blocks)
+        }
     }
     def durable(name: String, ds: => Dataset[FragW]): Dataset[FragW] =
       runner.get.stage(name)(ds.toDF()).as[FragW]
@@ -111,8 +133,9 @@ object AssemblerWide {
       if (n <= localThreshold) {
         // last-mile local contraction (see Assembler.contractChains)
         frags = frags.coalesce(1).mapPartitions { it =>
-          Assembler.contractChains(it.map(f => (f.head, f.tail, f.seq)).toArray, k)
-            .map { case (h, t, sq) => FragW(h, t, sq) }
+          Assembler.contractChains(
+            it.map(f => (f.head.toSeq, f.tail.toSeq, f.seq)).toArray, k)
+            .map { case (h, t, sq) => FragW(h.toArray, t.toArray, sq) }
         }
         done = true
       } else {
@@ -134,7 +157,8 @@ object AssemblerWide {
           frags = ckpt
           n = ckpt.count()
           if (n == lastCount) {
-            val open = ckpt.filter(f => f.head != f.tail).toDF()
+            val open = ckpt
+              .filter(f => !java.util.Arrays.equals(f.head, f.tail)).toDF()
             done = open.select(col("tail")).intersect(open.select(col("head")))
               .isEmpty
           }
@@ -145,7 +169,7 @@ object AssemblerWide {
     frags
       .map { f =>
         val fw = KmerCodec.decodeBlocks(f.seq)
-        if (f.head == f.tail && fw.length > k - 1) {
+        if (java.util.Arrays.equals(f.head, f.tail) && fw.length > k - 1) {
           val core = fw.substring(0, fw.length - (k - 1))
           val rcCore = core.reverse.map {
             case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
