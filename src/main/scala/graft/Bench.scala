@@ -21,8 +21,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warm the parquet reader + codegen + typed-pipeline paths outside any
-    // timing (the first query otherwise absorbs encoder/codegen JIT cost)
+    // timing (the first query otherwise absorbs encoder/codegen JIT cost),
+    // then pull every table's raw bytes through the page cache via
+    // binaryFile (no parquet decode — events has a TIMESTAMP(NANOS) column
+    // a full SELECT * cannot read). A cold documents/embeddings file once
+    // skewed a timed query 5x.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.format("binaryFile").load(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+    }
     locally {
       import spark.implicits._
       val warm = graft.operators.Genomics.countCanonical(
