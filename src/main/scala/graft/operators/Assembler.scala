@@ -283,31 +283,37 @@ object Assembler {
     }
     frags
       .map { f =>
-        val fw = KmerCodec.decodeBlocks(f.seq)
-        if (f.head == f.tail && fw.length > k - 1) {
-          // closed cycle: the two strands open at independent rotations, so
-          // plain min(fw, rc) cannot dedup them — normalize the cycle core
-          // to its minimal rotation (over both strands) and re-append the
-          // k-1 wrap bases
-          val core = fw.substring(0, fw.length - (k - 1))
-          val rcCore = core.reverse.map {
-            case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
-          }
-          val m1 = minRotation(core)
-          val m2 = minRotation(rcCore)
-          val m = if (m1 <= m2) m1 else m2
-          // the k-1 wrap overhang repeats the core cyclically — a cycle
-          // whose core is shorter than k-1 (tandem repeat with period
-          // < k-1, e.g. poly-A) must wrap around the core more than once
-          m + (m * ((k - 2) / m.length + 1)).substring(0, k - 1)
-        } else {
-          val rc = KmerCodec.decodeBlocks(KmerCodec.rcBlocks(f.seq))
-          if (fw <= rc) fw else rc
-        }
+        normalizeContig(KmerCodec.decodeBlocks(f.seq),
+          KmerCodec.decodeBlocks(KmerCodec.rcBlocks(f.seq)),
+          closed = f.head == f.tail, k)
       }
       .distinct()
       .filter(c => c.length >= minContig)
   }
+
+  /** Canonical contig string from a contracted fragment's decoded
+    * sequence. Open paths: min(fw, rc) — each unitig assembles on both
+    * strands and must dedup to one row. Closed cycles (head == tail): the
+    * two strands open at independent rotations, so plain min(fw, rc)
+    * cannot dedup them — normalize the cycle core to its minimal rotation
+    * over both strands and re-append the k-1 wrap (wrapping cyclically:
+    * a core shorter than k-1, i.e. a tandem repeat of period < k-1, must
+    * wrap around more than once). Shared by both k regimes. */
+  private[operators] def normalizeContig(fw: String, rcOf: => String,
+                                         closed: Boolean, k: Int): String =
+    if (closed && fw.length > k - 1) {
+      val core = fw.substring(0, fw.length - (k - 1))
+      val rcCore = core.reverse.map {
+        case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
+      }
+      val m1 = minRotation(core)
+      val m2 = minRotation(rcCore)
+      val m = if (m1 <= m2) m1 else m2
+      m + (m * ((k - 2) / m.length + 1)).substring(0, k - 1)
+    } else {
+      val rc = rcOf
+      if (fw <= rc) fw else rc
+    }
 
   /** Booth's algorithm: lexicographically minimal rotation in O(n). */
   private[operators] def minRotation(s: String): String = {

@@ -168,22 +168,9 @@ object AssemblerWide {
     }
     frags
       .map { f =>
-        val fw = KmerCodec.decodeBlocks(f.seq)
-        if (java.util.Arrays.equals(f.head, f.tail) && fw.length > k - 1) {
-          val core = fw.substring(0, fw.length - (k - 1))
-          val rcCore = core.reverse.map {
-            case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
-          }
-          val m1 = Assembler.minRotation(core)
-          val m2 = Assembler.minRotation(rcCore)
-          val m = if (m1 <= m2) m1 else m2
-          // cyclic wrap: cores shorter than k-1 (period < k-1 tandem
-          // repeats) wrap around the core more than once
-          m + (m * ((k - 2) / m.length + 1)).substring(0, k - 1)
-        } else {
-          val rc = KmerCodec.decodeBlocks(KmerCodec.rcBlocks(f.seq))
-          if (fw <= rc) fw else rc
-        }
+        Assembler.normalizeContig(KmerCodec.decodeBlocks(f.seq),
+          KmerCodec.decodeBlocks(KmerCodec.rcBlocks(f.seq)),
+          closed = java.util.Arrays.equals(f.head, f.tail), k)
       }
       .distinct()
       .filter(c => c.length >= minContig)

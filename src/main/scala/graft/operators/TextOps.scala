@@ -131,8 +131,12 @@ object TextOps {
             i => concat_ws(" ", slice(ws, i, lit(5)))))
           .otherwise(array().cast("array<string>"))).as("sh"))
       val testSh = sh5(testDocs).select("sh").distinct()
-      sh5(trainDocs).distinct()
+      // join BEFORE dedup: the broadcast join keeps only matching shingles
+      // (a tiny fraction of the corpus), so the distinct shuffles hits,
+      // not the whole training shingle table
+      sh5(trainDocs)
         .join(broadcast(testSh), "sh")
+        .distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     }),
 
