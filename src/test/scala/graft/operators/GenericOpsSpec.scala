@@ -157,6 +157,34 @@ class GenericOpsSpec extends AnyFunSuite {
     assert(contigs.contains(canonStr(g)))
   }
 
+  test("fuzz: local and distributed contraction agree on random genome mixes") {
+    import spark.implicits._
+    for (seed <- Seq(211, 223, 227)) {
+      val rnd = new scala.util.Random(seed)
+      val k = if (seed % 2 == 0) 25 else 33 // straddle the Long/wide boundary
+      val genomes = (0 until 3).map(_ => randGenome(150 + rnd.nextInt(300), rnd.nextLong()))
+      val rds = genomes.flatMap { g =>
+        ((0 to g.length - 70 by 6) :+ (g.length - 70)).distinct.map { i =>
+          val w = g.substring(i, i + 70); if (rnd.nextBoolean()) w else rcStr(w)
+        }
+      }
+      if (k <= 31) {
+        val counts = Genomics.countCanonical(rds.toDS(), k).localCheckpoint()
+        val local = Assembler.assemble(counts, k, minCov = 1, maxIter = 80).collect().toSet
+        val dist = Assembler.assemble(counts, k, minCov = 1, maxIter = 80,
+          localThreshold = 0).collect().toSet
+        assert(local == dist, s"seed=$seed k=$k")
+      } else {
+        val counts = rds.toDS().flatMap(r => KmerIter.canonicalBlocks(r, k))
+          .toDF("kb").groupBy("kb").count().localCheckpoint()
+        val local = AssemblerWide.assemble(counts, k, minCov = 1, maxIter = 80).collect().toSet
+        val dist = AssemblerWide.assemble(counts, k, minCov = 1, maxIter = 80,
+          localThreshold = 0).collect().toSet
+        assert(local == dist, s"seed=$seed k=$k")
+      }
+    }
+  }
+
   test("popBubbles=false keeps both bubble arms as separate contigs") {
     import spark.implicits._
     val k = 31
