@@ -45,10 +45,33 @@ object Main {
   private def opt(args: Array[String], name: String, dflt: String): String =
     args.sliding(2).collectFirst { case Array(`name`, v) => v }.getOrElse(dflt)
 
+  private val knownOpts = Set(
+    "-fastq", "-fastq2", "-fasta", "-contig", "-kmerc", "-kmerc1", "-kmerc2",
+    "-sam", "-outfile", "-kmer", "-klist", "-cover", "-maxcov", "-error",
+    "-mincontig", "-maxiter", "-clipf", "-clipe", "-minlength", "-reads",
+    "-partition", "-partitionredu", "-overlap",
+    "-bubble", "-gzip", "-single", "-inter", "-paired", "-exact-fastq")
+
+  /** Typo guard: an unrecognized -option is silently inert with positional
+    * sliding parsing, which can quietly run a job with default settings —
+    * surface it loudly (warn, not fail: option values may start with '-'). */
+  private def warnUnknown(args: Array[String]): Unit = {
+    val taking = knownOpts -- Set("-bubble", "-gzip", "-single", "-inter",
+      "-paired", "-exact-fastq") // flags take no value
+    val skipIdx = args.zipWithIndex.collect {
+      case (a, i) if taking(a) => i + 1
+    }.toSet
+    args.zipWithIndex.drop(1).foreach { case (a, i) =>
+      if (a.startsWith("-") && !knownOpts(a) && !skipIdx(i))
+        System.err.println(s"[graft] WARNING: unrecognized option '$a' (ignored)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: graft.Main <counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend> [options]")
     val cmd = args.head
+    warnUnknown(args)
     val fastq = opt(args, "-fastq", "/root/reference/example/*.fq.gz")
     val out = opt(args, "-outfile", "/root/repo/target/graft_cli_out")
     val k = opt(args, "-kmer", "31").toInt
