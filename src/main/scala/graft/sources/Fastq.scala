@@ -74,44 +74,37 @@ object Fastq {
     reads.filter(r => r.length >= minLen && r.length < maxLen &&
       r.nonEmpty && "ACGTN".indexOf(r.charAt(0)) >= 0)
 
-  /** S4: multi-line FASTA -> (id, seq). Distributed segmented prefix-sum:
-    * one narrow pass collects per-partition (line, header) counts — a
-    * numPartitions-sized array on the driver — then every partition tags
-    * its lines with exact global line/record ids in parallel; the record
-    * assembly is an ordinary hash groupBy. No global-order window, no
-    * single-task stage (VERDICT r2 "what's wrong" #3).
-    *
-    * Caveat: assumes partition order follows record order, which holds for
-    * whole files under `maxPartitionBytes` (our sink always writes whole
-    * records into one file); a single FASTA file large enough to be split
-    * mid-record can interleave with other files' splits. */
+  /** S4: multi-line FASTA -> (id, seq), split-safe and fully parallel: the
+    * Hadoop line reader runs with a custom record delimiter `"\n>"`, so
+    * every input record IS one whole FASTA entry regardless of where HDFS
+    * block/split boundaries fall — a reader that starts mid-record skips
+    * forward to the next delimiter and the previous split reads through,
+    * exactly like ordinary line splitting. No driver-side offset pass, no
+    * partition-order assumption, and a single 100 GB FASTA file parallels
+    * across all executors. */
   def readFasta(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val lines = spark.read.text(path).as[String].rdd
-    val stats = lines.mapPartitions { it =>
-      var n = 0L; var h = 0L
-      it.foreach { l => n += 1; if (l.startsWith(">")) h += 1 }
-      Iterator.single((n, h))
-    }.collect()
-    val lineOff = stats.map(_._1).scanLeft(0L)(_ + _)
-    val headOff = stats.map(_._2).scanLeft(0L)(_ + _)
-    val tagged = lines.mapPartitionsWithIndex { (pi, it) =>
-      var idx = lineOff(pi); var rec = headOff(pi)
-      it.map { l =>
-        if (l.startsWith(">")) rec += 1
-        val t = (rec, idx, l); idx += 1; t
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "\n>")
+    spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map(_._2.toString)
+      .toDS()
+      .filter(r => r.nonEmpty && r != ">")
+      .map { rec =>
+        // only the file's first record keeps its leading '>'
+        val body = if (rec.startsWith(">")) rec.substring(1) else rec
+        val nl = body.indexOf('\n')
+        if (nl < 0) (body, "")
+        else (body.substring(0, nl),
+          body.substring(nl + 1).replace("\n", "").replace("\r", ""))
       }
-    }.toDF("rec", "idx", "line")
-    tagged
-      .groupBy("rec")
-      .agg(
-        min(when(col("line").startsWith(">"), col("line"))).as("id"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("idx"), col("line")))),
-          s => when(s.getField("line").startsWith(">"), lit("")).otherwise(s.getField("line"))),
-          "").as("seq"))
-      .filter(col("id").isNotNull)
-      .select(regexp_replace(col("id"), "^>", "").as("id"), col("seq"))
+      .toDF("id", "seq")
+      .filter(col("seq") =!= "")
   }
 
   // --------------------------------------------------------------- sinks

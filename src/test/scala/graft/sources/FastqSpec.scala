@@ -44,6 +44,29 @@ class FastqSpec extends AnyFunSuite {
     assert(back.head._1 == "Contig-1-250") // sorted order: A^250 first
   }
 
+  test("readFasta is split-safe: records spanning forced input splits survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val recs = Seq.tabulate(200)(i =>
+      (s"rec$i", Array.fill(300)("ACGT"(rnd.nextInt(4))).mkString))
+    val dir = tmpDir() + "/bigfa"
+    // one physical file, records wrapped at 100 cols
+    recs.map { case (id, s) => s">$id\n" + s.grouped(100).mkString("\n") }
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val old = Option(hc.get(key))
+    hc.set(key, "4096") // ~62KB file -> ~15 splits, most mid-record
+    try {
+      val back = Fastq.readFasta(spark, dir)
+        .as[(String, String)].collect().toMap
+      assert(back == recs.toMap)
+    } finally old match {
+      case Some(v) => hc.set(key, v)
+      case None => hc.unset(key)
+    }
+  }
+
   test("paired FASTQ pairs mates positionally and interleaves") {
     import spark.implicits._
     val m1 = Seq.tabulate(30)(i => "ACGT" * 6 + "AC" + "GT" * (i % 5))
