@@ -68,20 +68,28 @@ object Assembler {
     * survive, so both bubble arms surface as separate contigs. */
   private[operators] def resolveForks(edges: DataFrame, popBubbles: Boolean,
                                       minError: Int): DataFrame = {
+    // Hash aggregation, not a window: node degree is <= 4 (one edge per
+    // base), so each group collapses to a tiny sorted array — map-side
+    // partial aggregation and no per-partition sort, which matters because
+    // the fork filter runs over the full k-mer table, the largest dataset
+    // in the pipeline. Sort key (-count, kmer) asc == the old window's
+    // (count desc, kmer asc), so winners (incl. tie-breaks) are identical.
     def side(df: DataFrame, key: String): DataFrame = {
-      val w = Window.partitionBy(key)
-      val wOrd = w.orderBy(col("count").desc, col("kmer"))
-      if (minError <= 0)
-        df.withColumn("rn", row_number().over(wOrd))
-          .filter(col("rn") === 1).drop("rn")
-      else
-        df.withColumn("rn", row_number().over(wOrd))
-          .withColumn("wc", max(col("count")).over(w))
-          .withColumn("contested", max(when(col("rn") > 1 &&
-            (col("count") > minError || col("wc") < col("count") * 2), lit(1))
-            .otherwise(lit(0))).over(w))
-          .filter(col("contested") === 0 && col("rn") === 1)
-          .drop("rn", "wc", "contested")
+      val grouped = df
+        .groupBy(col(key).as("gk"))
+        .agg(sort_array(collect_list(struct((-col("count")).as("nc"),
+          col("kmer"), col("count"), col("prefix"), col("suffix")))).as("es"))
+      val winner = element_at(col("es"), 1)
+      val kept =
+        if (minError <= 0) grouped
+        else grouped.filter(!exists(
+          slice(col("es"), lit(2), greatest(size(col("es")) - 1, lit(0))),
+          x => x.getField("count") > minError ||
+            winner.getField("count") < x.getField("count") * 2))
+      kept.select(winner.getField("kmer").as("kmer"),
+        winner.getField("count").as("count"),
+        winner.getField("prefix").as("prefix"),
+        winner.getField("suffix").as("suffix"))
     }
     val resolved =
       if (popBubbles) side(side(edges, "prefix"), "suffix")
