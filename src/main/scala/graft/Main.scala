@@ -68,8 +68,20 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty,
-      "usage: graft.Main <counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend> [options]")
+    val usage =
+      """usage: graft.Main <counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend> [options]
+        |  inputs : -fastq <glob> [-fastq2 <glob>] | -fasta <glob> | -contig <fasta> | -kmerc <csv> | -sam <sam>
+        |  tuning : -kmer N -klist a,b,c -cover N -maxcov N -error N -mincontig N -maxiter N
+        |           -clipf N -clipe N -minlength N -reads N -partition N -partitionredu N -overlap N
+        |  flags  : -bubble (keep bubbles) -gzip -exact-fastq -single -inter -paired
+        |  output : -outfile <dir>""".stripMargin
+    require(args.nonEmpty, usage)
+    if (args.head == "-h" || args.head == "--help" || args.head == "-help") {
+      println(usage); return
+    }
+    if (args.head == "-version" || args.head == "--version") {
+      println("graft 0.3.0 (Spark " + org.apache.spark.SPARK_VERSION + ")"); return
+    }
     val cmd = args.head
     warnUnknown(args)
     val fastq = opt(args, "-fastq", "/root/reference/example/*.fq.gz")
