@@ -114,6 +114,35 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
     }),
 
+    // -- direct rare-n-gram Jaccard near-dup (no MinHash) ------------------
+    // A different recall profile from LSH: candidate pairs share at least
+    // one RARE shingle (document frequency 2..8). The df cap bounds every
+    // bucket at C(8,2) pairs, so the self-join stays cartesian-free no
+    // matter how large the corpus grows; ubiquitous shingles never
+    // generate candidates. Exact Jaccard verifies candidates, as in d4.
+    "d6_ngram_jaccard" -> ((s, d) => {
+      val sh = shingled(corpus(s, d)).localCheckpoint()
+      val sets = sh.distinct()
+      val rare = sets.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 8)).select("sh")
+      val cand = sets.join(rare, "sh")
+      val pairs = cand.select(col("sh"), col("doc_id").as("a"))
+        .join(cand.select(col("sh").as("sh2"), col("doc_id").as("b")),
+          col("sh") === col("sh2") && col("a") < col("b"))
+        .select("a", "b").distinct()
+      val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
+      val inter = pairs
+        .join(sets.select(col("doc_id").as("a"), col("sh")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("nsz").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("nsz").as("nb")), "b")
+        .select(col("a"), col("b"),
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }),
+
     // -- SimHash (16-bit) over word bags -----------------------------------
     "d5_simhash" -> ((s, d) => {
       val tok = documents(s, d).select(col("doc_id"), explode(words).as("w"))
@@ -187,6 +216,27 @@ object Dedup {
           |  JOIN sets sb ON sb.doc_id = p.b AND sa.sh = sb.sh
           |  GROUP BY p.a, p.b)""".stripMargin) +
         """
+          |SELECT i.a, i.b,
+          |  round(CAST(i.i AS DOUBLE) / (za.nsz + zb.nsz - i.i), 4) AS jaccard
+          |FROM inter i
+          |JOIN sizes za ON za.doc_id = i.a
+          |JOIN sizes zb ON zb.doc_id = i.b
+          |WHERE round(CAST(i.i AS DOUBLE) / (za.nsz + zb.nsz - i.i), 4) >= 0.5""".stripMargin),
+    "d6_ngram_jaccard" ->
+      (s"WITH $sqlCorpus,\n$sqlShingles,\n" +
+        """sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+          |rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sets GROUP BY sh)
+          |         WHERE df BETWEEN 2 AND 8),
+          |cand AS (SELECT s.doc_id, s.sh FROM sets s JOIN rare r ON s.sh = r.sh),
+          |npairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |           FROM cand x JOIN cand y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+          |sizes AS (SELECT doc_id, COUNT(*) AS nsz FROM sets GROUP BY doc_id),
+          |inter AS (
+          |  SELECT p.a, p.b, COUNT(*) AS i
+          |  FROM npairs p
+          |  JOIN sets sa ON sa.doc_id = p.a
+          |  JOIN sets sb ON sb.doc_id = p.b AND sa.sh = sb.sh
+          |  GROUP BY p.a, p.b)
           |SELECT i.a, i.b,
           |  round(CAST(i.i AS DOUBLE) / (za.nsz + zb.nsz - i.i), 4) AS jaccard
           |FROM inter i
