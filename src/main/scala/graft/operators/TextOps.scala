@@ -157,6 +157,20 @@ object TextOps {
           .as("clean"))
     }),
 
+    // -- per-domain corpus stats via URL extraction ------------------------
+    // a deterministic URL is appended per doc (both engines agree); the
+    // domain mix report is the standard curation view for source weighting
+    "t13_url_stats" -> ((s, d) => {
+      val aug = concat(col("text"), lit(" see https://site"),
+        (col("doc_id") % 50), lit(".example.org/p/"), col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), size(ws).as("nt"),
+          regexp_extract(aug, "https://([a-z0-9.-]+)/", 1).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+          round(avg(col("nt")), 2).as("avg_tokens"))
+    }),
+
     // -- repetition filter (quality heuristic a la Gopher): flag documents
     // dominated by a single 2-gram or by duplicated 3-grams ----------------
     "t12_repetition" -> ((s, d) => {
@@ -275,6 +289,15 @@ object TextOps {
         |  regexp_replace(regexp_replace(aug, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
         |                 '555-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS clean
         |FROM a""".stripMargin,
+    "t13_url_stats" ->
+      """WITH a AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+        |  regexp_extract(text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '.example.org/p/' || CAST(doc_id AS VARCHAR),
+        |    'https://([a-z0-9.-]+)/', 1) AS domain
+        |  FROM documents)
+        |SELECT domain, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+        |  round(AVG(nt), 2) AS avg_tokens
+        |FROM a GROUP BY domain""".stripMargin,
     "t12_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM
