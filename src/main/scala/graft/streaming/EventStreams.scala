@@ -60,6 +60,29 @@ object EventStreams {
   def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("userId"), "left")
 
+  /** Streaming exact dedup for an ingestion pipeline: keep the first
+    * occurrence of each content hash; the watermark bounds the dedup
+    * state (duplicates arriving later than the watermark may pass, which
+    * is the standard state-size/completeness trade at 100 TB/day rates —
+    * the batch d1 pass downstream catches stragglers). */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("h", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("h")
+
+  /** Streaming k-mer counter (the `counter` pipeline as a stream): reads
+    * arrive continuously, canonical k-mers accumulate in an Update-mode
+    * hash aggregation — the state store holds one row per distinct k-mer,
+    * exactly the batch shuffle key space. */
+  def kmerCountStream(reads: Dataset[String], k: Int): DataFrame = {
+    import reads.sparkSession.implicits._
+    reads.flatMap(r => graft.core.KmerIter.canonicalLong(r, k))
+      .toDF("kv")
+      .groupBy("kv").count()
+  }
+
   /** Running per-user aggregates via mapGroupsWithState (Update mode). */
   def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
     import events.sparkSession.implicits._

@@ -68,6 +68,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops in-watermark duplicates, keeps first occurrence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = dedupStream(in.toDS().toDF("ts", "text"), "ts", "text")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), "alpha"), (ts(1), "beta"), (ts(2), "alpha"))
+      q.processAllAvailable()
+      in.addData((ts(3), "alpha"), (ts(4), "gamma"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup").select("text").as[String].collect().toSeq
+      assert(texts.sorted == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
+  test("kmerCountStream accumulates canonical kmer counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = kmerCountStream(in.toDS(), 5)
+      .writeStream.format("memory").queryName("kstream")
+      .outputMode("complete").start()
+    try {
+      in.addData("ACGTACG")
+      q.processAllAvailable()
+      in.addData("ACGTA") // one more copy of the first kmer
+      q.processAllAvailable()
+      val counts = spark.table("kstream").as[(Long, Long)].collect().toMap
+      val batch = graft.operators.Genomics
+        .countCanonical(Seq("ACGTACG", "ACGTA").toDS(), 5)
+        .as[(Long, Long)].collect().toMap
+      assert(counts == batch) // stream fixpoint == batch counter
+    } finally q.stop()
+  }
+
   test("hourlyCounts windows by event time with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
