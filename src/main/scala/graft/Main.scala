@@ -231,8 +231,13 @@ object Main {
         def load(p: String) = spark.read.schema("kmer STRING, count BIGINT").csv(p)
         val (shortT, longT) = (load(p1), load(p2))
         // k sizes live in the tables themselves (fixed-width k-mer strings)
-        val k1 = shortT.select(length(col("kmer"))).as[Int].head()
-        val k2 = longT.select(length(col("kmer"))).as[Int].head()
+        def kOf(df: org.apache.spark.sql.DataFrame, p: String): Int = {
+          val h = df.select(length(col("kmer"))).limit(1).as[Int].collect()
+          require(h.nonEmpty, s"reduce: empty k-mer table at $p")
+          h.head
+        }
+        val k1 = kOf(shortT, p1)
+        val k2 = kOf(longT, p2)
         val reduced = Dynamic.reduceCounts(shortT, longT, k1, k2)
         Fastq.writeCsv(reduced, s"$out/Count_${k1}_reduced", gzip = gzip)
         println(s"[graft] reduce: wrote $out/Count_${k1}_reduced (k1=$k1 k2=$k2)")
