@@ -50,14 +50,14 @@ object Main {
     "-sam", "-outfile", "-kmer", "-klist", "-cover", "-maxcov", "-error",
     "-mincontig", "-maxiter", "-clipf", "-clipe", "-minlength", "-reads",
     "-partition", "-partitionredu", "-overlap",
-    "-bubble", "-gzip", "-single", "-inter", "-paired", "-exact-fastq")
+    "-bubble", "-gzip", "-single", "-inter", "-paired", "-exact-fastq", "-mercy")
 
   /** Typo guard: an unrecognized -option is silently inert with positional
     * sliding parsing, which can quietly run a job with default settings —
     * surface it loudly (warn, not fail: option values may start with '-'). */
   private def warnUnknown(args: Array[String]): Unit = {
     val taking = knownOpts -- Set("-bubble", "-gzip", "-single", "-inter",
-      "-paired", "-exact-fastq") // flags take no value
+      "-paired", "-exact-fastq", "-mercy") // flags take no value
     val skipIdx = args.zipWithIndex.collect {
       case (a, i) if taking(a) => i + 1
     }.toSet
@@ -73,7 +73,7 @@ object Main {
         |  inputs : -fastq <glob> [-fastq2 <glob>] | -fasta <glob> | -contig <fasta> | -kmerc <csv> | -sam <sam>
         |  tuning : -kmer N -klist a,b,c -cover N -maxcov N -error N -mincontig N -maxiter N
         |           -clipf N -clipe N -minlength N -reads N -partition N -partitionredu N -overlap N
-        |  flags  : -bubble (keep bubbles) -gzip -exact-fastq -single -inter -paired
+        |  flags  : -bubble (keep bubbles) -mercy (rescue gap kmers) -gzip -exact-fastq -single -inter -paired
         |  output : -outfile <dir>""".stripMargin
     require(args.nonEmpty, usage)
     if (args.head == "-h" || args.head == "--help" || args.head == "-help") {
@@ -141,11 +141,17 @@ object Main {
       val kmerc = opt(args, "-kmerc", "")
       if (kk <= 31) {
         graft.functions.GraftFunctions.register(spark)
-        val counts =
+        val raw =
           if (kmerc.nonEmpty)
             spark.read.schema("kmer STRING, count BIGINT").csv(kmerc)
               .selectExpr("kmer_pack(kmer) AS kv", "count")
           else Genomics.countCanonical(reads, kk)
+        // -mercy (reference's mercy stage): lift gap-bridging kmers over
+        // the coverage gate so low-coverage regions assemble through
+        val counts =
+          if (args.contains("-mercy") && kmerc.isEmpty)
+            Rescue.applyMercy(raw, reads, kk, minCov)
+          else raw
         Assembler.assemble(counts.filter(col("count") <= maxCov), kk,
           minCov = minCov, maxIter = maxIter, minContig = minContig,
           popBubbles = popBubbles, minError = minError)

@@ -51,6 +51,25 @@ object Rescue {
       .select(col("kmer")).distinct()
   }
 
+  /** Integrate mercy rescue into a counting pipeline (the reference runs
+    * mercy as a stage of its assembly, not only standalone): rescued
+    * k-mers — non-solid but bridging two solid anchors within a read —
+    * get their count lifted to `minCov`, so the downstream coverage gate
+    * keeps them and low-coverage gaps assemble through. One anti-join-free
+    * left join against the (small) rescued set. Counts are packed-Long
+    * keyed (k <= 31). */
+  def applyMercy(counts: DataFrame, reads: Dataset[String], k: Int,
+                 minCov: Int): DataFrame = {
+    val s = counts.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val rescued = mercyKmers(reads, k, solidCov = minCov)
+      .selectExpr("kmer_pack(kmer) AS kv").withColumn("mercy", lit(1))
+    counts.join(rescued, Seq("kv"), "left")
+      .select(col("kv"),
+        when(col("mercy") === 1, greatest(col("count"), lit(minCov.toLong)))
+          .otherwise(col("count")).as("count"))
+  }
+
   /** J10 generic form: splice contigs whose `overlap`-base suffix equals
     * another contig's prefix (one deterministic pass — the join key IS the
     * overlap, so the merge is an equi-join, never contig × contig).

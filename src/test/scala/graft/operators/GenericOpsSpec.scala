@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.TestSpark
 import graft.core.KmerIter
 
@@ -31,6 +32,28 @@ class GenericOpsSpec extends AnyFunSuite {
       (50 to 59).map(i => canonStr(g.substring(i, i + k))).toSet
     val expected = (10 to 49).map(i => canonStr(g.substring(i, i + k))).toSet -- solid
     assert(rescued == expected)
+  }
+
+  test("applyMercy lifts gap-bridging kmers over the coverage gate") {
+    import spark.implicits._
+    val k = 21
+    val g = randGenome(120, seed = 139)
+    // halves double-covered; the junction crossed by ONE read only -> its
+    // bridging kmers have count 1 and a minCov=2 gate would split g. The
+    // bridge read reaches >= k bases into both halves, so it contains
+    // solid anchors on each side of its non-solid middle (the rescue
+    // precondition).
+    val rds = Seq(g.substring(0, 60), g.substring(0, 60),
+      g.substring(60), g.substring(60),
+      g.substring(30, 95)).toDS()
+    val counts = Genomics.countCanonical(rds, k)
+    val without = Assembler.assemble(counts.filter(col("count") >= 2), k,
+      minCov = 2, maxIter = 60).collect().toSeq
+    assert(!without.contains(canonStr(g)))
+    val mercied = Rescue.applyMercy(counts, rds, k, minCov = 2)
+    val withM = Assembler.assemble(mercied, k, minCov = 2, maxIter = 60)
+      .collect().toSeq
+    assert(withM == Seq(canonStr(g)))
   }
 
   test("overlapMergeContigs splices on exact suffix/prefix overlap, passes others through") {
