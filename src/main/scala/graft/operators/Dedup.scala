@@ -114,6 +114,41 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
     }),
 
+    // -- near-dup clusters: connected components over LSH pairs ------------
+    // the step real pipelines run after candidate generation: group
+    // transitively-linked near-dups and keep one canonical doc (min id)
+    // per cluster. Min-label propagation over the pair graph — each
+    // iteration one join + one aggregation; near-dup components are tiny
+    // (diameter ~2-3), so a handful of rounds reaches the fixpoint. At
+    // 100 TB swap in the large-star/small-star CC algorithm — same
+    // join-shape, provably few rounds.
+    "d7_dedup_clusters" -> ((s, d) => {
+      val pairs = candidatePairs(s, d).localCheckpoint()
+      val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+        .unionAll(pairs.select(col("b").as("x"), col("a").as("y")))
+        .localCheckpoint()
+      var labels = edges.select(col("x").as("doc_id")).distinct()
+        .withColumn("cluster", col("doc_id"))
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < 20) {
+        val viaNeighbor = edges
+          .join(labels.withColumnRenamed("doc_id", "y"), "y")
+          .groupBy(col("x").as("doc_id"))
+          .agg(min(col("cluster")).as("nc"))
+        val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+          .filter(col("cluster") =!= col("old")).count()
+        labels = next
+        it += 1
+      }
+      labels.select(col("doc_id"), col("cluster"),
+        when(col("doc_id") === col("cluster"), 1).otherwise(0).as("keep"))
+    }),
+
     // -- direct rare-n-gram Jaccard near-dup (no MinHash) ------------------
     // A different recall profile from LSH: candidate pairs share at least
     // one RARE shingle (document frequency 2..8). The df cap bounds every
@@ -222,6 +257,20 @@ object Dedup {
           |JOIN sizes za ON za.doc_id = i.a
           |JOIN sizes zb ON zb.doc_id = i.b
           |WHERE round(CAST(i.i AS DOUBLE) / (za.nsz + zb.nsz - i.i), 4) >= 0.5""".stripMargin),
+    "d7_dedup_clusters" ->
+      ("WITH RECURSIVE " +
+        (Seq(sqlCorpus, sqlShingles, sqlSig, sqlBand, sqlPairs,
+          """edges AS (SELECT a AS x, b AS y FROM pairs
+            |          UNION SELECT b, a FROM pairs)""".stripMargin,
+          """reach AS (
+            |  SELECT x, y FROM edges
+            |  UNION
+            |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+            |)""".stripMargin).mkString(",\n")) +
+        """
+          |SELECT x AS doc_id, least(x, MIN(y)) AS cluster,
+          |  CASE WHEN x = least(x, MIN(y)) THEN 1 ELSE 0 END AS keep
+          |FROM reach GROUP BY x""".stripMargin),
     "d6_ngram_jaccard" ->
       (s"WITH $sqlCorpus,\n$sqlShingles,\n" +
         """sets AS (SELECT DISTINCT doc_id, sh FROM sh),
