@@ -171,6 +171,45 @@ object TextOps {
           round(avg(col("nt")), 2).as("avg_tokens"))
     }),
 
+    // -- sequence packing (concat-and-chunk): docs laid end-to-end per
+    // source in doc_id order, cut into fixed 1024-token training
+    // sequences. Output = the doc -> sequence map (which sequence a doc
+    // starts/ends in, and its offset inside the first one). The cumsum
+    // window partitions by source, so packing parallelizes across the
+    // corpus's shards; a single giant source would instead use the
+    // two-phase per-partition-offset cumsum (same pattern as the FASTA
+    // sink's distributed ids).
+    "t14_seq_packing" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      documents(s, d)
+        .select(col("source"), col("doc_id"), size(ws).cast("long").as("nt"))
+        .withColumn("cum_end", sum(col("nt")).over(w))
+        .select(col("source"), col("doc_id"), col("nt").as("n_tokens"),
+          expr("(cum_end - nt) div 1024").as("seq_first"),
+          expr("(cum_end - 1) div 1024").as("seq_last"),
+          ((col("cum_end") - col("nt")) % 1024).as("seq_offset"))
+    }),
+
+    // -- packing fill report: per training sequence, how many docs
+    // contribute and how full it is (the curation view that catches
+    // budget misconfiguration: too-long docs spanning many sequences or
+    // trailing sequences mostly padding) -----------------------------------
+    "t15_pack_fill" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      documents(s, d)
+        .select(col("source"), col("doc_id"), size(ws).cast("long").as("nt"))
+        .withColumn("cum_end", sum(col("nt")).over(w))
+        .withColumn("cum_start", col("cum_end") - col("nt"))
+        .select(col("source"), col("cum_start"), col("cum_end"),
+          explode(expr("sequence(cum_start div 1024, (cum_end - 1) div 1024)")).as("seq"))
+        .groupBy(col("source"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("cum_end"), (col("seq") + 1) * 1024) -
+            greatest(col("cum_start"), col("seq") * 1024)).as("n_tokens"))
+    }),
+
     // -- repetition filter (quality heuristic a la Gopher): flag documents
     // dominated by a single 2-gram or by duplicated 3-grams ----------------
     "t12_repetition" -> ((s, d) => {
@@ -298,6 +337,27 @@ object TextOps {
         |SELECT domain, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
         |  round(AVG(nt), 2) AS avg_tokens
         |FROM a GROUP BY domain""".stripMargin,
+    "t14_seq_packing" ->
+      """WITH b AS (SELECT source, doc_id,
+        |  len(string_split(text, ' ')) AS nt,
+        |  CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_end
+        |  FROM documents)
+        |SELECT source, doc_id, nt AS n_tokens,
+        |  (cum_end - nt) // 1024 AS seq_first,
+        |  (cum_end - 1) // 1024 AS seq_last,
+        |  (cum_end - nt) % 1024 AS seq_offset
+        |FROM b""".stripMargin,
+    "t15_pack_fill" ->
+      """WITH b AS (SELECT source, doc_id,
+        |  len(string_split(text, ' ')) AS nt,
+        |  CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_end
+        |  FROM documents),
+        |x AS (SELECT source, cum_end - nt AS cum_start, cum_end,
+        |  unnest(generate_series((cum_end - nt) // 1024, (cum_end - 1) // 1024)) AS seq
+        |  FROM b)
+        |SELECT source, seq, COUNT(*) AS n_docs,
+        |  CAST(SUM(least(cum_end, (seq + 1) * 1024) - greatest(cum_start, seq * 1024)) AS BIGINT) AS n_tokens
+        |FROM x GROUP BY source, seq""".stripMargin,
     "t12_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM
