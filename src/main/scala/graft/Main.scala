@@ -23,7 +23,9 @@ import graft.sources.Fastq
   *
   * Input options: `-fastq <glob>` reads (heuristic line filter by default;
   * `-exact-fastq` forces the 4-line parser); `-fastq2 <glob>` mate-2 file
-  * (two-file paired mode); `-inter` marks the input as interleaved paired
+  * (two-file paired mode); `-merge` overlap-merges mate pairs in-engine
+  * (the reference's external `flash` step, `ReflexivDataFrameDecompresser
+  * .java:255-302`) before counting; `-inter` marks the input as interleaved paired
   * (consumed as a single stream — pairing carries no extra signal for
   * k-mer counting); `-fasta <glob>` FASTA reads; `-contig <fasta>`
   * existing contigs (reassemble/merger); `-kmerc <csv>` a pre-counted
@@ -50,14 +52,15 @@ object Main {
     "-sam", "-outfile", "-kmer", "-klist", "-cover", "-maxcov", "-error",
     "-mincontig", "-maxiter", "-clipf", "-clipe", "-minlength", "-reads",
     "-partition", "-partitionredu", "-overlap",
-    "-bubble", "-gzip", "-single", "-inter", "-paired", "-exact-fastq", "-mercy")
+    "-bubble", "-gzip", "-single", "-inter", "-paired", "-exact-fastq", "-mercy",
+    "-merge")
 
   /** Typo guard: an unrecognized -option is silently inert with positional
     * sliding parsing, which can quietly run a job with default settings —
     * surface it loudly (warn, not fail: option values may start with '-'). */
   private def warnUnknown(args: Array[String]): Unit = {
     val taking = knownOpts -- Set("-bubble", "-gzip", "-single", "-inter",
-      "-paired", "-exact-fastq", "-mercy") // flags take no value
+      "-paired", "-exact-fastq", "-mercy", "-merge") // flags take no value
     val skipIdx = args.zipWithIndex.collect {
       case (a, i) if taking(a) => i + 1
     }.toSet
@@ -73,7 +76,7 @@ object Main {
         |  inputs : -fastq <glob> [-fastq2 <glob>] | -fasta <glob> | -contig <fasta> | -kmerc <csv> | -sam <sam>
         |  tuning : -kmer N -klist a,b,c -cover N -maxcov N -error N -mincontig N -maxiter N
         |           -clipf N -clipe N -minlength N -reads N -partition N -partitionredu N -overlap N
-        |  flags  : -bubble (keep bubbles) -mercy (rescue gap kmers) -gzip -exact-fastq -single -inter -paired
+        |  flags  : -bubble (keep bubbles) -mercy (rescue gap kmers) -gzip -exact-fastq -single -inter -paired -merge (overlap-merge mate pairs)
         |  output : -outfile <dir>""".stripMargin
     require(args.nonEmpty, usage)
     if (args.head == "-h" || args.head == "--help" || args.head == "-help") {
@@ -120,8 +123,16 @@ object Main {
       val fastq2 = opt(args, "-fastq2", "")
       val fasta = opt(args, "-fasta", "")
       val raw =
-        if (fastq2.nonEmpty)
-          Fastq.interleavePairs(Fastq.readPairedFastq(spark, fastq, fastq2))
+        if (fastq2.nonEmpty) {
+          val pairs = Fastq.readPairedFastq(spark, fastq, fastq2)
+          if (args.contains("-merge")) {
+            // FLASH-style in-engine mate merge: overlapping pairs become
+            // one long pseudo-read; non-overlapping pairs stay two reads
+            val m = Fastq.mergePairs(pairs)
+            m.select(explode(when(col("merged").isNotNull, array(col("merged")))
+              .otherwise(array(col("mate1"), col("mate2")))).as("read")).as[String]
+          } else Fastq.interleavePairs(pairs)
+        }
         else if (fasta.nonEmpty)
           Fastq.readFasta(spark, fasta).select("seq").as[String]
         else if (args.contains("-exact-fastq")) Fastq.fastqSequences(spark, fastq)

@@ -38,6 +38,24 @@ object GenomicsIO {
     // mate2 simulates the opposite-strand mate (revcomp of the fragment
     // end); a correct join keeps each mate1 with ITS mate2 — any off-by-one
     // in the pairing produces different rows and a hash mismatch.
+    // -- FLASH-style mate overlap merge (in-engine, no external binary) ----
+    // each doc is a 64-base fragment; mate1 = bases 1..40, mate2 =
+    // revcomp(bases 25..64), so the true overlap is 16 bases. The merge
+    // must rediscover it and reconstruct the full fragment. recovered=1
+    // asserts merged == fragment (the md5-derived fragments are aperiodic,
+    // so no spurious larger overlap exists at these sizes).
+    "f6_pair_merge" -> ((s, d) => {
+      val frag = Genomics.dna64(col("doc_id"))
+      val pairs = documents(s, d).select(
+        col("doc_id"), frag.as("frag"),
+        substring(frag, 1, 40).as("mate1"),
+        reverse(translate(substring(frag, 25, 40), "ACGT", "TGCA")).as("mate2"))
+      Fastq.mergePairs(pairs, minOverlap = 10)
+        .select(col("doc_id"), col("best_ov"),
+          col("merged"),
+          when(col("merged") === col("frag"), 1).otherwise(0).as("recovered"))
+    }),
+
     "f5_paired_roundtrip" -> ((s, d) => {
       val tmp = ioDir(d)
       // persist so both mate files are written from the SAME row order (the
@@ -65,6 +83,24 @@ object GenomicsIO {
         |SELECT 'Contig-' || rn || '-' || length(contig) AS id,
         |       length(contig) AS len, contig AS seq
         |FROM (SELECT contig, ROW_NUMBER() OVER (ORDER BY contig) AS rn FROM c)""".stripMargin,
+    "f6_pair_merge" ->
+      """WITH f AS (SELECT doc_id,
+        |  translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT')
+        |    || translate(md5(CAST(doc_id AS VARCHAR) || 'x'), '0123456789abcdef', 'ACGTACGTACGTACGT') AS frag
+        |  FROM documents),
+        |p AS (SELECT doc_id, frag, substring(frag, 1, 40) AS mate1,
+        |  reverse(translate(reverse(translate(substring(frag, 25, 40), 'ACGT', 'TGCA')), 'ACGT', 'TGCA')) AS rc2
+        |  FROM f),
+        |b AS (SELECT doc_id, frag, mate1, rc2,
+        |  list_max(list_filter(generate_series(10, least(length(mate1), length(rc2))),
+        |    o -> substring(mate1, length(mate1) - o + 1, CAST(o AS INT)) = substring(rc2, 1, CAST(o AS INT)))) AS best_ov
+        |  FROM p)
+        |SELECT doc_id, best_ov,
+        |  CASE WHEN best_ov IS NOT NULL
+        |       THEN mate1 || substring(rc2, CAST(best_ov AS INT) + 1, length(rc2) - CAST(best_ov AS INT)) END AS merged,
+        |  CASE WHEN mate1 || substring(rc2, CAST(best_ov AS INT) + 1, length(rc2) - CAST(best_ov AS INT)) = frag
+        |       THEN 1 ELSE 0 END AS recovered
+        |FROM b""".stripMargin,
     "f5_paired_roundtrip" ->
       """SELECT translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT') AS mate1,
         |       reverse(translate(translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT'), 'ACGT', 'TGCA')) AS mate2

@@ -69,6 +69,38 @@ object Fastq {
     pairs.select(explode(array(col("mate1"), col("mate2"))).as("read")).as[String]
   }
 
+  /** FLASH-style in-engine mate merge: when a sequenced fragment is
+    * shorter than twice the read length, mate1's 3' end overlaps the
+    * reverse complement of mate2 — merge the pair into one long pseudo-
+    * read. The reference pipes reads through an external `flash` binary
+    * for this (`ReflexivDataFrameDecompresser.java:255-302`); here it is
+    * a pure Catalyst row expression (higher-order `filter` over candidate
+    * overlap lengths + `substr` compare), so it stays inside whole-stage
+    * codegen with no subprocess, no shuffle, and no UDF. Exact-match
+    * overlap, largest candidate wins; pairs with no overlap >= minOverlap
+    * pass through unmerged (merged = NULL).
+    * Input columns: mate1, mate2. Adds: best_ov, merged. */
+  def mergePairs(pairs: DataFrame, minOverlap: Int = 10): DataFrame = {
+    val rc2 = reverse(translate(col("mate2"), "ACGT", "TGCA"))
+    pairs
+      .withColumn("rc2", rc2)
+      // guard: Spark's sequence(a, b) DESCENDS when b < a (short reads),
+      // where DuckDB's generate_series is empty — emit [] explicitly
+      .withColumn("cand",
+        when(least(length(col("mate1")), length(col("rc2"))) >= minOverlap,
+          sequence(lit(minOverlap), least(length(col("mate1")), length(col("rc2")))))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("best_ov", array_max(filter(col("cand"),
+        o => col("mate1").substr(length(col("mate1")) - o + 1, o) ===
+          col("rc2").substr(lit(1), o))))
+      .withColumn("merged",
+        when(col("best_ov").isNotNull,
+          concat(col("mate1"),
+            col("rc2").substr(col("best_ov") + 1,
+              length(col("rc2")) - col("best_ov")))))
+      .drop("rc2", "cand")
+  }
+
   /** P14: read guards — minimum/maximum length, valid leading charset. */
   def guardReads(reads: Dataset[String], minLen: Int, maxLen: Int = 600): Dataset[String] =
     reads.filter(r => r.length >= minLen && r.length < maxLen &&

@@ -100,4 +100,24 @@ class FastqSpec extends AnyFunSuite {
     runner.stage("s1")(body())
     assert(evals == 2)
   }
+
+  test("mergePairs reconstructs fragments, passes non-overlapping and short pairs through") {
+    import spark.implicits._
+    val frag = "ACGGTCAATGCCAGTTAACGGATCCTAGGCATAAGCTTGG" // 40 bp, aperiodic
+    def rc(s: String) = s.reverse.map { case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A' }
+    val pairs = Seq(
+      // true 12-base overlap: mate1 = frag[0..25], mate2 = rc(frag[14..39])
+      ("ok", frag.substring(0, 26), rc(frag.substring(14, 40))),
+      // unrelated mates: no overlap >= minOverlap
+      ("none", "ACGTTGCAACGTTGCAACGTTGCA", "GGATCCGGATCCGGATCCGGATCC"),
+      // reads shorter than minOverlap: must not crash (descending-sequence guard)
+      ("short", "ACGT", "AC")
+    ).toDF("tag", "mate1", "mate2")
+    val out = Fastq.mergePairs(pairs, minOverlap = 10)
+      .select("tag", "best_ov", "merged")
+      .collect().map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out("ok") == (Some(12), Some(frag)))
+    assert(out("none") == (None, None))
+    assert(out("short") == (None, None))
+  }
 }
