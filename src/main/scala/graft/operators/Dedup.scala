@@ -178,6 +178,33 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
     }),
 
+    // -- sub-document (chunk-level) exact dedup: boilerplate strip ---------
+    // CCNet/RefinedWeb-style: docs cut into non-overlapping 10-token
+    // chunks; any chunk whose exact text occurs in MORE THAN ONE document
+    // is shared boilerplate and is stripped from every doc. One hash agg
+    // computes chunk document-frequency; the rebuild is a per-doc sorted
+    // reassembly (array_sort on (pos, chunk) structs — no window). Chunk
+    // df keys are content hashes, so the shuffle carries 16-byte keys at
+    // 100 TB, and ubiquitous chunks never fan out (df agg, not self-join).
+    "d8_chunk_dedup" -> ((s, d) => {
+      val chunks = documents(s, d)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(split(text, ' ')), 10), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 10)))")))
+        .toDF("doc_id", "pos", "chunk")
+      val df = chunks.groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      chunks.join(df, "chunk")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_stripped"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(
+              when(col("df") < 2, struct(col("pos"), col("chunk"))))),
+            t => t.getField("chunk"))).as("clean"))
+    }),
+
     // -- SimHash (16-bit) over word bags -----------------------------------
     "d5_simhash" -> ((s, d) => {
       val tok = documents(s, d).select(col("doc_id"), explode(words).as("w"))
@@ -271,6 +298,16 @@ object Dedup {
           |SELECT x AS doc_id, least(x, MIN(y)) AS cluster,
           |  CASE WHEN x = least(x, MIN(y)) THEN 1 ELSE 0 END AS keep
           |FROM reach GROUP BY x""".stripMargin),
+    "d8_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id, (i - 1) // 10 AS pos, array_to_string(w[i:i+9], ' ') AS chunk
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w), 10)) AS i FROM w)),
+        |df AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY chunk)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped,
+        |  coalesce(string_agg(CASE WHEN df < 2 THEN chunk END, ' ' ORDER BY pos), '') AS clean
+        |FROM ch JOIN df USING (chunk)
+        |GROUP BY doc_id""".stripMargin,
     "d6_ngram_jaccard" ->
       (s"WITH $sqlCorpus,\n$sqlShingles,\n" +
         """sets AS (SELECT DISTINCT doc_id, sh FROM sh),

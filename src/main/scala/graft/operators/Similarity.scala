@@ -162,7 +162,27 @@ object Similarity {
         col("label"),
         round(sqrt(dot(transform(col("embedding"), x => x.cast("double")),
           transform(col("embedding"), x => x.cast("double")))), 4).as("l2"),
-        bucketOf(col("embedding")).as("bkt")))
+        bucketOf(col("embedding")).as("bkt"))),
+
+    // -- symmetric per-vector int8 quantization ----------------------------
+    // the standard 4x index-shrink for ANN at scale: scale = 127/max|x|,
+    // q_i = round(x_i * scale); emits the quantized vector plus the
+    // reconstruction MSE so curation can gate on quantization loss. Pure
+    // per-row array math — codegen'd, no shuffle, no UDF.
+    "s6_int8_quant" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("amax",
+          greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12)))
+        .withColumn("q", transform(col("v"),
+          x => round(x * lit(127.0) / col("amax")).cast("long")))
+        .withColumn("err", zip_with(col("v"), col("q"),
+          (x, qq) => x - qq.cast("double") * col("amax") / lit(127.0)))
+        .select(col("vec_id"),
+          round(col("amax"), 6).as("amax"),
+          col("q"),
+          round(dot(col("err"), col("err")) / lit(64.0), 10).as("mse")))
   )
 
   private val sqlBucket = (0 until 8)
@@ -242,6 +262,19 @@ object Similarity {
       s"""SELECT vec_id, label,
          |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2,
          |  $sqlBucket AS bkt
-         |FROM embeddings""".stripMargin
+         |FROM embeddings""".stripMargin,
+    "s6_int8_quant" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |a AS (SELECT vec_id, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS amax FROM e),
+        |qq AS (SELECT vec_id, v, amax,
+        |        list_transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS q FROM a),
+        |r AS (SELECT vec_id, amax, q,
+        |        list_transform(generate_series(1, len(v)),
+        |          i -> v[i] - CAST(q[i] AS DOUBLE) * amax / 127.0) AS err
+        |      FROM qq)
+        |SELECT vec_id, round(amax, 6) AS amax, q,
+        |  round(list_dot_product(err, err) / 64.0, 10) AS mse
+        |FROM r""".stripMargin
   )
 }
