@@ -133,36 +133,16 @@ object Dedup {
     // -- near-dup clusters: connected components over LSH pairs ------------
     // the step real pipelines run after candidate generation: group
     // transitively-linked near-dups and keep one canonical doc (min id)
-    // per cluster. Min-label propagation over the pair graph — each
-    // iteration one join + one aggregation; near-dup components are tiny
-    // (diameter ~2-3), so a handful of rounds reaches the fixpoint. At
-    // 100 TB swap in the large-star/small-star CC algorithm — same
-    // join-shape, provably few rounds.
+    // per cluster. Components come from [[GraphOps.connectedComponents]]
+    // (hash-to-min, O(log n) rounds regardless of component diameter —
+    // a chain of pairwise near-dups doesn't degrade into one shuffle
+    // round per link).
     "d7_dedup_clusters" -> ((s, d) => {
-      val pairs = candidatePairs(s, d).localCheckpoint()
-      val edges = pairs.select(col("a").as("x"), col("b").as("y"))
-        .unionAll(pairs.select(col("b").as("x"), col("a").as("y")))
-        .localCheckpoint()
-      var labels = edges.select(col("x").as("doc_id")).distinct()
-        .withColumn("cluster", col("doc_id"))
-      var changed = 1L
-      var it = 0
-      while (changed > 0 && it < 20) {
-        val viaNeighbor = edges
-          .join(labels.withColumnRenamed("doc_id", "y"), "y")
-          .groupBy(col("x").as("doc_id"))
-          .agg(min(col("cluster")).as("nc"))
-        val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"))
-          .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-          .filter(col("cluster") =!= col("old")).count()
-        labels = next
-        it += 1
-      }
-      labels.select(col("doc_id"), col("cluster"),
-        when(col("doc_id") === col("cluster"), 1).otherwise(0).as("keep"))
+      val pairs = candidatePairs(s, d)
+      GraphOps.connectedComponents(
+          pairs.select(col("a").as("x"), col("b").as("y")))
+        .select(col("node").as("doc_id"), col("component").as("cluster"),
+          when(col("node") === col("component"), 1).otherwise(0).as("keep"))
     }),
 
     // -- direct rare-n-gram Jaccard near-dup (no MinHash) ------------------

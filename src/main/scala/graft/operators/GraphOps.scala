@@ -14,6 +14,53 @@ import graft.Tables._
 object GraphOps {
   private val K = 7
 
+  /** Distributed connected components via hash-to-min (Rastogi et al.,
+    * "Finding Connected Components in Map-Reduce in Logarithmic Rounds"):
+    * each round every node rewires its whole neighborhood onto its
+    * current minimum neighbor, so the component minimum reaches nodes at
+    * doubling distances — O(log n) rounds on ANY topology, where plain
+    * min-label propagation needs diameter rounds (a 10k-link chain of
+    * near-dups would take 10k shuffles). Each round is one hash agg + one
+    * join + a distinct; convergence = edge set stable, checked with a
+    * single count+hash aggregate per round.
+    *
+    * Input: undirected edges (x, y). Output: (node, component) where
+    * component is the minimum node id in the component. For components
+    * that are giant AND chain-shaped, the further refinement is
+    * large-star/small-star (bounds intermediate edge growth); near-dup
+    * graphs are tiny dense clusters, where hash-to-min's intermediate
+    * size is within a constant of the input. */
+  def connectedComponents(edges0: DataFrame, maxRounds: Int = 50): DataFrame = {
+    var e = edges0.select(col("x"), col("y"))
+      .union(edges0.select(col("y").as("x"), col("x").as("y")))
+      .union(edges0.select(col("x"), col("x").as("y"))) // self loop keeps isolated mins
+      .distinct().localCheckpoint()
+    def fingerprint(df: DataFrame) =
+      df.agg(count(lit(1)), bit_xor(xxhash64(col("x"), col("y")))).first()
+    var fp = fingerprint(e)
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val m = e.groupBy("x").agg(min(col("y")).as("m"))
+      val j = e.join(m, "x")
+      // hash-to-min round: the min learns x's whole neighborhood
+      // (m, y) AND every neighbor learns the min (y, m) — both directions
+      // are required; without the back-edges a node whose min-pointer
+      // chain was rewired away never hears about the true minimum
+      val next = j.select(col("m").as("x"), col("y"))
+        .union(j.select(col("y").as("x"), col("m").as("y")))
+        .union(m.select(col("m").as("x"), col("x").as("y")))
+        .union(m.select(col("x"), col("m").as("y")))
+        .distinct().localCheckpoint()
+      val nfp = fingerprint(next)
+      stable = nfp == fp
+      fp = nfp
+      e = next
+      round += 1
+    }
+    e.groupBy(col("y").as("node")).agg(min(col("x")).as("component"))
+  }
+
   private val sqlDna32 =
     "translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT')"
   private def sqlCanon(e: String) =

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Hash-to-min connected components: exactness on adversarial topologies
+  * and the logarithmic round bound that motivates it (a diameter-bound
+  * label propagation would need one round per link on the chain). */
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def cc(edges: Seq[(Long, Long)], maxRounds: Int = 50): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.connectedComponents(edges.toDF("x", "y"), maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("300-node chain collapses to one component within the log-round budget") {
+    val chain = (0L until 299L).map(i => (i, i + 1))
+    // 2 + ceil(log2(300)) ≈ 11 rounds is ample for hash-to-min; label
+    // propagation would need ~299.
+    val labels = cc(chain, maxRounds = 15)
+    assert(labels.size == 300)
+    assert(labels.values.forall(_ == 0L))
+  }
+
+  test("cycle, star, and separated components get exact minimum labels") {
+    val cycle = (10L until 20L).map(i => (i, if (i == 19) 10L else i + 1))
+    val star = (101L to 105L).map(i => (100L, i))
+    val pair = Seq((1000L, 2000L))
+    val labels = cc(cycle ++ star ++ pair)
+    (10L until 20L).foreach(i => assert(labels(i) == 10L))
+    (100L to 105L).foreach(i => assert(labels(i) == 100L))
+    assert(labels(1000L) == 1000L && labels(2000L) == 1000L)
+  }
+
+  test("edge direction does not matter and duplicate edges are harmless") {
+    val labels = cc(Seq((5L, 3L), (3L, 5L), (5L, 3L), (7L, 5L)))
+    assert(labels == Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
+  }
+}
