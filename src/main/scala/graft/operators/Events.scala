@@ -68,6 +68,38 @@ object Events {
         .filter(col("rn") === 1)
         .select(col("user_id"), fmt(col("ts")).as("first_ts"),
           col("event_type").as("first_type"), col("n"))
+    }),
+
+    // -- as-of join: attribute each purchase to the latest preceding click -
+    // Spark has no ASOF JOIN; the scalable formulation is union-and-window:
+    // tag both streams, sort once per key, carry the last click forward
+    // with last_value(ignoreNulls). ONE shuffle on user_id — no range
+    // explode, no per-row probe — where a naive "join then max(ts<=t)"
+    // would build every (purchase x earlier-click) pair before reducing.
+    // Time is compared in epoch micros on both engines (the parquet ns
+    // column truncates to Spark's micros TIMESTAMP; event_id breaks the
+    // vanishing sub-micro ties deterministically).
+    "e6_asof_attribution" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+      val tagged = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus"), col("event_id"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+        .unionByName(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tus"), col("event_id"),
+            lit(null).cast("long").as("click_id"),
+            lit(null).cast("double").as("click_value")))
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("cid", last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("cval", last(col("click_value"), ignoreNulls = true).over(w))
+        .withColumn("cts",
+          last(when(col("click_id").isNotNull, col("tus")), ignoreNulls = true).over(w))
+        .filter(col("click_id").isNull)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("cid").as("click_id"), col("cval").as("click_value"),
+          expr("(tus - cts) div 1000").as("gap_ms"))
     })
   )
 
@@ -112,6 +144,26 @@ object Events {
         |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
         |        COUNT(*) OVER (PARTITION BY user_id) AS n
         |      FROM events)
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+    "e6_asof_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type, value
+        |            FROM events),
+        |tagged AS (
+        |  SELECT user_id, tus, event_id,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+        |    CASE WHEN event_type = 'click' THEN value END AS click_value
+        |  FROM ev WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(click_id IGNORE NULLS) OVER win AS cid,
+        |    last_value(click_value IGNORE NULLS) OVER win AS cval,
+        |    last_value(CASE WHEN click_id IS NOT NULL THEN tus END IGNORE NULLS)
+        |      OVER win AS cts
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, user_id, cid AS click_id,
+        |  cval AS click_value, (tus - cts) // 1000 AS gap_ms
+        |FROM w WHERE click_id IS NULL""".stripMargin
   )
 }

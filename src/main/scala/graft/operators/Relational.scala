@@ -183,6 +183,29 @@ object Relational {
           |GROUP BY o_orderpriority""".stripMargin)
     }),
 
+    // -- exact discrete percentiles (p25/p50/p95) per group ----------------
+    // row_number selection with INTEGER-ONLY rank math (ceil(q*n) as
+    // (n*q100 + 99) div 100): no FP interpolation, so both engines select
+    // the identical element — interpolating percentile() implementations
+    // disagree in the last ulp across engines. One shuffle + one window
+    // pass; at scale the same shape works per-group since no global sort
+    // is required.
+    "q17_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .agg(
+          min(when(col("rn") === expr("(n * 25 + 99) div 100"),
+            col("l_extendedprice"))).as("p25"),
+          min(when(col("rn") === expr("(n * 50 + 99) div 100"),
+            col("l_extendedprice"))).as("p50"),
+          min(when(col("rn") === expr("(n * 95 + 99) div 100"),
+            col("l_extendedprice"))).as("p95"),
+          max(col("n")).as("n"))
+    }),
+
     // -- per-group arg-max via window (scalar-subquery shape) --------------
     "q14_top_account" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -289,6 +312,17 @@ object Relational {
         |  SELECT c_nationkey, c_custkey, c_name,
         |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
         |  FROM customer) c JOIN nation ON c_nationkey = n_nationkey
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+    "q17_percentiles" ->
+      """WITH b AS (SELECT l_returnflag, l_extendedprice,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN rn = (n * 25 + 99) // 100 THEN l_extendedprice END) AS p25,
+        |  MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN l_extendedprice END) AS p50,
+        |  MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN l_extendedprice END) AS p95,
+        |  MAX(n) AS n
+        |FROM b GROUP BY l_returnflag""".stripMargin
   )
 }
