@@ -100,6 +100,31 @@ object Events {
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("cid").as("click_id"), col("cval").as("click_value"),
           expr("(tus - cts) div 1000").as("gap_ms"))
+    }),
+
+    // -- range (interval containment) join, bucketed -----------------------
+    // intervals = each user's first week of activity; count events inside.
+    // A naive t BETWEEN lo AND hi theta-join is quadratic per key pair at
+    // scale. The bucketed pattern: explode each interval into the DAY
+    // buckets it covers (bounded fan-out: 8 buckets/week), equality-join
+    // on (user_id, day), then apply the exact containment filter — an
+    // equality shuffle with per-bucket candidates, never a cartesian.
+    "e7_range_join" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+      val day = 86400L * 1000000L
+      val week = 7L * day
+      val iv = ev.groupBy("user_id")
+        .agg(min(col("tus")).as("lo"))
+        .withColumn("hi", col("lo") + week)
+      val ivB = iv.select(col("user_id"), col("lo"), col("hi"),
+        explode(sequence(expr(s"lo div $day"), expr(s"hi div $day"))).as("bkt"))
+      val evB = ev.withColumn("bkt", expr(s"tus div $day"))
+      evB.join(ivB, Seq("user_id", "bkt"))
+        .filter(col("tus") >= col("lo") && col("tus") <= col("hi"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_in_week"),
+          countDistinct(col("event_id")).as("n_distinct"))
     })
   )
 
@@ -164,6 +189,15 @@ object Events {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id AS purchase_id, user_id, cid AS click_id,
         |  cval AS click_value, (tus - cts) // 1000 AS gap_ms
-        |FROM w WHERE click_id IS NULL""".stripMargin
+        |FROM w WHERE click_id IS NULL""".stripMargin,
+    "e7_range_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+        |iv AS (SELECT user_id, MIN(tus) AS lo, MIN(tus) + 604800000000 AS hi
+        |       FROM ev GROUP BY user_id)
+        |SELECT e.user_id, COUNT(*) AS n_in_week,
+        |       COUNT(DISTINCT e.event_id) AS n_distinct
+        |FROM ev e JOIN iv i ON e.user_id = i.user_id
+        |WHERE e.tus >= i.lo AND e.tus <= i.hi
+        |GROUP BY e.user_id""".stripMargin
   )
 }
