@@ -210,6 +210,28 @@ object TextOps {
             greatest(col("cum_start"), col("seq") * 1024)).as("n_tokens"))
     }),
 
+    // -- TF-IDF: top-3 terms per doc -----------------------------------------
+    // the standard relevance/keyword-extraction score. tf from one per-doc
+    // explode+agg; df is a corpus-wide hash agg joined back (16-byte term
+    // keys); idf = ln(N/df) on exact integer ratios. Top-3 via window with
+    // a full deterministic tiebreak (score desc, term asc).
+    "t16_tfidf" -> ((s, d) => {
+      val docs = documents(s, d)
+      val n = docs.count() // corpus size: one tiny job, broadcast as literal
+      val tf = docs.select(col("doc_id"), explode(ws).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .withColumn("score",
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 6) + lit(0))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          col("term"), col("tf"), col("df"), col("score"))
+    }),
+
     // -- repetition filter (quality heuristic a la Gopher): flag documents
     // dominated by a single 2-gram or by duplicated 3-grams ----------------
     "t12_repetition" -> ((s, d) => {
@@ -358,6 +380,19 @@ object TextOps {
         |SELECT source, seq, COUNT(*) AS n_docs,
         |  CAST(SUM(least(cum_end, (seq + 1) * 1024) - greatest(cum_start, seq * 1024)) AS BIGINT) AS n_tokens
         |FROM x GROUP BY source, seq""".stripMargin,
+    "t16_tfidf" ->
+      """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |                  FROM documents)
+        |            GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |         round(tf * ln(CAST(n AS DOUBLE) / df), 6) + 0 AS score
+        |       FROM tf JOIN df USING (term) CROSS JOIN nn),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rk FROM sc)
+        |SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= 3""".stripMargin,
     "t12_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM
