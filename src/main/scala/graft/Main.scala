@@ -87,6 +87,17 @@ object Main {
     }
     val cmd = args.head
     warnUnknown(args)
+    // warnUnknown's contract is "no option is silently inert" — extend it
+    // to KNOWN options that don't apply to the selected input/k regime
+    locally {
+      val kOpt = opt(args, "-kmer", "31").toInt
+      if (args.contains("-mercy") && kOpt > 31)
+        System.err.println("[graft] WARNING: -mercy is not implemented for k > 31 (wide-block regime); ignored")
+      if (args.contains("-mercy") && opt(args, "-kmerc", "").nonEmpty)
+        System.err.println("[graft] WARNING: -mercy needs the read stream; ignored with a pre-counted -kmerc table")
+      if (args.contains("-merge") && opt(args, "-fastq2", "").isEmpty)
+        System.err.println("[graft] WARNING: -merge requires two-file paired input (-fastq2); ignored")
+    }
     val fastq = opt(args, "-fastq", "/root/reference/example/*.fq.gz")
     val out = opt(args, "-outfile", "/root/repo/target/graft_cli_out")
     val k = opt(args, "-kmer", "31").toInt
@@ -142,7 +153,12 @@ object Main {
           raw.map(r => r.substring(clipF.min(r.length), (r.length - clipE).max(clipF.min(r.length))))
         else raw
       val guarded = Fastq.guardReads(clipped, minLen = minLen)
-      val limited = if (readLimit > 0) guarded.limit(readLimit.toInt) else guarded
+      // limit() takes an Int; a -reads above Int.MaxValue must saturate,
+      // not overflow to a negative limit
+      val limited =
+        if (readLimit > 0)
+          guarded.limit(math.min(readLimit, Int.MaxValue.toLong).toInt)
+        else guarded
       if (partitions > 0) limited.repartition(partitions) else limited
     }
 

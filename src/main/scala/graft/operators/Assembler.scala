@@ -165,6 +165,19 @@ object Assembler {
     emitted.iterator
   }
 
+  /** (fragment count, total bases) in one cached-scan job. Both sides of
+    * the last-mile gate come from the same pass: the row count drives the
+    * convergence probe, the base total keeps the single-task endgame from
+    * swallowing more sequence than one executor holds. */
+  private[operators] def fragStats(frags: Dataset[Frag]): (Long, Long) = {
+    import frags.sparkSession.implicits._
+    frags.mapPartitions { it =>
+      var n = 0L; var b = 0L
+      it.foreach { f => n += 1; b += KmerCodec.lengthOf(f.seq) }
+      Iterator((n, b))
+    }.collect().foldLeft((0L, 0L)) { case ((an, ab), (cn, cb)) => (an + cn, ab + cb) }
+  }
+
   /** One contraction round (J1 + P9): merge adjacent fragments whose coins
     * line up. Exactly one offer per fragment => each key group holds at
     * most one head-offer and one tail-offer. */
@@ -209,13 +222,22 @@ object Assembler {
     * geometrically, so at any input scale the endgame drops under this
     * bound after O(log L) rounds and the remaining rounds (each a full
     * cluster-wide shuffle barrier over a tiny dataset) are replaced by one
-    * task. 2M fragments ≈ low hundreds of MB in one task. Set 0 to force
-    * the fully distributed path. */
+    * task. Set 0 to force the fully distributed path.
+    *
+    * `localMaxBases`: the BYTE side of the same gate. Contraction shrinks
+    * the row count geometrically but total sequence only by k-1 per merge,
+    * so a small fragment count can still carry the whole assembly's
+    * sequence — a count-only switch would funnel it all into one task and
+    * OOM an executor at the 100 TB design point. The local path fires only
+    * when rows AND bases both fit one task (500 Mbases ≈ 125 MB packed,
+    * well under one executor); otherwise the distributed rounds simply
+    * continue to convergence. */
   def assemble(counts: DataFrame, k: Int, minCov: Int = 1, maxIter: Int = 60,
                probeEvery: Int = 3, minContig: Int = 0,
                ckptDir: Option[String] = None,
                popBubbles: Boolean = true,
                localThreshold: Long = 2000000L,
+               localMaxBases: Long = 500000000L,
                minError: Int = 0): Dataset[String] = {
     val s = counts.sparkSession
     import s.implicits._
@@ -243,11 +265,11 @@ object Assembler {
     var lastCount = -1L
     var iter = resumeIter.getOrElse(0)
     var done = false
-    // seed/resume state is already materialized, so this count is one
+    // seed/resume state is already materialized, so this stats pass is one
     // cheap cached-scan job — it decides distributed-vs-local entry
-    var n = frags.count()
+    var (n, bases) = fragStats(frags)
     while (iter < maxIter && !done) {
-      if (n <= localThreshold) {
+      if (n <= localThreshold && bases <= localMaxBases) {
         // last-mile: the fragments fit one task — finish the contraction
         // in a single chain-following pass instead of more rounds.
         // coalesce, not repartition: narrow read of the cached partitions.
@@ -279,7 +301,7 @@ object Assembler {
           // test — a merge is still possible iff some junction is both a
           // tail and a head of open (non-cycle) fragments. Never a false
           // stop, and the intersect runs O(1) times in the common case.
-          n = ckpt.count()
+          locally { val st = fragStats(ckpt); n = st._1; bases = st._2 }
           if (n == lastCount) {
             val open = ckpt.filter(f => f.head != f.tail).toDF()
             done = open.select(col("tail")).intersect(open.select(col("head")))

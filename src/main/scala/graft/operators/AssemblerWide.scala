@@ -100,6 +100,7 @@ object AssemblerWide {
                ckptDir: Option[String] = None,
                popBubbles: Boolean = true,
                localThreshold: Long = 2000000L,
+               localMaxBases: Long = 500000000L,
                minError: Int = 0): Dataset[String] = {
     val s = counts.sparkSession
     import s.implicits._
@@ -127,10 +128,18 @@ object AssemblerWide {
     var lastCount = -1L
     var iter = resumeIter.getOrElse(0)
     var done = false
-    // one cheap cached-scan job deciding distributed-vs-local entry
-    var n = frags.count()
+    // one cheap cached-scan job deciding distributed-vs-local entry; the
+    // byte side keeps the single-task endgame executor-sized (see
+    // Assembler.assemble's localMaxBases doc)
+    def stats(ds: Dataset[FragW]): (Long, Long) =
+      ds.mapPartitions { it =>
+        var cnt = 0L; var b = 0L
+        it.foreach { f => cnt += 1; b += KmerCodec.lengthOf(f.seq) }
+        Iterator((cnt, b))
+      }.collect().foldLeft((0L, 0L)) { case ((an, ab), (cn, cb)) => (an + cn, ab + cb) }
+    var (n, bases) = stats(frags)
     while (iter < maxIter && !done) {
-      if (n <= localThreshold) {
+      if (n <= localThreshold && bases <= localMaxBases) {
         // last-mile local contraction (see Assembler.contractChains)
         frags = frags.coalesce(1).mapPartitions { it =>
           Assembler.contractChains(
@@ -155,7 +164,7 @@ object AssemblerWide {
               c
           }
           frags = ckpt
-          n = ckpt.count()
+          locally { val st = stats(ckpt); n = st._1; bases = st._2 }
           if (n == lastCount) {
             val open = ckpt
               .filter(f => !java.util.Arrays.equals(f.head, f.tail)).toDF()

@@ -71,24 +71,54 @@ object Rescue {
   }
 
   /** J10 generic form: splice contigs whose `overlap`-base suffix equals
-    * another contig's prefix (one deterministic pass — the join key IS the
-    * overlap, so the merge is an equi-join, never contig × contig).
-    * Contigs that take part in no splice pass through unchanged. */
-  def overlapMergeContigs(contigs: Dataset[String], overlap: Int): Dataset[String] = {
+    * another contig's prefix (the join key IS the overlap, so each round is
+    * an equi-join, never contig × contig).
+    *
+    * Splicing iterates to a FIXPOINT: a chain A→B→C yields one full A+B+C
+    * contig, not two overlapping partials that duplicate B (single-pass
+    * splicing did exactly that). Per round only UNAMBIGUOUS 1:1 splices
+    * fire — a key shared by several suffixes or several prefixes is a fork
+    * and merging it would fabricate chimeric duplicates — and a contig
+    * that is itself being extended defers its own extension to the next
+    * round (chain A→B→C merges A+B first, then (A+B)+C), so each round's
+    * output is well-defined and the loop converges in O(chain length)
+    * rounds. Perfect overlap cycles (A→B→A) have no chain head, never
+    * fire, and pass through unchanged. Contigs in no splice pass through. */
+  def overlapMergeContigs(contigs: Dataset[String], overlap: Int,
+                          maxRounds: Int = 16): Dataset[String] = {
     val s = contigs.sparkSession
     import s.implicits._
-    val df = contigs.toDF("c")
-    val a = df.select(col("c").as("ca"),
-      expr(s"substring(c, length(c) - ${overlap - 1}, $overlap)").as("key"))
-    val b = df.select(col("c").as("cb"),
-      expr(s"substring(c, 1, $overlap)").as("key"))
-    val pairs = a.join(b, "key").filter(col("ca") =!= col("cb"))
-    val merged = pairs
-      .select(concat(col("ca"), expr(s"substring(cb, ${overlap + 1})")).as("c"))
-    val consumed = pairs.select(col("ca").as("c"))
-      .unionAll(pairs.select(col("cb").as("c"))).distinct()
-    merged.unionAll(df.join(consumed, Seq("c"), "left_anti"))
-      .select(col("c")).as[String]
+    var df = contigs.toDF("c").localCheckpoint()
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      val a = df.select(col("c").as("ca"),
+        expr(s"substring(c, length(c) - ${overlap - 1}, $overlap)").as("key"))
+      val b = df.select(col("c").as("cb"),
+        expr(s"substring(c, 1, $overlap)").as("key"))
+      // keys with exactly one suffix and exactly one prefix occurrence
+      val uniq = a.groupBy("key").agg(count(lit(1)).as("na"))
+        .join(b.groupBy("key").agg(count(lit(1)).as("nb")), "key")
+        .filter(col("na") === 1 && col("nb") === 1)
+        .select("key")
+      val pairs = a.join(b, "key").join(uniq, "key")
+        .filter(col("ca") =!= col("cb"))
+      // chain interiors wait: drop splices whose LEFT side is itself the
+      // right side of another splice this round
+      val heads = pairs.join(
+        pairs.select(col("cb").as("ca")), Seq("ca"), "left_anti")
+      val merged = heads
+        .select(concat(col("ca"), expr(s"substring(cb, ${overlap + 1})")).as("c"))
+      val consumed = heads.select(col("ca").as("c"))
+        .unionAll(heads.select(col("cb").as("c"))).distinct()
+      val next = merged.unionAll(df.join(consumed, Seq("c"), "left_anti"))
+        .localCheckpoint()
+      changed = next.count() != df.count()
+      df.unpersist()
+      df = next
+      round += 1
+    }
+    df.select(col("c")).as[String]
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -168,7 +168,10 @@ object Similarity {
     // the standard 4x index-shrink for ANN at scale: scale = 127/max|x|,
     // q_i = round(x_i * scale); emits the quantized vector plus the
     // reconstruction MSE so curation can gate on quantization loss. Pure
-    // per-row array math — codegen'd, no shuffle, no UDF.
+    // per-row array math — codegen'd, no shuffle, no UDF. The quantized
+    // vector travels as a comma-joined string: the driver's oracle gate
+    // sorts result columns with pandas, which cannot order raw arrays
+    // (CORRECTNESS_r03's only failure was exactly that crash).
     "s6_int8_quant" -> ((s, d) =>
       embeddings(s, d)
         .select(col("vec_id"),
@@ -181,7 +184,7 @@ object Similarity {
           (x, qq) => x - qq.cast("double") * col("amax") / lit(127.0)))
         .select(col("vec_id"),
           round(col("amax"), 6).as("amax"),
-          col("q"),
+          concat_ws(",", col("q")).as("q"),
           round(dot(col("err"), col("err")) / lit(64.0), 10).as("mse")))
   )
 
@@ -273,7 +276,7 @@ object Similarity {
         |        list_transform(generate_series(1, len(v)),
         |          i -> v[i] - CAST(q[i] AS DOUBLE) * amax / 127.0) AS err
         |      FROM qq)
-        |SELECT vec_id, round(amax, 6) AS amax, q,
+        |SELECT vec_id, round(amax, 6) AS amax, array_to_string(q, ',') AS q,
         |  round(list_dot_product(err, err) / 64.0, 10) AS mse
         |FROM r""".stripMargin
   )

@@ -67,6 +67,30 @@ class GenericOpsSpec extends AnyFunSuite {
     assert(merged == Set(g, lone))
   }
 
+  test("overlapMergeContigs splices chains to a fixpoint without duplicating interiors") {
+    import spark.implicits._
+    val g = randGenome(150, seed = 51)
+    // chain A→B→C→D, each overlapping the next by exactly 20
+    val parts = Seq(g.substring(0, 50), g.substring(30, 80),
+      g.substring(60, 110), g.substring(90, 150))
+    val merged = Rescue.overlapMergeContigs(parts.toDS(), overlap = 20)
+      .collect().toSeq
+    assert(merged == Seq(g)) // ONE full contig, no overlapping partials
+    // a perfect 2-cycle has no chain head: passes through unchanged
+    val x = "ACGTACGTACGTACGTACGTTTTT"
+    val y = x.substring(x.length - 20) + x.substring(0, 20)
+    val cyc = Rescue.overlapMergeContigs(Seq(x, y).toDS(), overlap = 20)
+      .collect().toSet
+    assert(cyc == Set(x, y))
+    // ambiguous fork (two contigs share one prefix key): nothing merges
+    val p = randGenome(60, seed = 52)
+    val q1 = p.substring(40) + randGenome(30, seed = 53)
+    val q2 = p.substring(40) + randGenome(30, seed = 54)
+    val fork = Rescue.overlapMergeContigs(Seq(p, q1, q2).toDS(), overlap = 20)
+      .collect().toSet
+    assert(fork == Set(p, q1, q2))
+  }
+
   test("reduceCounts drops short kmers subsumed left- or right-aligned by long kmers") {
     import spark.implicits._
     val shortT = Seq(("AAACC", 3L), ("CCCGG", 2L), ("AAAAA", 7L)).toDF("kmer", "count")
