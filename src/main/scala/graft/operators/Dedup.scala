@@ -201,6 +201,51 @@ object Dedup {
             t => t.getField("chunk"))).as("clean"))
     }),
 
+    // -- bloom-filter decontamination --------------------------------------
+    // the 100 TB form of test-set filtering: the test side is compiled
+    // into a FIXED-SIZE bloom filter (bit space = 2^16, 3 hashes = three
+    // non-overlapping 16-bit windows of md5(gram)), so the broadcast is
+    // capped at 64 Ki positions no matter how large the test set grows —
+    // unlike t10's exact-shingle broadcast, which grows with the test
+    // set. A train 5-gram is flagged iff ALL THREE of its windows are
+    // set; per-doc output counts flagged grams (true hits + the bloom's
+    // deterministic false positives — both engines build the identical
+    // filter, so the oracle is exact). Train side: one scan, one
+    // broadcast join, one agg; no shuffle of the gram table.
+    "d9_bloom_decontaminate" -> ((s, d) => {
+      val wsd = split(col("text"), " ")
+      def sh5(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        explode(when(size(wsd) >= 5,
+          transform(sequence(lit(1), size(wsd) - 4),
+            i => concat_ws(" ", slice(wsd, i, lit(5)))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+      val doc = documents(s, d)
+      val testDocs = doc.filter(col("doc_id") % 100 === 0)
+      val trainDocs = doc.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .union(testDocs.select((col("doc_id") + 300000).as("doc_id"),
+          concat_ws(" ", slice(wsd, lit(1), greatest(size(wsd) - 2, lit(1)))).as("text")))
+      def windows(c: Column): Column = array(
+        substring(md5(c.cast("binary")), 1, 4),
+        substring(md5(c.cast("binary")), 5, 4),
+        substring(md5(c.cast("binary")), 9, 4))
+      val bloom = sh5(testDocs)
+        .select(explode(windows(col("sh"))).as("p")).distinct()
+        .withColumn("hit", lit(1))
+      val trainSh = sh5(trainDocs).distinct()
+      trainSh
+        .select(col("doc_id"), col("sh"), explode(windows(col("sh"))).as("p"))
+        .join(broadcast(bloom), Seq("p"), "left")
+        .groupBy(col("doc_id"), col("sh"))
+        .agg(min(coalesce(col("hit"), lit(0))).as("all_set"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(col("all_set")).as("n_flagged"))
+        .filter(col("n_flagged") >= 1)
+        .select(col("doc_id"), col("n_grams"), col("n_flagged").cast("long").as("n_flagged"),
+          round(col("n_flagged").cast("double") / col("n_grams"), 4).as("flag_frac"))
+    }),
+
     // -- SimHash (16-bit) over word bags -----------------------------------
     "d5_simhash" -> ((s, d) => {
       val tok = documents(s, d).select(col("doc_id"), explode(words).as("w"))
@@ -327,6 +372,35 @@ object Dedup {
           |JOIN sizes za ON za.doc_id = i.a
           |JOIN sizes zb ON zb.doc_id = i.b
           |WHERE round(CAST(i.i AS DOUBLE) / (za.nsz + zb.nsz - i.i), 4) >= 0.5""".stripMargin),
+    "d9_bloom_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |test AS (SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS sh
+        |         FROM (SELECT w, unnest(generate_series(1, len(w) - 4)) AS i
+        |               FROM w WHERE doc_id % 100 = 0)),
+        |bloom AS (SELECT DISTINCT p FROM (
+        |  SELECT substr(md5(sh), 1, 4) AS p FROM test
+        |  UNION ALL SELECT substr(md5(sh), 5, 4) FROM test
+        |  UNION ALL SELECT substr(md5(sh), 9, 4) FROM test)),
+        |train AS (SELECT doc_id, w FROM w WHERE doc_id % 100 <> 0
+        |          UNION ALL
+        |          SELECT doc_id + 300000, w[1:greatest(len(w) - 2, 1)]
+        |          FROM w WHERE doc_id % 100 = 0),
+        |tsh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+        |              FROM train)),
+        |pos AS (SELECT doc_id, sh, substr(md5(sh), 1, 4) AS p FROM tsh
+        |        UNION ALL SELECT doc_id, sh, substr(md5(sh), 5, 4) FROM tsh
+        |        UNION ALL SELECT doc_id, sh, substr(md5(sh), 9, 4) FROM tsh),
+        |gr AS (SELECT doc_id, sh,
+        |         MIN(CASE WHEN b.p IS NULL THEN 0 ELSE 1 END) AS all_set
+        |       FROM pos LEFT JOIN bloom b ON pos.p = b.p
+        |       GROUP BY doc_id, sh),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_grams,
+        |          CAST(SUM(all_set) AS BIGINT) AS n_flagged
+        |        FROM gr GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_flagged,
+        |  round(CAST(n_flagged AS DOUBLE) / n_grams, 4) AS flag_frac
+        |FROM agg WHERE n_flagged >= 1""".stripMargin,
     "d5_simhash" -> {
       val sums = (0 until 16).map(j =>
         s"SUM(CASE WHEN ascii(substr(md5(w), ${j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")

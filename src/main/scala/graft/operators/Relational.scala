@@ -206,6 +206,20 @@ object Relational {
           max(col("n")).as("n"))
     }),
 
+    // -- skew-salted join ([[Skew.saltedJoin]]): results identical to the
+    // plain equi-join, but a hot supplier key's lineitem rows spread over
+    // r=8 tasks — the explicit mitigation for when one key dominates so
+    // badly that even AQE's split shuffle blocks overwhelm a task. The
+    // oracle is the PLAIN join: salting must be invisible in the result.
+    "q18_salted_join" -> ((s, d) => {
+      val sup = supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      Skew.saltedJoin(lineitem(s, d), sup, "l_suppkey", r = 8)
+        .groupBy(col("l_suppkey").as("suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(D2)).cast("decimal(38,2)").cast("double").as("sum_qty"))
+    }),
+
     // -- per-group arg-max via window (scalar-subquery shape) --------------
     "q14_top_account" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -323,6 +337,12 @@ object Relational {
         |  MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN l_extendedprice END) AS p50,
         |  MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN l_extendedprice END) AS p95,
         |  MAX(n) AS n
-        |FROM b GROUP BY l_returnflag""".stripMargin
+        |FROM b GROUP BY l_returnflag""".stripMargin,
+    "q18_salted_join" ->
+      """SELECT l.l_suppkey AS suppkey, s.s_name,
+        |  COUNT(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY l.l_suppkey, s.s_name""".stripMargin
   )
 }

@@ -232,6 +232,55 @@ object TextOps {
           col("term"), col("tf"), col("df"), col("score"))
     }),
 
+    // -- deterministic weighted source mixing (training-mix construction) --
+    // each source gets a weight in {0.5, 1.0, 1.5, 2.0} (derived from
+    // md5(source) so the oracle agrees without a config table; a real run
+    // passes an explicit source->weight map). Docs are replicated
+    // floor(w) times plus one more with probability frac(w), the coin
+    // being a per-doc md5 bit — deterministic up/down-sampling, the way a
+    // training mix actually repeats/downsamples sources. Pure projection +
+    // explode: no shuffle at all, so it streams at any corpus size.
+    "t17_source_mix" -> ((s, d) => {
+      val wq = (ascii(substring(md5(col("source").cast("binary")), 1, 1)) % 4)
+      val weight = lit(0.5) + wq.cast("double") * 0.5
+      val base = floor(weight).cast("long")
+      val coin = (ascii(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":mix")).cast("binary")), 1, 1)) % 2)
+      val extra = when(weight - floor(weight) > 0.25 && coin === 1, 1L).otherwise(0L)
+      documents(s, d)
+        .select(col("doc_id"), col("source"), weight.as("weight"),
+          (base + extra).as("n_copies"))
+        .select(col("doc_id"), col("source"), col("weight"), col("n_copies"),
+          explode(when(col("n_copies") >= 1,
+            sequence(lit(1L), col("n_copies")))
+            .otherwise(array().cast("array<long>"))).as("copy"))
+    }),
+
+    // -- unigram-LM surprisal score (perplexity proxy for quality) ---------
+    // quality signal: average per-token surprisal against a unigram LM
+    // trained on the corpus itself. The at-scale form is -mean log2 p(w);
+    // the gate-exact form quantizes to INTEGER bit-lengths
+    // (bits(N) - bits(cf) ≈ log2(N/cf), exact integer arithmetic in both
+    // engines — float ln() may differ between JVM and DuckDB in the last
+    // ulp and sums of doubles are order-dependent, so the only FP op is
+    // the final division). Corpus-frequency table joins back on the token
+    // — at 100 TB the head of the vocabulary is skewed, but the join is
+    // map-side combinable (tf per doc first), so no hot-key fanout.
+    "t18_surprisal" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(ws).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val cf = tf.groupBy("w").agg(sum(col("tf")).as("cf"))
+      val n = tok.count() // corpus token count: one job, then a literal
+      val bitsN = lit(java.lang.Long.toBinaryString(n).length)
+      tf.join(cf, "w")
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * (bitsN - length(bin(col("cf"))))).as("surprisal_bits"))
+        .select(col("doc_id"), col("n_tokens"), col("surprisal_bits"),
+          round(col("surprisal_bits").cast("double") / col("n_tokens"), 4).as("score"))
+    }),
+
     // -- repetition filter (quality heuristic a la Gopher): flag documents
     // dominated by a single 2-gram or by duplicated 3-grams ----------------
     "t12_repetition" -> ((s, d) => {
@@ -393,6 +442,32 @@ object TextOps {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, term) AS rk FROM sc)
         |SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= 3""".stripMargin,
+    "t17_source_mix" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(0.5 + (ascii(substr(md5(source), 1, 1)) % 4) * 0.5 AS DOUBLE) AS weight,
+        |    ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 1)) % 2 AS coin
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, weight,
+        |    CAST(FLOOR(weight) AS BIGINT) +
+        |      CASE WHEN weight - FLOOR(weight) > 0.25 AND coin = 1 THEN 1 ELSE 0 END AS n_copies
+        |  FROM b)
+        |SELECT doc_id, source, weight, n_copies,
+        |  unnest(generate_series(1, n_copies)) AS copy
+        |FROM c WHERE n_copies >= 1""".stripMargin,
+    "t18_surprisal" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        |cf AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY w),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+        |per AS (SELECT doc_id,
+        |          CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |          CAST(SUM(tf * (length(bin(n)) - length(bin(cf)))) AS BIGINT) AS surprisal_bits
+        |        FROM tf JOIN cf USING (w) CROSS JOIN nn GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, surprisal_bits,
+        |  round(CAST(surprisal_bits AS DOUBLE) / n_tokens, 4) AS score
+        |FROM per""".stripMargin,
     "t12_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM
