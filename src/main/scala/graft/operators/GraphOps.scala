@@ -30,13 +30,43 @@ object GraphOps {
     * large-star/small-star (bounds intermediate edge growth); near-dup
     * graphs are tiny dense clusters, where hash-to-min's intermediate
     * size is within a constant of the input. */
-  def connectedComponents(edges0: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(edges0: DataFrame, maxRounds: Int = 50,
+                          localThreshold: Long = 5000000L): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
     var e = edges0.select(col("x"), col("y"))
       .union(edges0.select(col("y").as("x"), col("x").as("y")))
       .union(edges0.select(col("x"), col("x").as("y"))) // self loop keeps isolated mins
       .distinct().localCheckpoint()
     def fingerprint(df: DataFrame) =
       df.agg(count(lit(1)), bit_xor(xxhash64(col("x"), col("y")))).first()
+    // last-mile gate (same pattern as Assembler's single-task endgame):
+    // after LSH/candidate generation the edge set is orders of magnitude
+    // smaller than the corpus — when it fits one task, a single
+    // union-find pass replaces O(log n) full shuffle rounds, each of
+    // which costs a groupBy + join + distinct + checkpoint barrier.
+    // Output is identical: component = min node id.
+    if (fingerprint(e).getLong(0) <= localThreshold) {
+      return e.select(col("x").cast("long"), col("y").cast("long"))
+        .as[(Long, Long)].coalesce(1).mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(a: Long): Long = {
+            var r = a
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = a
+            while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          it.foreach { case (x, y) =>
+            parent.getOrElseUpdate(x, x)
+            parent.getOrElseUpdate(y, y)
+            val (rx, ry) = (find(x), find(y))
+            // min root wins => each component's final root is its min id
+            if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
+          }
+          parent.keysIterator.toArray.iterator.map(n => (n, find(n)))
+        }.toDF("node", "component")
+    }
     var fp = fingerprint(e)
     var round = 0
     var stable = false

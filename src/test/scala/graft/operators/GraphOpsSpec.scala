@@ -9,10 +9,18 @@ import graft.TestSpark
 class GraphOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  /** Runs BOTH execution paths (single-task union-find last mile and the
+    * distributed hash-to-min rounds) and asserts they agree before
+    * returning the labels. */
   private def cc(edges: Seq[(Long, Long)], maxRounds: Int = 50): Map[Long, Long] = {
     import spark.implicits._
-    GraphOps.connectedComponents(edges.toDF("x", "y"), maxRounds)
+    val local = GraphOps.connectedComponents(edges.toDF("x", "y"), maxRounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = GraphOps.connectedComponents(edges.toDF("x", "y"), maxRounds,
+        localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, "local union-find and distributed hash-to-min disagree")
+    local
   }
 
   test("300-node chain collapses to one component within the log-round budget") {
