@@ -232,8 +232,10 @@ object Dedup {
       val bloom = sh5(testDocs)
         .select(explode(windows(col("sh"))).as("p")).distinct()
         .withColumn("hit", lit(1))
-      val trainSh = sh5(trainDocs).distinct()
-      trainSh
+      // no pre-dedup of train grams: the groupBy(doc_id, sh) below merges
+      // duplicate occurrences anyway, so a distinct() here would only add
+      // a full extra shuffle of the gram table
+      sh5(trainDocs)
         .select(col("doc_id"), col("sh"), explode(windows(col("sh"))).as("p"))
         .join(broadcast(bloom), Seq("p"), "left")
         .groupBy(col("doc_id"), col("sh"))
@@ -385,7 +387,7 @@ object Dedup {
         |          UNION ALL
         |          SELECT doc_id + 300000, w[1:greatest(len(w) - 2, 1)]
         |          FROM w WHERE doc_id % 100 = 0),
-        |tsh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+        |tsh AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
         |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
         |              FROM train)),
         |pos AS (SELECT doc_id, sh, substr(md5(sh), 1, 4) AS p FROM tsh
