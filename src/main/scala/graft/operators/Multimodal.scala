@@ -56,6 +56,33 @@ object Multimodal {
         .toDF("doc_id", "resized_bytes", "resized_md5")
     }),
 
+    // -- batched "inference" plumbing: fixed batch formation + padding -----
+    // the shape a GPU encoder stage needs: items grouped into batches
+    // (deterministic key doc_id div 64 — batch membership must not depend
+    // on partitioning), every payload zero-cost padded to the batch max
+    // (here with ' ' so the oracle can rpad), one encoder call per batch
+    // (the md5 stands in for the model forward pass). The per-item
+    // padded_len/n_bytes output is the padding-waste report that drives
+    // batch-size/bucketing decisions in a real pipeline.
+    "m4_batch_encode" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .groupByKey(_._1 / 64)
+        .flatMapGroups { (bid, it) =>
+          val items = it.toArray.sortBy(_._1)
+          val maxLen = items.map(_._2.length).max
+          val md = java.security.MessageDigest.getInstance("MD5")
+          items.iterator.map { case (id, p) =>
+            val padded = p ++ Array.fill(maxLen - p.length)(' '.toByte)
+            (id, bid, items.length.toLong, maxLen.toLong, p.length.toLong,
+              md.digest(padded).map("%02x".format(_)).mkString)
+          }
+        }
+        .toDF("doc_id", "batch_id", "batch_items", "padded_len", "n_bytes", "enc_md5")
+    }),
+
     // -- frame sampling: 16-byte "frames", keep every 4th ------------------
     "m2_frame_sample" -> ((s, d) => {
       import s.implicits._
@@ -94,6 +121,15 @@ object Multimodal {
       """SELECT doc_id, i AS frame_idx, md5(substr(text, i * 16 + 1, 16)) AS frame_md5
         |FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) // 16 - 1)) AS i
         |      FROM documents)
-        |WHERE i % 4 = 0""".stripMargin
+        |WHERE i % 4 = 0""".stripMargin,
+    "m4_batch_encode" ->
+      """WITH b AS (SELECT doc_id, doc_id // 64 AS batch_id, text,
+        |             CAST(length(text) AS BIGINT) AS n_bytes FROM documents),
+        |m AS (SELECT batch_id, COUNT(*) AS batch_items,
+        |        CAST(MAX(n_bytes) AS BIGINT) AS padded_len
+        |      FROM b GROUP BY batch_id)
+        |SELECT doc_id, b.batch_id, batch_items, padded_len, n_bytes,
+        |  md5(rpad(text, CAST(padded_len AS INT), ' ')) AS enc_md5
+        |FROM b JOIN m USING (batch_id)""".stripMargin
   )
 }

@@ -281,6 +281,23 @@ object TextOps {
           round(col("surprisal_bits").cast("double") / col("n_tokens"), 4).as("score"))
     }),
 
+    // -- token-budgeted per-source sampling --------------------------------
+    // the other half of training-mix construction (t9 caps DOCUMENT count,
+    // this caps TOKEN count): per source, take docs in deterministic
+    // md5-shuffled order until a token budget fills. One window cumsum per
+    // source — parallel across sources, no collect, and the budget check
+    // is a pure filter so Catalyst prunes everything else off the scan.
+    "t19_token_budget" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      documents(s, d)
+        .select(col("source"), col("doc_id"), size(ws).cast("long").as("nt"))
+        .withColumn("cum_tokens", sum(col("nt")).over(w))
+        .filter(col("cum_tokens") <= 600)
+        .select(col("source"), col("doc_id"), col("nt").as("n_tokens"),
+          col("cum_tokens"))
+    }),
+
     // -- repetition filter (quality heuristic a la Gopher): flag documents
     // dominated by a single 2-gram or by duplicated 3-grams ----------------
     "t12_repetition" -> ((s, d) => {
@@ -442,6 +459,14 @@ object TextOps {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, term) AS rk FROM sc)
         |SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= 3""".stripMargin,
+    "t19_token_budget" ->
+      """WITH b AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |  CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_tokens
+        |  FROM documents)
+        |SELECT source, doc_id, nt AS n_tokens, cum_tokens
+        |FROM b WHERE cum_tokens <= 600""".stripMargin,
     "t17_source_mix" ->
       """WITH b AS (
         |  SELECT doc_id, source,
