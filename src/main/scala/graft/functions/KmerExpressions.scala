@@ -134,7 +134,8 @@ object GraftFunctions {
     "revcomp" -> (args => ReverseComplement(args.head)),
     "kmer_pack" -> (args => KmerPack(args.head)),
     "kmer_unpack" -> (args => KmerUnpack(args(0), args(1))),
-    "rolling_hash" -> (args => RollingHash(args.head)))
+    "rolling_hash" -> (args => RollingHash(args.head)),
+    "vec_dot" -> (args => VecDot(args(0), args(1))))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>

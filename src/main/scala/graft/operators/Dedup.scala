@@ -38,15 +38,10 @@ object Dedup {
       .union(doc.select((col("doc_id") + 100000).as("doc_id"), truncated.as("text")))
   }
 
-  /** Word 3-shingles, exploded: (doc_id, sh). */
-  private def shingled(c: DataFrame): DataFrame = {
-    val sh = when(size(words) >= 3,
-      transform(sequence(lit(1), size(words) - 2),
-        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1),
-          element_at(words, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    c.select(col("doc_id"), explode(sh).as("sh"))
-  }
+  /** Word 3-shingles, one row each: (doc_id, sh) — via the JIT-compiled
+    * [[Shingles.wordNGrams]] generator (the HOF-explode form ran
+    * interpreted; see Shingles' doc). */
+  private def shingled(c: DataFrame): DataFrame = Shingles.wordNGrams(c, 3)
 
   /** MinHash signatures from an exploded shingle table: (doc_id, h0..h7),
     * one map-side-combined shuffle of 8 fixed 8-char mins per doc. The 8
@@ -214,11 +209,7 @@ object Dedup {
     // broadcast join, one agg; no shuffle of the gram table.
     "d9_bloom_decontaminate" -> ((s, d) => {
       val wsd = split(col("text"), " ")
-      def sh5(df: DataFrame): DataFrame = df.select(col("doc_id"),
-        explode(when(size(wsd) >= 5,
-          transform(sequence(lit(1), size(wsd) - 4),
-            i => concat_ws(" ", slice(wsd, i, lit(5)))))
-          .otherwise(array().cast("array<string>"))).as("sh"))
+      def sh5(df: DataFrame): DataFrame = Shingles.wordNGrams(df, 5)
       val doc = documents(s, d)
       val testDocs = doc.filter(col("doc_id") % 100 === 0)
       val trainDocs = doc.filter(col("doc_id") % 100 =!= 0)

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Typed word-n-gram generator shared by the dedup/decontamination layer.
+  *
+  * This is the one deliberate typed-lambda boundary in the text path
+  * (same rationale as the k-mer generator, SURVEY P3): Spark's array
+  * higher-order functions (`transform`, `filter`, `aggregate`) are
+  * CodegenFallback — a `transform(sequence(...), i -> concat_ws(...))`
+  * shingler runs INTERPRETED per element and materializes every doc's
+  * full shingle array before explode. This flatMap streams shingles out
+  * of a JIT-compiled loop instead (measured on d2_minhash_sig at sf0.1:
+  * the interpreted-HOF shingler dominated the 5.7 s runtime; DuckDB does
+  * the whole query in 0.45 s, so the HOF overhead, not the data, was the
+  * cost).
+  *
+  * Tokenization matches `split(text, ' ')` exactly (Java split with
+  * limit -1 keeps trailing empty tokens, as Spark's `split` does).
+  */
+object Shingles {
+
+  /** (id, text) -> one row per n-word shingle: (id, sh). Docs with fewer
+    * than n tokens emit nothing — same contract as the
+    * `when(size(ws) >= n, transform(...)).otherwise(array())` form. */
+  def wordNGrams(df: DataFrame, n: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val ws = text.split(" ", -1)
+          if (ws.length < n) Iterator.empty
+          else (0 to ws.length - n).iterator.map { i =>
+            val sb = new java.lang.StringBuilder(ws(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+            (id, sb.toString)
+          }
+        }
+      }.toDF(idCol, "sh")
+  }
+}

@@ -53,16 +53,22 @@ object Similarity {
       struct(lit(b).as("band"), bandHash(col("embedding"), b, BitsPerBand).as("h"))): _*)).as("bh"))
       .select(col("vec_id"), col("bh.band").as("band"), col("bh.h").as("h"))
 
-  /** Double-precision view of the embedding + its squared norm. */
+  /** Embedding + its squared norm. `v` stays the raw FLOAT array — the
+    * old `transform(_.cast("double"))` was a CodegenFallback HOF that
+    * interpreted and re-allocated every vector; [[dot]] widens each
+    * element to double inside its fused loop instead, which is the same
+    * arithmetic (cast-then-multiply in double) the oracle's
+    * `embedding::DOUBLE[]` + `list_dot_product` performs. */
   private def vecs(s: SparkSession, d: String): DataFrame = {
-    val v = transform(col("embedding"), x => x.cast("double"))
+    graft.functions.GraftFunctions.register(s)
     embeddings(s, d)
-      .select(col("vec_id"), v.as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
   }
 
+  /** Codegen'd sequential dot product ([[graft.functions.VecDot]]). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
 
   /** 8-bit sign bucket over the first 8 dimensions (raw float sign tests —
     * deterministic across engines, no FP arithmetic). */
@@ -113,9 +119,10 @@ object Similarity {
     // corpus augmented with exact copies (vec_id + 10000) the near-dup
     // pass must find; bucket equi-join keeps it cartesian-free
     "s4_embedding_neardup" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val base = embeddings(s, d)
       val aug = base.union(base.withColumn("vec_id", col("vec_id") + 10000))
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"),
+        .select(col("vec_id"), col("embedding").as("v"),
           bucketOf(col("embedding")).as("bkt"))
         .withColumn("n2", dot(col("v"), col("v")))
       val r = aug.select(col("bkt").as("bkt2"), col("vec_id").as("b"),
@@ -156,13 +163,14 @@ object Similarity {
     }),
 
     // -- per-vector L2 norm + bucket id (sanity surface for the ANN path) --
-    "s3_vector_stats" -> ((s, d) =>
+    "s3_vector_stats" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       embeddings(s, d).select(
         col("vec_id"),
         col("label"),
-        round(sqrt(dot(transform(col("embedding"), x => x.cast("double")),
-          transform(col("embedding"), x => x.cast("double")))), 4).as("l2"),
-        bucketOf(col("embedding")).as("bkt"))),
+        round(sqrt(dot(col("embedding"), col("embedding"))), 4).as("l2"),
+        bucketOf(col("embedding")).as("bkt"))
+    }),
 
     // -- symmetric per-vector int8 quantization ----------------------------
     // the standard 4x index-shrink for ANN at scale: scale = 127/max|x|,
@@ -172,7 +180,8 @@ object Similarity {
     // vector travels as a comma-joined string: the driver's oracle gate
     // sorts result columns with pandas, which cannot order raw arrays
     // (CORRECTNESS_r03's only failure was exactly that crash).
-    "s6_int8_quant" -> ((s, d) =>
+    "s6_int8_quant" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       embeddings(s, d)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -185,7 +194,8 @@ object Similarity {
         .select(col("vec_id"),
           round(col("amax"), 6).as("amax"),
           concat_ws(",", col("q")).as("q"),
-          round(dot(col("err"), col("err")) / lit(64.0), 10).as("mse")))
+          round(dot(col("err"), col("err")) / lit(64.0), 10).as("mse"))
+    })
   )
 
   private val sqlBucket = (0 until 8)

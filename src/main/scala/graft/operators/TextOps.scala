@@ -125,11 +125,7 @@ object TextOps {
         .select(col("doc_id"), col("text"))
         .union(testDocs.select((col("doc_id") + 300000).as("doc_id"),
           concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))).as("text")))
-      def sh5(df: DataFrame): DataFrame = df.select(col("doc_id"),
-        explode(when(size(ws) >= 5,
-          transform(sequence(lit(1), size(ws) - 4),
-            i => concat_ws(" ", slice(ws, i, lit(5)))))
-          .otherwise(array().cast("array<string>"))).as("sh"))
+      def sh5(df: DataFrame): DataFrame = Shingles.wordNGrams(df, 5)
       val testSh = sh5(testDocs).select("sh").distinct()
       // join BEFORE dedup: the broadcast join keeps only matching shingles
       // (a tiny fraction of the corpus), so the distinct shuffles hits,
@@ -301,16 +297,12 @@ object TextOps {
     // -- repetition filter (quality heuristic a la Gopher): flag documents
     // dominated by a single 2-gram or by duplicated 3-grams ----------------
     "t12_repetition" -> ((s, d) => {
-      def grams(n: Int): Column = explode(when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws(" ", slice(ws, i, lit(n)))))
-        .otherwise(array().cast("array<string>")))
       val doc = documents(s, d)
-      val a2 = doc.select(col("doc_id"), grams(2).as("g"))
-        .groupBy("doc_id", "g").count()
+      val a2 = Shingles.wordNGrams(doc, 2)
+        .groupBy("doc_id", "sh").count()
         .groupBy("doc_id").agg(max(col("count")).as("top2"), sum(col("count")).as("tot2"))
-      val a3 = doc.select(col("doc_id"), grams(3).as("g"))
-        .groupBy("doc_id", "g").count()
+      val a3 = Shingles.wordNGrams(doc, 3)
+        .groupBy("doc_id", "sh").count()
         .groupBy("doc_id")
         .agg(coalesce(sum(when(col("count") >= 2, col("count"))), lit(0L)).as("dup3"),
           sum(col("count")).as("tot3"))
