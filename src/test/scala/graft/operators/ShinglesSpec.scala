@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The typed n-gram generator must emit exactly what the HOF formulation
+  * emitted: tokenization = split(text, ' ') including empty tokens from
+  * repeated/leading/trailing spaces, nothing for docs shorter than n. */
+class ShinglesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def hofNGrams(df: org.apache.spark.sql.DataFrame, n: Int) = {
+    val ws = split(col("text"), " ")
+    df.select(col("doc_id"), explode(when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))).as("sh"))
+  }
+
+  test("wordNGrams matches the HOF formulation on edge-case texts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "short"),
+      (3L, ""),
+      (4L, "a b"),
+      (5L, "  leading double  spaces trailing "),
+      (6L, "exactly three words")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5)) {
+      val got = Shingles.wordNGrams(docs, n)
+        .as[(Long, String)].collect().toSeq.sorted
+      val want = hofNGrams(docs, n)
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(got == want, s"n=$n")
+    }
+  }
+}
