@@ -178,11 +178,7 @@ object Dedup {
     // df keys are content hashes, so the shuffle carries 16-byte keys at
     // 100 TB, and ubiquitous chunks never fan out (df agg, not self-join).
     "d8_chunk_dedup" -> ((s, d) => {
-      val chunks = documents(s, d)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, size(split(text, ' ')), 10), " +
-            "i -> concat_ws(' ', slice(split(text, ' '), i, 10)))")))
-        .toDF("doc_id", "pos", "chunk")
+      val chunks = Shingles.wordChunks(documents(s, d), 10)
       val df = chunks.groupBy("chunk")
         .agg(countDistinct(col("doc_id")).as("df"))
       chunks.join(df, "chunk")

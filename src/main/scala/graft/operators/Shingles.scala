@@ -21,6 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object Shingles {
 
+  /** (id, text) -> one row per NON-OVERLAPPING n-token chunk:
+    * (id, pos, chunk), pos = 0-based chunk index; the final chunk may be
+    * shorter. Matches `transform(sequence(1, size(ws), n), i ->
+    * concat_ws(' ', slice(ws, i, n)))` with posexplode. */
+  def wordChunks(df: DataFrame, n: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val ws = text.split(" ", -1)
+          (0 until (ws.length + n - 1) / n).iterator.map { p =>
+            val from = p * n
+            val until = math.min(from + n, ws.length)
+            val sb = new java.lang.StringBuilder(ws(from))
+            var j = from + 1
+            while (j < until) { sb.append(' ').append(ws(j)); j += 1 }
+            (id, p, sb.toString)
+          }
+        }
+      }.toDF(idCol, "pos", "chunk")
+  }
+
   /** (id, text) -> one row per n-word shingle: (id, sh). Docs with fewer
     * than n tokens emit nothing — same contract as the
     * `when(size(ws) >= n, transform(...)).otherwise(array())` form. */

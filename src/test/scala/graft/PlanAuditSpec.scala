@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression guard: the physical plans the 100 TB design depends on
+  * must not silently degrade. Asserts on the FORMATTED explain string of
+  * key queries at sf0.001 (plan shape is scale-independent; AQE may
+  * re-plan at runtime but the static plan shows the declared strategy).
+  *
+  *  - dims are broadcast where the query hinted them
+  *  - predicate pushdown reaches the parquet scan
+  *  - candidate-generation joins are equi-joins, never cartesians
+  *  - the one intentional nested-loop (s1's bounded query broadcast)
+  *    stays a BROADCAST nested loop
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q5_nation_revenue broadcasts its dimension tables") {
+    val p = plan("q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q2_pushdown_scan pushes its predicates into the parquet scan") {
+    val p = plan("q2_pushdown_scan")
+    assert(p.contains("PushedFilters"), p.take(2000))
+    // at least one real comparison pushed, not just IsNotNull
+    assert(p.split("PushedFilters").exists(s =>
+      s.take(400).contains("GreaterThan") || s.take(400).contains("LessThan")
+        || s.take(400).contains("EqualTo")), p.take(3000))
+  }
+
+  test("LSH candidate generation is equi-join, never cartesian") {
+    for (q <- Seq("d3_lsh_pairs", "d6_ngram_jaccard", "s2_knn_bucket")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop")
+    }
+  }
+
+  test("s1's bounded query set stays a BROADCAST nested loop") {
+    val p = plan("s1_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("decontamination joins broadcast the fixed-size side") {
+    for (q <- Seq("t10_decontaminate", "d9_bloom_decontaminate")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+  }
+
+  test("q18 salted join broadcasts the replicated small side") {
+    val p = plan("q18_salted_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+}

@@ -18,6 +18,26 @@ class ShinglesSpec extends AnyFunSuite {
       .otherwise(array().cast("array<string>"))).as("sh"))
   }
 
+  test("wordChunks matches the posexplode-HOF formulation on edge-case texts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t u v w"),
+      (2L, "short doc"),
+      (3L, ""),
+      (4L, (1 to 20).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    for (n <- Seq(3, 10)) {
+      val got = Shingles.wordChunks(docs, n)
+        .as[(Long, Int, String)].collect().toSeq.sorted
+      val want = docs.select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(split(text, ' ')), $n), " +
+            s"i -> concat_ws(' ', slice(split(text, ' '), i, $n)))")))
+        .toDF("doc_id", "pos", "chunk")
+        .as[(Long, Int, String)].collect().toSeq.sorted
+      assert(got == want, s"n=$n")
+    }
+  }
+
   test("wordNGrams matches the HOF formulation on edge-case texts") {
     import spark.implicits._
     val docs = Seq(
