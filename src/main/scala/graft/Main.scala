@@ -49,7 +49,8 @@ object Main {
 
   private val knownOpts = Set(
     "-fastq", "-fastq2", "-fasta", "-contig", "-kmerc", "-kmerc1", "-kmerc2",
-    "-sam", "-outfile", "-kmer", "-klist", "-cover", "-maxcov", "-error",
+    "-sam", "-docs", "-testdocs",
+    "-outfile", "-kmer", "-klist", "-cover", "-maxcov", "-error",
     "-mincontig", "-maxiter", "-clipf", "-clipe", "-minlength", "-reads",
     "-partition", "-partitionredu", "-overlap",
     "-bubble", "-gzip", "-single", "-inter", "-paired", "-exact-fastq", "-mercy",
@@ -72,8 +73,9 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val usage =
-      """usage: graft.Main <counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend> [options]
+      """usage: graft.Main <counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend|curate> [options]
         |  inputs : -fastq <glob> [-fastq2 <glob>] | -fasta <glob> | -contig <fasta> | -kmerc <csv> | -sam <sam>
+        |           curate: -docs <parquet> [-testdocs <parquet>]
         |  tuning : -kmer N -klist a,b,c -cover N -maxcov N -error N -mincontig N -maxiter N
         |           -clipf N -clipe N -minlength N -reads N -partition N -partitionredu N -overlap N
         |  flags  : -bubble (keep bubbles) -mercy (rescue gap kmers) -gzip -exact-fastq -single -inter -paired -merge (overlap-merge mate pairs)
@@ -274,9 +276,31 @@ object Main {
         val reduced = Dynamic.reduceCounts(shortT, longT, k1, k2)
         Fastq.writeCsv(reduced, s"$out/Count_${k1}_reduced", gzip = gzip)
         println(s"[graft] reduce: wrote $out/Count_${k1}_reduced (k1=$k1 k2=$k2)")
+      case "curate" =>
+        // training-corpus curation over a parquet documents table:
+        // exact dedup -> near-dup clusters -> quality -> decontamination
+        val docsPath = opt(args, "-docs", "")
+        require(docsPath.nonEmpty, "curate requires -docs <parquet with doc_id,text>")
+        val docs = spark.read.parquet(docsPath)
+        val testPath = opt(args, "-testdocs", "")
+        val (corpus, test) =
+          if (testPath.nonEmpty) (docs, spark.read.parquet(testPath))
+          else (docs.filter(col("doc_id") % 100 =!= 0),
+            docs.filter(col("doc_id") % 100 === 0))
+        val flags = operators.Curation.curate(corpus, test).cache()
+        flags.write.mode("overwrite").parquet(s"$out/curation_flags")
+        corpus.join(flags.filter(col("keep") === 1).select("doc_id"), "doc_id")
+          .write.mode("overwrite").parquet(s"$out/curated")
+        val stats = flags.agg(count(lit(1)).as("docs"),
+          sum(col("exact_keep")).as("exact"), sum(col("nd_keep")).as("neardup"),
+          sum(col("quality_ok")).as("quality"), sum(col("clean")).as("clean"),
+          sum(col("keep")).as("kept")).collect()(0)
+        println(s"[graft] curate: ${stats.getLong(5)}/${stats.getLong(0)} docs kept " +
+          s"(exact ${stats.getLong(1)}, neardup ${stats.getLong(2)}, " +
+          s"quality ${stats.getLong(3)}, clean ${stats.getLong(4)}) -> $out/curated")
       case other =>
         sys.error(s"unknown subcommand '$other' " +
-          "(counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend)")
+          "(counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend|curate)")
     }
     spark.stop()
   }

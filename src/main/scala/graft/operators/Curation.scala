@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** End-to-end corpus curation: the stage composition a training-data
+  * pipeline actually runs, assembled from the library's own operators.
+  *
+  * Per input document, four independent keep/drop verdicts:
+  *  1. `exact_keep`  — exact dedup: min doc_id per md5(text) survives
+  *     (one hash agg + one hash join; 16-byte keys at any scale).
+  *  2. `nd_keep`     — MinHash-LSH near-dup clustering
+  *     ([[Dedup.nearDupPairs]] → [[GraphOps.connectedComponents]]): the
+  *     cluster's min doc_id survives; docs in no candidate pair survive
+  *     trivially (they never enter the edge set, so the CC cost scales
+  *     with near-dups found, not corpus size).
+  *  3. `quality_ok`  — Gopher-style gates: 10..2000 tokens and at least
+  *     one English stopword.
+  *  4. `clean`       — test-set decontamination: no 5-gram shared with
+  *     the held-out benchmark (fixed-size broadcast, as in t10).
+  *  `keep` = all four.
+  *
+  * Exposed three ways: this function (library), the `c1_curate` oracle
+  * query (correctness gate), and `graft.Main curate` (CLI over parquet).
+  */
+object Curation {
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to")
+
+  /** Flags per doc in `docs`; `test` is the held-out benchmark corpus. */
+  def curate(docs: DataFrame, test: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+
+    // 1. exact dedup
+    val keepers = base
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val exact = base
+      .withColumn("h", md5(col("text").cast("binary")))
+      .join(keepers, "h")
+      .select(col("doc_id"),
+        (col("doc_id") === col("keeper")).cast("int").as("exact_keep"))
+
+    // 2. near-dup clusters (docs outside every candidate pair pass)
+    val comp = GraphOps.connectedComponents(
+      Dedup.nearDupPairs(base).select(col("a").as("x"), col("b").as("y")))
+    val nd = base.select(col("doc_id"))
+      .join(comp.select(col("node").as("doc_id"),
+        (col("node") === col("component")).cast("int").as("ndk")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("ndk"), lit(1)).as("nd_keep"))
+
+    // 3. quality gates
+    val nt = size(ws)
+    val sw = size(filter(ws, w => w.isInCollection(stopwords)))
+    val quality = base.select(col("doc_id"),
+      when(nt.between(10, 2000) && sw >= 1, 1).otherwise(0).as("quality_ok"))
+
+    // 4. decontamination vs the held-out set (broadcast the test grams)
+    val testSh = Shingles.wordNGrams(test.select(col("doc_id"), col("text")), 5)
+      .select("sh").distinct()
+    val hits = Shingles.wordNGrams(base, 5)
+      .join(broadcast(testSh), "sh")
+      .select("doc_id").distinct()
+      .withColumn("dirty", lit(1))
+    val clean = base.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dirty").isNull, 1).otherwise(0).as("clean"))
+
+    exact.join(nd, "doc_id").join(quality, "doc_id").join(clean, "doc_id")
+      .select(col("doc_id"), col("exact_keep"), col("nd_keep"),
+        col("quality_ok"), col("clean"),
+        (col("exact_keep") * col("nd_keep") * col("quality_ok") * col("clean"))
+          .as("keep"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- the full pipeline over the real corpus: train = doc_id%100 != 0,
+    // benchmark = doc_id%100 == 0 (same split as t10/d9) ------------------
+    "c1_curate" -> ((s, d) => {
+      val doc = documents(s, d)
+      curate(doc.filter(col("doc_id") % 100 =!= 0),
+        doc.filter(col("doc_id") % 100 === 0))
+    })
+  )
+
+  // Oracle: same four verdicts assembled from the d2/d3/d7/t2/t10 oracle
+  // fragments, over the unaugmented train split.
+  def oracles: Map[String, String] = Map(
+    "c1_curate" -> {
+      val sw = stopwords.map(w => s"'$w'").mkString(", ")
+      """WITH RECURSIVE
+        |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
+        |test AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
+        |ex AS (SELECT doc_id,
+        |         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+        |              THEN 1 ELSE 0 END AS exact_keep
+        |       FROM train),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+        |             FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM train))),
+        |""".stripMargin +
+        {
+          val mins = (0 until 8)
+            .map(j => s"min(substring(md5(sh) || md5(sh || '|'), ${8 * j + 1}, 8)) AS h$j")
+            .mkString(", ")
+          s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),\n"
+        } +
+        {
+          val rows = (0 until 4)
+            .map(b => s"SELECT doc_id, $b AS bid, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+            .mkString("\n  UNION ALL ")
+          s"band AS (\n  $rows\n),\n"
+        } +
+        s"""pairs AS (
+          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          |  FROM band l JOIN band r
+          |    ON l.bid = r.bid AND l.bh = r.bh AND l.doc_id < r.doc_id),
+          |edges AS (SELECT a AS x, b AS y FROM pairs
+          |          UNION SELECT b, a FROM pairs),
+          |reach AS (
+          |  SELECT x, y FROM edges
+          |  UNION
+          |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+          |clu AS (SELECT x AS doc_id,
+          |          CASE WHEN x = least(x, MIN(y)) THEN 1 ELSE 0 END AS ndk
+          |        FROM reach GROUP BY x),
+          |qual AS (SELECT doc_id,
+          |           CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 2000
+          |                 AND len(list_filter(string_split(text, ' '),
+          |                       w -> w IN ($sw))) >= 1
+          |                THEN 1 ELSE 0 END AS quality_ok
+          |         FROM train),
+          |tsh AS (SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS g
+          |        FROM (SELECT w, unnest(generate_series(1, len(w) - 4)) AS i
+          |              FROM (SELECT string_split(text, ' ') AS w FROM test))),
+          |dirty AS (SELECT DISTINCT doc_id FROM (
+          |            SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+          |            FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+          |                  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train)))
+          |          JOIN tsh USING (g))
+          |SELECT t.doc_id, ex.exact_keep,
+          |  COALESCE(clu.ndk, 1) AS nd_keep,
+          |  qual.quality_ok,
+          |  CASE WHEN dirty.doc_id IS NULL THEN 1 ELSE 0 END AS clean,
+          |  ex.exact_keep * COALESCE(clu.ndk, 1) * qual.quality_ok *
+          |    (CASE WHEN dirty.doc_id IS NULL THEN 1 ELSE 0 END) AS keep
+          |FROM train t
+          |JOIN ex ON ex.doc_id = t.doc_id
+          |LEFT JOIN clu ON clu.doc_id = t.doc_id
+          |JOIN qual ON qual.doc_id = t.doc_id
+          |LEFT JOIN dirty ON dirty.doc_id = t.doc_id""".stripMargin
+    }
+  )
+}

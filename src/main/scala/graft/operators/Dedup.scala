@@ -91,6 +91,14 @@ object Dedup {
   private def candidatePairs(s: SparkSession, d: String): DataFrame =
     candidatePairsFrom(bands(signatures(shingled(corpus(s, d)))))
 
+  /** Library surface: MinHash-LSH near-dup candidate pairs `(a, b)`,
+    * a < b, over an arbitrary `(doc_id, text)` frame — the banded
+    * plan the d2/d3 queries demonstrate, callable on real data
+    * (used by [[Curation.curate]] and the `curate` CLI). */
+  def nearDupPairs(docs: DataFrame): DataFrame =
+    candidatePairsFrom(bands(signatures(shingled(
+      docs.select(col("doc_id"), col("text"))))))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup: hash-groupBy, keep min doc_id ------------------------
     "d1_exact_dedup" -> ((s, d) =>
