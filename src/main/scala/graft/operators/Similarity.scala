@@ -27,9 +27,11 @@ import graft.Tables._
   *    the broadcast and the n×C assignment cost grow linearly in n, never
   *    superlinearly.
   *
-  * Dot products fold sequentially over the array (`aggregate`/`zip_with`),
-  * matching DuckDB's `list_dot_product` element order; scores are emitted
-  * rounded to 4 decimals.
+  * Dot products are the native codegen'd `vec_dot` expression
+  * ([[graft.functions.VecDot]]) — a fused left-to-right loop matching
+  * DuckDB's `list_dot_product` element order bit-for-bit (the HOF
+  * `aggregate`/`zip_with` fold it replaced ran interpreted); scores are
+  * emitted rounded to 4 decimals.
   */
 object Similarity {
 
