@@ -294,6 +294,34 @@ object TextOps {
           col("cum_tokens"))
     }),
 
+    // -- deflate compression ratio (quality signal) -------------------------
+    // the CCNet/Gopher compressibility gate: highly compressible text is
+    // boilerplate/repetition, incompressible is noise/binary junk. Runs as
+    // a partition-wise batch (one Deflater per partition, level 6 — the
+    // output bytes are fully determined by input + level). java.util.zip
+    // has no SQL twin, so this is the library's ONE rows-only-checked
+    // query (no DuckDB oracle); the spec pins exact ratios instead.
+    "t20_compress_ratio" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val deflater = new java.util.zip.Deflater(6)
+          val buf = new Array[Byte](1 << 16)
+          it.map { case (id, text) =>
+            val in = text.getBytes("UTF-8")
+            deflater.reset()
+            deflater.setInput(in)
+            deflater.finish()
+            var out = 0L
+            while (!deflater.finished()) out += deflater.deflate(buf)
+            (id, in.length.toLong, out,
+              math.rint(out.toDouble / math.max(in.length, 1) * 10000) / 10000)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "n_compressed", "ratio")
+        .withColumn("repetitive", (col("ratio") < 0.35).cast("int"))
+    }),
+
     // -- repetition filter (quality heuristic a la Gopher): flag documents
     // dominated by a single 2-gram or by duplicated 3-grams ----------------
     "t12_repetition" -> ((s, d) => {
