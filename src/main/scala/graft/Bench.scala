@@ -108,7 +108,10 @@ object Bench {
       while (keep > 1 && render(bySlow.take(keep).sortBy(_._1)).length > 1500) keep -= 1
       line = render(bySlow.take(keep).sortBy(_._1))
     }
-    println(line)
+    // stop Spark BEFORE printing: its shutdown can emit WARN lines, and
+    // anything printed after the JSON eats into the driver's 2000-char
+    // stdout tail (only sbt's one-line "[success]" footer should follow)
     spark.stop()
+    println(line)
   }
 }

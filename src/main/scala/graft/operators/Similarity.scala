@@ -79,6 +79,47 @@ object Similarity {
       when(element_at(emb, j + 1) >= 0f, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** SemDedup (cluster-then-in-cluster pairwise semantic dedup) as a
+    * library surface over any `(vec_id, v)` frame: assign every vector to
+    * its nearest centroid (argmax cosine, centroid-id tie-break), find
+    * within-cell pairs with cosine >= `threshold`, and keep only the
+    * lowest `vec_id` of each similar group (a vector is dropped iff ANY
+    * smaller-id vector in its cell is within threshold — the standard
+    * greedy rule, deterministic and order-free).
+    *
+    * Scale design: the pairwise pass never leaves a cell, so the cell
+    * count is the knob — at 100× pass more centroids (SemDedup's k ~
+    * corpus/avg-cell) to keep in-cell pair counts bounded; the centroid
+    * broadcast stays an absolute, caller-chosen size. Returns kept rows
+    * `(vec_id, cell)`.
+    *
+    * `centroids`: `(cid, cv)` — e.g. a fixed seed set or
+    * [[KMeans.lloyd]]'s output. */
+  def semDedup(vectors: DataFrame, centroids: DataFrame,
+               threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val vs = vectors.select(col("vec_id"), col("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val cents = centroids.select(col("cid"), col("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cc").desc, col("cid"))
+    val assigned = vs.join(broadcast(cents), lit(true))
+      .withColumn("cc", dot(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
+    val r = assigned.select(col("cell").as("cell2"), col("vec_id").as("b"),
+      col("v").as("v2"), col("n2").as("m2"))
+    val dropped = assigned.join(r,
+      col("cell") === col("cell2") && col("vec_id") < col("b"))
+      .withColumn("c", dot(col("v"), col("v2")) / sqrt(col("n2") * col("m2")))
+      .filter(col("c") >= threshold)
+      .select(col("b")).distinct()
+    assigned.join(dropped, assigned("vec_id") === dropped("b"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- brute-force cosine top-5 for the query set (vec_id % 50 == 0,
     // absolutely capped at vec_id < 5000 so the broadcast stays <=100
@@ -162,6 +203,21 @@ object Similarity {
         .filter(col("rnk") <= 3)
         .select(col("q_id"), col("vec_id").as("neighbor"), col("rnk").cast("long").as("rnk"),
           (round(col("c"), 4) + lit(0.0)).as("score"))
+    }),
+
+    // -- SemDedup: cluster-then-in-cluster pairwise semantic dedup ---------
+    // corpus augmented with exact copies (vec_id + 10000) the pass must
+    // drop; cells from the same fixed coarse quantizer as s5 (copies share
+    // their original's cell — identical vector, identical argmax + tie-
+    // break), in-cell pairwise cosine >= 0.999 drops the larger vec_id
+    "s7_semdedup" -> ((s, d) => {
+      val base = embeddings(s, d)
+      val aug = base.select(col("vec_id"), col("embedding").as("v"))
+        .union(base.select((col("vec_id") + 10000).as("vec_id"),
+          col("embedding").as("v")))
+      val cents = aug.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      semDedup(aug, cents, 0.999)
     }),
 
     // -- per-vector L2 norm + bucket id (sanity surface for the ANN path) --
@@ -278,6 +334,24 @@ object Similarity {
          |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2,
          |  $sqlBucket AS bkt
          |FROM embeddings""".stripMargin,
+    "s7_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |aug AS (SELECT vec_id, v FROM e
+        |        UNION ALL SELECT vec_id + 10000, v FROM e),
+        |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM aug),
+        |cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 32),
+        |assigned AS (
+        |  SELECT vec_id, v, n2, cid AS cell FROM (
+        |    SELECT n.vec_id, n.v, n.n2, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / sqrt(n.n2 * c.cn2) DESC, c.cid) AS arn
+        |    FROM n CROSS JOIN cents c) WHERE arn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id AS b
+        |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) >= 0.999)
+        |SELECT vec_id, cell FROM assigned
+        |WHERE vec_id NOT IN (SELECT b FROM dropped)""".stripMargin,
     "s6_int8_quant" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |a AS (SELECT vec_id, v,

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** KMeans.lloyd + Similarity.semDedup — the semantic-dedup pair. */
+class SemanticSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Three well-separated directions in 4-dim space, 5 points each with a
+    * deterministic wobble on an off-axis dimension big enough that
+    * intra-blob cosines stay BELOW 0.999 (w=0.1..0.5 → max intra-blob
+    * cosine ≈ 0.9952) while cosine to the home axis stays > 0.89 and
+    * cross-blob cosine stays < 0.2 — only EXACT copies sit above the
+    * dedup threshold. */
+  private def blobs = (0 until 15).map { i =>
+    val axis = i % 3
+    val base = Array.fill(4)(0.0)
+    base(axis) = 1.0
+    base(3) = 0.1 * (i / 3 + 1) // wobble, never dominant
+    (i.toLong, base)
+  }
+
+  test("lloyd recovers well-separated blobs and assigns stable cells") {
+    val vs = blobs.toDF("vec_id", "v")
+    val cents = KMeans.lloyd(vs, k = 3, iters = 3)
+    val got = cents.select("cid", "cv").as[(Long, Array[Double])].collect()
+    assert(got.length == 3)
+    // each centroid should be dominated by exactly one of the three axes,
+    // and all three axes should be covered
+    val domAxes = got.map { case (_, cv) => cv.zipWithIndex.maxBy(_._1)._2 }
+    assert(domAxes.toSet == Set(0, 1, 2))
+  }
+
+  test("semDedup drops exact copies, keeps one representative per group") {
+    val base = blobs.toDF("vec_id", "v")
+    val copies = blobs.map { case (id, v) => (id + 100, v) }.toDF("vec_id", "v")
+    val aug = base.union(copies)
+    val cents = base.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val kept = Similarity.semDedup(aug, cents, 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    // every copy has its original (smaller id, identical vector, same
+    // cell) — all 15 copies must drop, all 15 originals must survive
+    assert(kept == (0L until 15L).toSet)
+  }
+
+  test("semDedup below-threshold neighbors both survive") {
+    // two vectors at ~45 degrees: cosine ~0.707 < 0.999 — no drop
+    val vs = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(1.0, 1.0))).toDF("vec_id", "v")
+    val cents = Seq((0L, Array(1.0, 0.0))).toDF("cid", "cv")
+    val kept = Similarity.semDedup(vs, cents, 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L))
+  }
+}
