@@ -49,7 +49,7 @@ object Main {
 
   private val knownOpts = Set(
     "-fastq", "-fastq2", "-fasta", "-contig", "-kmerc", "-kmerc1", "-kmerc2",
-    "-sam", "-docs", "-testdocs",
+    "-sam", "-docs", "-testdocs", "-embeddings",
     "-outfile", "-kmer", "-klist", "-cover", "-maxcov", "-error",
     "-mincontig", "-maxiter", "-clipf", "-clipe", "-minlength", "-reads",
     "-partition", "-partitionredu", "-overlap",
@@ -75,7 +75,7 @@ object Main {
     val usage =
       """usage: graft.Main <counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend|curate> [options]
         |  inputs : -fastq <glob> [-fastq2 <glob>] | -fasta <glob> | -contig <fasta> | -kmerc <csv> | -sam <sam>
-        |           curate: -docs <parquet> [-testdocs <parquet>]
+        |           curate: -docs <parquet> [-testdocs <parquet>] [-embeddings <parquet with doc_id,v>]
         |  tuning : -kmer N -klist a,b,c -cover N -maxcov N -error N -mincontig N -maxiter N
         |           -clipf N -clipe N -minlength N -reads N -partition N -partitionredu N -overlap N
         |  flags  : -bubble (keep bubbles) -mercy (rescue gap kmers) -gzip -exact-fastq -single -inter -paired -merge (overlap-merge mate pairs)
@@ -279,6 +279,7 @@ object Main {
       case "curate" =>
         // training-corpus curation over a parquet documents table:
         // exact dedup -> near-dup clusters -> quality -> decontamination
+        // [-> semantic dedup when -embeddings <parquet with doc_id,v>]
         val docsPath = opt(args, "-docs", "")
         require(docsPath.nonEmpty, "curate requires -docs <parquet with doc_id,text>")
         val docs = spark.read.parquet(docsPath)
@@ -287,17 +288,20 @@ object Main {
           if (testPath.nonEmpty) (docs, spark.read.parquet(testPath))
           else (docs.filter(col("doc_id") % 100 =!= 0),
             docs.filter(col("doc_id") % 100 === 0))
-        val flags = operators.Curation.curate(corpus, test).cache()
+        val embPath = opt(args, "-embeddings", "")
+        val emb = if (embPath.nonEmpty) Some(spark.read.parquet(embPath)) else None
+        val flags = operators.Curation.curate(corpus, test, emb).cache()
         flags.write.mode("overwrite").parquet(s"$out/curation_flags")
         corpus.join(flags.filter(col("keep") === 1).select("doc_id"), "doc_id")
           .write.mode("overwrite").parquet(s"$out/curated")
         val stats = flags.agg(count(lit(1)).as("docs"),
           sum(col("exact_keep")).as("exact"), sum(col("nd_keep")).as("neardup"),
           sum(col("quality_ok")).as("quality"), sum(col("clean")).as("clean"),
-          sum(col("keep")).as("kept")).collect()(0)
-        println(s"[graft] curate: ${stats.getLong(5)}/${stats.getLong(0)} docs kept " +
+          sum(col("sem_keep")).as("sem"), sum(col("keep")).as("kept")).collect()(0)
+        println(s"[graft] curate: ${stats.getLong(6)}/${stats.getLong(0)} docs kept " +
           s"(exact ${stats.getLong(1)}, neardup ${stats.getLong(2)}, " +
-          s"quality ${stats.getLong(3)}, clean ${stats.getLong(4)}) -> $out/curated")
+          s"quality ${stats.getLong(3)}, clean ${stats.getLong(4)}, " +
+          s"semantic ${stats.getLong(5)}) -> $out/curated")
       case other =>
         sys.error(s"unknown subcommand '$other' " +
           "(counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend|curate)")

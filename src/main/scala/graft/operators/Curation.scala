@@ -19,17 +19,28 @@ import graft.Tables._
   *     one English stopword.
   *  4. `clean`       — test-set decontamination: no 5-gram shared with
   *     the held-out benchmark (fixed-size broadcast, as in t10).
-  *  `keep` = all four.
+  *  5. `sem_keep`    — OPTIONAL semantic dedup ([[Similarity.semDedup]],
+  *     the SemDedup recipe): pass per-doc embeddings `(doc_id, v)` and a
+  *     centroid set (e.g. [[KMeans.lloyd]] output) and the cluster-wise
+  *     cosine pass drops all but the lowest doc_id of each >=threshold
+  *     group. Docs with no embedding row pass trivially. Omitted →
+  *     constant 1 (the flag column is always present, so downstream
+  *     schemas don't fork).
+  *  `keep` = all of the above.
   *
   * Exposed three ways: this function (library), the `c1_curate` oracle
-  * query (correctness gate), and `graft.Main curate` (CLI over parquet).
+  * query (correctness gate; semantic core oracle-proven separately by
+  * `s7_semdedup`), and `graft.Main curate` (CLI over parquet).
   */
 object Curation {
 
   private val stopwords = Seq("the", "a", "of", "and", "in", "to")
 
   /** Flags per doc in `docs`; `test` is the held-out benchmark corpus. */
-  def curate(docs: DataFrame, test: DataFrame): DataFrame = {
+  def curate(docs: DataFrame, test: DataFrame,
+             embeddings: Option[DataFrame] = None,
+             semCentroids: Int = 32,
+             semThreshold: Double = 0.999): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val ws = split(col("text"), " ")
 
@@ -69,11 +80,31 @@ object Curation {
       .select(col("doc_id"),
         when(col("dirty").isNull, 1).otherwise(0).as("clean"))
 
+    // 5. optional semantic dedup over per-doc embeddings
+    val sem = embeddings match {
+      case None => base.select(col("doc_id"), lit(1).as("sem_keep"))
+      case Some(emb) =>
+        val vs = emb.select(col("doc_id").as("vec_id"), col("v"))
+        val cents = KMeans.lloyd(vs, semCentroids, iters = 2)
+          .select(col("cid"), col("cv"))
+        val kept = Similarity.semDedup(vs, cents, semThreshold)
+          .select(col("vec_id").as("doc_id")).withColumn("sk", lit(1))
+        base.select(col("doc_id"))
+          .join(kept, Seq("doc_id"), "left")
+          .join(vs.select(col("vec_id").as("doc_id")).withColumn("has", lit(1)),
+            Seq("doc_id"), "left")
+          // no embedding → trivially kept; embedded but not in kept → dropped
+          .select(col("doc_id"),
+            when(col("has").isNull, 1)
+              .otherwise(coalesce(col("sk"), lit(0))).as("sem_keep"))
+    }
+
     exact.join(nd, "doc_id").join(quality, "doc_id").join(clean, "doc_id")
+      .join(sem, "doc_id")
       .select(col("doc_id"), col("exact_keep"), col("nd_keep"),
-        col("quality_ok"), col("clean"),
-        (col("exact_keep") * col("nd_keep") * col("quality_ok") * col("clean"))
-          .as("keep"))
+        col("quality_ok"), col("clean"), col("sem_keep"),
+        (col("exact_keep") * col("nd_keep") * col("quality_ok") * col("clean") *
+          col("sem_keep")).as("keep"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -145,6 +176,7 @@ object Curation {
           |  COALESCE(clu.ndk, 1) AS nd_keep,
           |  qual.quality_ok,
           |  CASE WHEN dirty.doc_id IS NULL THEN 1 ELSE 0 END AS clean,
+          |  1 AS sem_keep,
           |  ex.exact_keep * COALESCE(clu.ndk, 1) * qual.quality_ok *
           |    (CASE WHEN dirty.doc_id IS NULL THEN 1 ELSE 0 END) AS keep
           |FROM train t

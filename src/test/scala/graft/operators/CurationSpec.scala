@@ -11,8 +11,8 @@ class CurationSpec extends AnyFunSuite {
       : Map[Long, (Int, Int, Int, Int, Int)] = {
     import spark.implicits._
     Curation.curate(docs.toDF("doc_id", "text"), test.toDF("doc_id", "text"))
-      .as[(Long, Int, Int, Int, Int, Int)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      .as[(Long, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._7))).toMap
   }
 
   test("exact dup, near dup, low quality, and contaminated docs are each flagged") {
@@ -36,5 +36,27 @@ class CurationSpec extends AnyFunSuite {
     assert(f(4L)._2 == 0 && f(4L)._5 == 0, f(4L))             // near-dup dropped
     assert(f(5L)._3 == 0 && f(5L)._5 == 0, f(5L))             // quality fail
     assert(f(6L)._4 == 0 && f(6L)._5 == 0, f(6L))             // contaminated
+  }
+
+  test("semantic stage drops embedding-identical docs, spares unembedded ones") {
+    import spark.implicits._
+    // three TEXTUALLY unrelated docs (no shared shingles — the MinHash
+    // stage must not fire); 10 and 11 share an embedding, 12 has none —
+    // only 11 (the larger id of the identical pair) may drop
+    val docs = Seq(
+      10L -> "the quick brown fox jumps over a lazy dog of the north every winter",
+      11L -> "a steel bridge spans the wide river carrying trains of coal at dawn",
+      12L -> "bright comets streak across a silent sky while the observatory dome turns")
+    val test = Seq(100L -> "held out benchmark totally different words here")
+    val emb = Seq(
+      (10L, Array(1.0, 0.0, 0.0)),
+      (11L, Array(1.0, 0.0, 0.0))).toDF("doc_id", "v")
+    val f = Curation.curate(docs.toDF("doc_id", "text"), test.toDF("doc_id", "text"),
+        Some(emb), semCentroids = 2)
+      .as[(Long, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._6, r._7))).toMap
+    assert(f(10L) == ((1, 1)), f(10L)) // identical pair: min id kept
+    assert(f(11L) == ((0, 0)), f(11L)) // identical pair: larger id dropped
+    assert(f(12L) == ((1, 1)), f(12L)) // no embedding: passes trivially
   }
 }
