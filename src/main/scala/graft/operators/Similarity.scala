@@ -220,6 +220,34 @@ object Similarity {
       semDedup(aug, cents, 0.999)
     }),
 
+    // -- one exact Lloyd update step (the k-means inner loop, made --------
+    // oracle-checkable): assignment to the fixed seed centroids exactly as
+    // s5; the centroid update is emitted as per-(cell, dim) INTEGER partial
+    // sums of the 1000x-quantized coordinates plus the cell population —
+    // integer sums are order-independent, so the result is bit-identical
+    // in any engine and under any partitioning (a float mean would depend
+    // on reduction order). mean = s / (1000 * n), derivable exactly.
+    "s8_kmeans_step" -> ((s, d) => {
+      val all = vecs(s, d)
+      val cents = all.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cc").desc, col("cid"))
+      val assigned = all.join(broadcast(cents), lit(true))
+        .withColumn("cc", dot(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("v"), col("cid").as("cell"))
+      val pops = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      assigned
+        .select(col("cell"), posexplode(col("v")))
+        .select(col("cell"), (col("pos") + 1).as("pos"),
+          round(col("col").cast("double") * 1000).cast("long").as("q"))
+        .groupBy(col("cell"), col("pos")).agg(sum(col("q")).as("s"))
+        .join(pops, "cell")
+        .select(col("cell"), col("pos").cast("long").as("pos"), col("s"), col("n"))
+    }),
+
     // -- per-vector L2 norm + bucket id (sanity surface for the ANN path) --
     "s3_vector_stats" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
@@ -352,6 +380,22 @@ object Similarity {
         |  WHERE list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) >= 0.999)
         |SELECT vec_id, cell FROM assigned
         |WHERE vec_id NOT IN (SELECT b FROM dropped)""".stripMargin,
+    "s8_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+        |cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 32),
+        |assigned AS (
+        |  SELECT vec_id, v, cid AS cell FROM (
+        |    SELECT n.vec_id, n.v, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / sqrt(n.n2 * c.cn2) DESC, c.cid) AS arn
+        |    FROM n CROSS JOIN cents c) WHERE arn = 1),
+        |pops AS (SELECT cell, COUNT(*) AS n FROM assigned GROUP BY cell),
+        |qd AS (SELECT cell, pos, CAST(round(v[pos] * 1000) AS BIGINT) AS q
+        |       FROM (SELECT cell, v, unnest(generate_series(1, len(v))) AS pos
+        |             FROM assigned)),
+        |upd AS (SELECT cell, pos, CAST(SUM(q) AS BIGINT) AS s FROM qd GROUP BY cell, pos)
+        |SELECT u.cell, u.pos, u.s, p.n FROM upd u JOIN pops p USING (cell)""".stripMargin,
     "s6_int8_quant" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |a AS (SELECT vec_id, v,
