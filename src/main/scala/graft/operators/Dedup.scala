@@ -118,7 +118,10 @@ object Dedup {
       // sizes, and the intersection join (4 consumers — without it the
       // explode+md5 chain re-runs per consumer)
       val sh = shingled(corpus(s, d)).localCheckpoint()
-      val sets = sh.distinct()
+      // the distinct set table is ALSO materialized: it has 3 consumers
+      // (sizes + both sides of the intersection join) and each would
+      // otherwise re-run the full-table distinct shuffle
+      val sets = sh.distinct().localCheckpoint()
       val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
       val pairs = candidatePairsFrom(bands(signatures(sh)))
       val inter = pairs
@@ -156,10 +159,12 @@ object Dedup {
     // generate candidates. Exact Jaccard verifies candidates, as in d4.
     "d6_ngram_jaccard" -> ((s, d) => {
       val sh = shingled(corpus(s, d)).localCheckpoint()
-      val sets = sh.distinct()
+      // 5 consumers of the distinct set table (rare-df agg, both sides of
+      // the candidate self-join, sizes, intersection) — materialize once
+      val sets = sh.distinct().localCheckpoint()
       val rare = sets.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 8)).select("sh")
-      val cand = sets.join(rare, "sh")
+      val cand = sets.join(rare, "sh").localCheckpoint()
       val pairs = cand.select(col("sh"), col("doc_id").as("a"))
         .join(cand.select(col("sh").as("sh2"), col("doc_id").as("b")),
           col("sh") === col("sh2") && col("a") < col("b"))
