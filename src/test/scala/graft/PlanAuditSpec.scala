@@ -63,4 +63,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q18_salted_join")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("semantic dedup: centroid assignment broadcasts, in-cell pass is equi-join") {
+    for (q <- Seq("s7_semdedup", "s8_kmeans_step")) {
+      val p = plan(q)
+      // the k-centroid table rides a broadcast nested loop (absolute-cap
+      // size); the only allowed nested loop is that broadcast one
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q lost the centroid broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    // the in-cell pairwise join must be an equality join on the cell id
+    val p7 = plan("s7_semdedup")
+    assert(p7.contains("SortMergeJoin") || p7.contains("ShuffledHashJoin")
+      || p7.contains("BroadcastHashJoin"), p7.take(3000))
+  }
 }
