@@ -110,6 +110,16 @@ object Relational {
           sum(col("l_quantity").cast(D2)).cast("decimal(38,2)").cast("double").as("sum_qty"))
     }),
 
+    // -- cube: all grouping-set combinations in one pass -------------------
+    // (rollup's sibling; Spark expands the sets and aggregates partially
+    // map-side exactly as for a plain groupBy — no extra shuffle per set)
+    "q19_cube" -> ((s, d) => {
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(D2)).cast("decimal(38,2)").cast("double").as("sum_qty"))
+    }),
+
     // -- anti join: customers with no orders in 2001 -----------------------
     "q9_anti_join" -> ((s, d) => {
       val o2001 = orders(s, d).filter(
@@ -281,6 +291,10 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q19_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q9_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
