@@ -39,8 +39,20 @@ object ScaleReplay {
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
     enlarged.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings scale too (for the s-family): copies get a deterministic
+    // first-dimension nudge so they are distinct vectors, not near-dups
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until factor).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else transform(col("embedding"),
+           (x, j) => when(j === 0, x + lit(0.001f * i)).otherwise(x))).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "embeddings").foreach { t =>
+      "lineitem", "events").foreach { t =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
