@@ -33,15 +33,28 @@ object Patching {
     * Candidate (contig, fragment) pairs come from an equi-join on the
     * fragment's head k-mer, never a contig × fragment cartesian. */
   def stitchReads(reads: Dataset[String], k: Int, strictCov: Int = 2): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val s = reads.sparkSession
     graft.functions.GraftFunctions.register(s)
-    // one materialization feeds both assembly passes
+    // one materialization feeds both assembly passes (localCheckpoint is
+    // eager, so the shared count table exists before the passes fork)
     val counts = Genomics.countCanonical(reads, k).localCheckpoint()
-    val strict = Assembler.assemble(counts, k, minCov = strictCov, maxIter = 120)
-      .toDF("frag")
-      .withColumn("fkey", expr(s"canonical_kmer(substring(frag, 1, $k))"))
-    val stitched = Assembler.assemble(counts, k, minCov = 1, maxIter = 120)
-      .toDF("contig").localCheckpoint()
+    // the two assemblies are independent driver loops over the same
+    // materialized input — run them CONCURRENTLY so their (individually
+    // small) stages interleave on the cluster instead of serializing
+    val strictF = Future {
+      Assembler.assemble(counts, k, minCov = strictCov, maxIter = 120)
+        .toDF("frag")
+        .withColumn("fkey", expr(s"canonical_kmer(substring(frag, 1, $k))"))
+    }
+    val stitchedF = Future {
+      Assembler.assemble(counts, k, minCov = 1, maxIter = 120)
+        .toDF("contig").localCheckpoint()
+    }
+    val strict = Await.result(strictF, Duration.Inf)
+    val stitched = Await.result(stitchedF, Duration.Inf)
     val contigKmers = stitched
       .select(col("contig"),
         explode(sequence(lit(1), length(col("contig")) - (k - 1))).as("i"))
