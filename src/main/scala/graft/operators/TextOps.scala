@@ -301,6 +301,46 @@ object TextOps {
     // output bytes are fully determined by input + level). java.util.zip
     // has no SQL twin, so this is the library's ONE rows-only-checked
     // query (no DuckDB oracle); the spec pins exact ratios instead.
+    // -- vocabulary construction (tokenizer-training step 1) ---------------
+    // global token counts -> frequency-ranked ids (1 = most frequent;
+    // count-desc, token-asc tie-break). The ranking window is global but
+    // runs over the DISTINCT-token table, which is vocabulary-sized (not
+    // corpus-sized) at any scale — the corpus itself is touched only by
+    // the one counting aggregation.
+    "t21_vocab" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("tok"))
+      documents(s, d).select(explode(ws).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .select(col("tok"), col("n"), row_number().over(w).cast("long").as("id"))
+    }),
+
+    // -- corpus encoding against the trained vocab (step 2) ----------------
+    // per-doc token-id sequence (OOV -> 0), plus token/OOV counts — the
+    // materialization a training pipeline feeds to sequence packing (t14).
+    // The vocab side of the join is vocabulary-sized (broadcastable); the
+    // corpus side is one posexplode + one per-doc aggregation.
+    "t22_encode" -> ((s, d) => {
+      val wv = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("tok"))
+      val vocab = documents(s, d).select(explode(ws).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .select(col("tok"), row_number().over(wv).cast("long").as("id"))
+      documents(s, d)
+        .select(col("doc_id"), posexplode(ws))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("pos").as("p"),
+              coalesce(col("id"), lit(0L)).as("i")))),
+            t => t.getField("i"))).as("ids"))
+    }),
+
     "t20_compress_ratio" -> ((s, d) => {
       import s.implicits._
       documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
@@ -347,6 +387,24 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), w -> w IN (${set.map(w => s"'$w'").mkString(", ")}))) AS $name"
 
   def oracles: Map[String, String] = Map(
+    "t21_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok HAVING COUNT(*) >= 5)
+        |SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS id FROM v""".stripMargin,
+    "t22_encode" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i AS pos, ws[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+        |          unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        |        FROM documents)),
+        |v AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok HAVING COUNT(*) >= 5),
+        |vid AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS id FROM v),
+        |enc AS (SELECT t.doc_id, t.pos, COALESCE(vid.id, 0) AS id
+        |        FROM tok t LEFT JOIN vid USING (tok))
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
+        |FROM enc GROUP BY doc_id""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
