@@ -64,6 +64,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("t22 encodes through a broadcast vocab join") {
+    val p = plan("t22_encode")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("semantic dedup: centroid assignment broadcasts, in-cell pass is equi-join") {
     for (q <- Seq("s7_semdedup", "s8_kmeans_step")) {
       val p = plan(q)
