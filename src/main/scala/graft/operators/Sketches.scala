@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Deterministic sketches — the approximate primitives a 100 TB pipeline
+  * runs where exact answers don't fit (heavy-hitter counts, distinct
+  * counts), built so BOTH engines construct bit-identical sketches (the
+  * d9 bloom-filter trick: all hash functions are md5 windows, all sketch
+  * state is integer/string — no FP, no engine-specific hashing, so even
+  * the sketches' collision errors are reproduced exactly by the oracle).
+  *
+  * x1 count-min: 4 rows x 4096 buckets (3-hex-char bucket keys). The
+  * sketch is a fixed-size aggregation (max 16 Ki cells regardless of
+  * corpus size); the probe estimate is the standard min-over-rows upper
+  * bound. At scale the sketch build is ONE map-side-combined aggregation
+  * of the token stream — no join, no distinct.
+  *
+  * x2 HyperLogLog registers: 256 buckets (2 hex chars), rho = leading
+  * zeros of the next 32 hash bits + 1, computed with pure string/CASE
+  * arithmetic on the hex digits so no engine ever parses hex to a float.
+  * Registers are max-aggregated ints — order-independent and exact. The
+  * estimator (a harmonic mean) is left to the consumer: it is pure
+  * driver-side arithmetic over 256 ints, and keeping FP out of the query
+  * keeps the oracle bit-exact.
+  */
+object Sketches {
+
+  private def ws: Column = split(col("text"), " ")
+
+  /** 3-hex-digit (12-bit) count-min bucket of `tok` for hash row `r`. */
+  private def cmBucket(tok: Column, r: Int): Column =
+    substring(md5(concat(tok, lit(r.toString)).cast("binary")), 1, 3)
+
+  /** Leading-zero-bit count of the 8-hex-char window `h` (32 bits), as
+    * string arithmetic: 4 bits per leading '0' digit, plus 0-3 from the
+    * first non-zero digit. All-zero windows saturate at 32. */
+  private def leadingZeroBits(h: Column): Column = {
+    val stripped = ltrim(h, "0")
+    val zDigits = (length(h) - length(stripped)) * 4
+    val first = substring(stripped, 1, 1)
+    val extra = when(first === "1", 3)
+      .when(first.isin("2", "3"), 2)
+      .when(first.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    when(length(stripped) === 0, lit(32)).otherwise(zDigits + extra)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- count-min sketch + probe ------------------------------------------
+    // build the 4x4096 sketch over ALL token occurrences, then estimate
+    // the count of every token with true count >= 5 (the vocab set):
+    // est = min over rows of the token's cell — >= true by construction,
+    // equal unless a collision inflates all 4 cells identically in both
+    // engines
+    "x1_countmin_probe" -> ((s, d) => {
+      val tok = documents(s, d).select(explode(ws).as("tok"))
+      val cells = tok.select(explode(array((0 until 4).map(r =>
+        struct(lit(r).as("r"), cmBucket(col("tok"), r).as("b"))): _*)).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val probes = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+      val est = (0 until 4).map { r =>
+        probes.select(col("tok"), col("n"), lit(r).as("r"),
+          cmBucket(col("tok"), r).as("b"))
+          .join(cells, Seq("r", "b"))
+          .select(col("tok"), col("n"), col("c"))
+      }.reduce(_ unionAll _)
+      est.groupBy("tok", "n").agg(min(col("c")).as("est"))
+    }),
+
+    // -- HyperLogLog registers over distinct tokens ------------------------
+    "x2_hll_registers" -> ((s, d) => {
+      val tok = documents(s, d).select(explode(ws).as("tok")).distinct()
+      tok.select(
+        substring(md5(col("tok").cast("binary")), 1, 2).as("bucket"),
+        (leadingZeroBits(substring(md5(col("tok").cast("binary")), 3, 8)) + 1)
+          .as("rho"))
+        .groupBy("bucket").agg(max(col("rho")).cast("long").as("r"))
+    })
+  )
+
+  private def sqlCmBucket(tok: String, r: Int): String =
+    s"substring(md5($tok || '$r'), 1, 3)"
+
+  def oracles: Map[String, String] = Map(
+    "x1_countmin_probe" -> {
+      val cellSelects = (0 until 4).map(r =>
+        s"SELECT $r AS r, ${sqlCmBucket("tok", r)} AS b FROM tok").mkString("\nUNION ALL ")
+      val probeSelects = (0 until 4).map(r =>
+        s"SELECT tok, n, $r AS r, ${sqlCmBucket("tok", r)} AS b FROM probes")
+        .mkString("\nUNION ALL ")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |rb AS (
+         |$cellSelects),
+         |cells AS (SELECT r, b, COUNT(*) AS c FROM rb GROUP BY r, b),
+         |probes AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok HAVING COUNT(*) >= 5),
+         |pr AS (
+         |$probeSelects)
+         |SELECT pr.tok, pr.n, MIN(cells.c) AS est
+         |FROM pr JOIN cells ON pr.r = cells.r AND pr.b = cells.b
+         |GROUP BY pr.tok, pr.n""".stripMargin
+    },
+    "x2_hll_registers" ->
+      """WITH tok AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT substring(md5(tok), 1, 2) AS bucket,
+        |             substring(md5(tok), 3, 8) AS w FROM tok),
+        |z AS (SELECT bucket, w, ltrim(w, '0') AS s FROM h),
+        |r AS (SELECT bucket,
+        |        CASE WHEN length(s) = 0 THEN 32
+        |             ELSE (length(w) - length(s)) * 4 +
+        |               CASE WHEN s[1] = '1' THEN 3
+        |                    WHEN s[1] IN ('2','3') THEN 2
+        |                    WHEN s[1] IN ('4','5','6','7') THEN 1
+        |                    ELSE 0 END
+        |        END + 1 AS rho
+        |      FROM z)
+        |SELECT bucket, CAST(MAX(rho) AS BIGINT) AS r FROM r GROUP BY bucket""".stripMargin
+  )
+}
