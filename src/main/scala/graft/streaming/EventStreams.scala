@@ -83,6 +83,25 @@ object EventStreams {
       .groupBy("kv").count()
   }
 
+  /** Streaming ingestion curation: the stream-side half of
+    * [[graft.operators.Curation.curate]] — per-doc quality gates (same
+    * thresholds as the batch `quality_ok` verdict) plus watermark-bounded
+    * exact dedup, so a continuously-arriving corpus lands pre-filtered and
+    * first-occurrence-only. Near-dup/semantic stages stay batch (they need
+    * corpus-global joins); this is the standard split: cheap per-row gates
+    * at ingest, global passes in the nightly batch. */
+  def curateStream(docs: DataFrame, tsCol: String = "ts",
+                   watermark: String = "1 hour"): DataFrame = {
+    val ws = split(col("text"), " ")
+    val stopwords = Seq("the", "a", "of", "and", "in", "to")
+    docs
+      .filter(size(ws).between(10, 2000) &&
+        size(filter(ws, w => w.isInCollection(stopwords))) >= 1)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("h")
+  }
+
   /** Running per-user aggregates via mapGroupsWithState (Update mode). */
   def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
     import events.sparkSession.implicits._

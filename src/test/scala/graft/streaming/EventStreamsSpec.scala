@@ -105,6 +105,25 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateStream gates quality and dedups first-occurrence across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over a lazy dog of the north"
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = curateStream(
+      in.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), 1L, good), (ts(1), 2L, "too short"))
+      q.processAllAvailable()
+      in.addData((ts(2), 3L, good)) // exact dup of doc 1, later batch
+      q.processAllAvailable()
+      val kept = spark.table("curated").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L)) // 2 fails quality, 3 dedups against 1
+    } finally q.stop()
+  }
+
   test("hourlyCounts windows by event time with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
