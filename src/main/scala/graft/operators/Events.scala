@@ -109,6 +109,23 @@ object Events {
     // buckets it covers (bounded fan-out: 8 buckets/week), equality-join
     // on (user_id, day), then apply the exact containment filter — an
     // equality shuffle with per-bucket candidates, never a cartesian.
+    // -- Spark's NATIVE session_window (vs e2's manual window form) --------
+    // gap-merge semantics at microsecond precision: a session extends
+    // while the next event is strictly under 30 min after the last; the
+    // oracle reproduces the same rule in integer microseconds (epoch_us),
+    // so the boundary behavior is bit-identical. Value sums go through
+    // the decimal cast so reduction order cannot perturb the hash.
+    "e8_session_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)")
+            .cast("double").as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"), col("sum_value"))),
+
     "e7_range_join" -> ((s, d) => {
       val ev = events(s, d)
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
@@ -190,6 +207,25 @@ object Events {
         |SELECT event_id AS purchase_id, user_id, cid AS click_id,
         |  cval AS click_value, (tus - cts) // 1000 AS gap_ms
         |FROM w WHERE click_id IS NULL""".stripMargin,
+    "e8_session_window" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, us, value,
+        |    CASE WHEN us - LAG(us) OVER w IS NULL
+        |           OR us - LAG(us) OVER w >= 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, us, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, MIN(us) AS start_us,
+        |  MAX(us) + 30 * 60 * 1000000 AS end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "e7_range_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
         |iv AS (SELECT user_id, MIN(tus) AS lo, MIN(tus) + 604800000000 AS hi
