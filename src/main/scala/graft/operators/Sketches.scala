@@ -71,6 +71,45 @@ object Sketches {
       est.groupBy("tok", "n").agg(min(col("c")).as("est"))
     }),
 
+    // -- feature hashing (the "hashing trick") -----------------------------
+    // per-doc term counts folded into a FIXED 256-bucket feature space via
+    // an md5 bucket — the vectorization step for cheap linear quality
+    // classifiers: dimensionality is capped regardless of vocabulary
+    // growth, no vocab table needed, one map-side-combined aggregation.
+    "x3_feature_hash" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"), explode(ws).as("tok"))
+        .select(col("doc_id"),
+          substring(md5(col("tok").cast("binary")), 1, 2).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))),
+
+    // -- BM25 scoring against a fixed query ---------------------------------
+    // the retrieval scorer a query-based curation pass runs (select docs
+    // relevant to a target domain): k1=1.2, b=0.75, standard idf. One
+    // token aggregation for (doc, term) tfs, a broadcast-sized df table
+    // for the query terms only, per-doc lengths from a count — every
+    // division happens in a fixed per-row order, so the rounded score is
+    // engine-exact (the t16 tf-idf pattern).
+    "x4_bm25" -> ((s, d) => {
+      val queryTerms = Seq("data", "table", "stream")
+      val doc = documents(s, d)
+      val nDocs = doc.select(count(lit(1)).as("nd"))
+      val lens = doc.select(col("doc_id"), size(ws).as("dl"))
+      val avgLen = lens.select((sum(col("dl")).cast("double") /
+        count(lit(1))).as("avgdl"))
+      val tf = doc.select(col("doc_id"), explode(ws).as("tok"))
+        .filter(col("tok").isin(queryTerms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val score = tf.join(broadcast(df), "tok")
+        .join(lens, "doc_id").crossJoin(broadcast(nDocs)).crossJoin(broadcast(avgLen))
+        .withColumn("idf", log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("s", col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      // per-(doc, term) scores — no cross-term float sum, so no reduction
+      // order can perturb the hash; the consumer sums 3 rounded values
+      score.select(col("doc_id"), col("tok"), round(col("s"), 6).as("bm25"))
+    }),
+
     // -- HyperLogLog registers over distinct tokens ------------------------
     "x2_hll_registers" -> ((s, d) => {
       val tok = documents(s, d).select(explode(ws).as("tok")).distinct()
@@ -103,6 +142,24 @@ object Sketches {
          |FROM pr JOIN cells ON pr.r = cells.r AND pr.b = cells.b
          |GROUP BY pr.tok, pr.n""".stripMargin
     },
+    "x3_feature_hash" ->
+      """SELECT doc_id, substring(md5(tok), 1, 2) AS bucket, COUNT(*) AS tf
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY doc_id, substring(md5(tok), 1, 2)""".stripMargin,
+    "x4_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |nd AS (SELECT COUNT(*) AS nd FROM documents),
+        |lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |avgl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+        |       WHERE tok IN ('data', 'table', 'stream') GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+        |SELECT tf.doc_id, tf.tok,
+        |  round(ln((nd.nd - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |    (tf.tf * 2.2) /
+        |    (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / avgl.avgdl)), 6) AS bm25
+        |FROM tf JOIN df USING (tok) JOIN lens USING (doc_id)
+        |CROSS JOIN nd CROSS JOIN avgl""".stripMargin,
     "x2_hll_registers" ->
       """WITH tok AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents),
         |h AS (SELECT substring(md5(tok), 1, 2) AS bucket,
