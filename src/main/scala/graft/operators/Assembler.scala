@@ -378,6 +378,29 @@ object Assembler {
         .as[String]
       val counts = Genomics.countCanonical(reads, 21)
       assemble(counts, 21, minCov = 1, maxIter = 120).toDF("contig")
+    }),
+
+    // -- assembly report: contig count, total/max bp, N50 ------------------
+    // the number every assembler prints; all-integer arithmetic (N50 via
+    // 2*cumulative >= total avoids any fraction). The ranking window runs
+    // over the CONTIG table — output-sized, tiny next to the k-mer table.
+    "a4_assembly_stats" -> ((s, d) => {
+      import s.implicits._
+      val reads = documents(s, d)
+        .select(Genomics.dna64(col("doc_id")).as("g"))
+        .select(explode(expr("transform(sequence(1, 33, 8), i -> substring(g, i, 32))")).as("read"))
+        .as[String]
+      val counts = Genomics.countCanonical(reads, 21)
+      val lens = assemble(counts, 21, minCov = 1, maxIter = 120)
+        .toDF("contig").select(length(col("contig")).cast("long").as("len"))
+      val w = Window.orderBy(col("len").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lens
+        .withColumn("cum", sum(col("len")).over(w))
+        .withColumn("total", sum(col("len")).over(Window.partitionBy()))
+        .agg(count(lit(1)).as("n_contigs"),
+          max(col("total")).as("total_bp"),
+          max(col("len")).as("max_bp"),
+          min(when(col("cum") * 2 >= col("total"), col("len"))).as("n50"))
     })
   )
 
@@ -386,6 +409,21 @@ object Assembler {
       """WITH g AS (SELECT translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT')
         |  || translate(md5(CAST(doc_id AS VARCHAR) || 'x'), '0123456789abcdef', 'ACGTACGTACGTACGT') AS s
         |  FROM documents)
-        |SELECT DISTINCT least(s, reverse(translate(s, 'ACGT', 'TGCA'))) AS contig FROM g""".stripMargin
+        |SELECT DISTINCT least(s, reverse(translate(s, 'ACGT', 'TGCA'))) AS contig FROM g""".stripMargin,
+    "a4_assembly_stats" ->
+      """WITH g AS (SELECT translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT')
+        |  || translate(md5(CAST(doc_id AS VARCHAR) || 'x'), '0123456789abcdef', 'ACGTACGTACGTACGT') AS s
+        |  FROM documents),
+        |contigs AS (SELECT DISTINCT least(s, reverse(translate(s, 'ACGT', 'TGCA'))) AS contig FROM g),
+        |lens AS (SELECT CAST(length(contig) AS BIGINT) AS len FROM contigs),
+        |cums AS (SELECT len,
+        |    SUM(len) OVER (ORDER BY len DESC ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(len) OVER () AS total
+        |  FROM lens)
+        |SELECT COUNT(*) AS n_contigs,
+        |  CAST(MAX(total) AS BIGINT) AS total_bp,
+        |  MAX(len) AS max_bp,
+        |  MIN(CASE WHEN cum * 2 >= total THEN len END) AS n50
+        |FROM cums""".stripMargin
   )
 }
