@@ -47,6 +47,19 @@ class SemanticSpec extends AnyFunSuite {
     assert(kept == (0L until 15L).toSet)
   }
 
+  test("lloyd survives k > distinct points: empty cells drop, no crash") {
+    import org.apache.spark.sql.functions.col
+    val vs = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(1.0, 0.0)), // duplicate direction
+      (2L, Array(0.0, 1.0))).toDF("vec_id", "v")
+    val cents = KMeans.lloyd(vs, k = 3, iters = 2)
+    val got = cents.select(col("cid")).as[Long].collect().toSet
+    // seeds 0 and 1 are identical vectors: every point prefers the lower
+    // cid on ties, so cell 1 empties and its centroid drops
+    assert(got == Set(0L, 2L))
+  }
+
   test("semDedup below-threshold neighbors both survive") {
     // two vectors at ~45 degrees: cosine ~0.707 < 0.999 — no drop
     val vs = Seq(
