@@ -64,6 +64,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("the big aggregations are partial (map-side combine before the shuffle)") {
+    // A1 (k-mer count) and d1 (exact dedup) shuffle partial aggregates,
+    // never raw rows — the difference between shuffling 16-byte partial
+    // states and the full input at 100 TB
+    for (q <- Seq("g1_kmer_count", "d1_exact_dedup", "x1_countmin_probe")) {
+      val p = plan(q)
+      assert(p.contains("partial_count") || p.contains("Partial"),
+        s"$q lost map-side partial aggregation:\n${p.take(2000)}")
+    }
+  }
+
   test("t22 encodes through a broadcast vocab join") {
     val p = plan("t22_encode")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
