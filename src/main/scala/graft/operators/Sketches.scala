@@ -120,6 +120,20 @@ object Sketches {
         (leadingZeroBits(substring(md5(col("tok").cast("binary")), 3, 8)) + 1)
           .as("rho"))
         .groupBy("bucket").agg(max(col("rho")).cast("long").as("r"))
+    }),
+
+    // -- per-source HLL registers: the SHARDED form of x2 ------------------
+    // HLL's whole point at 100 TB is mergeability: each shard/source keeps
+    // its own 256 registers and the global sketch is a bucket-wise max —
+    // SketchesSpec proves max-merging these rows reproduces x2 exactly.
+    "x5_hll_by_source" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("source"), explode(ws).as("tok")).distinct()
+      tok.select(col("source"),
+        substring(md5(col("tok").cast("binary")), 1, 2).as("bucket"),
+        (leadingZeroBits(substring(md5(col("tok").cast("binary")), 3, 8)) + 1)
+          .as("rho"))
+        .groupBy("source", "bucket").agg(max(col("rho")).cast("long").as("r"))
     })
   )
 
@@ -162,6 +176,22 @@ object Sketches {
         |    (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / avgl.avgdl)), 6) AS bm25
         |FROM tf JOIN df USING (tok) JOIN lens USING (doc_id)
         |CROSS JOIN nd CROSS JOIN avgl""".stripMargin,
+    "x5_hll_by_source" ->
+      """WITH tok AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT source, substring(md5(tok), 1, 2) AS bucket,
+        |             substring(md5(tok), 3, 8) AS w FROM tok),
+        |z AS (SELECT source, bucket, w, ltrim(w, '0') AS s FROM h),
+        |r AS (SELECT source, bucket,
+        |        CASE WHEN length(s) = 0 THEN 32
+        |             ELSE (length(w) - length(s)) * 4 +
+        |               CASE WHEN s[1] = '1' THEN 3
+        |                    WHEN s[1] IN ('2','3') THEN 2
+        |                    WHEN s[1] IN ('4','5','6','7') THEN 1
+        |                    ELSE 0 END
+        |        END + 1 AS rho
+        |      FROM z)
+        |SELECT source, bucket, CAST(MAX(rho) AS BIGINT) AS r
+        |FROM r GROUP BY source, bucket""".stripMargin,
     "x2_hll_registers" ->
       """WITH tok AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents),
         |h AS (SELECT substring(md5(tok), 1, 2) AS bucket,

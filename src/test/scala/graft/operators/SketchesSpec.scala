@@ -23,6 +23,17 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("per-source HLL registers max-merge to the global registers") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val global = Sketches.queries("x2_hll_registers")(spark, d)
+      .as[(String, Long)].collect().toMap
+    val merged = Sketches.queries("x5_hll_by_source")(spark, d)
+      .select(col("bucket"), col("r")).as[(String, Long)].collect()
+      .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    assert(merged == global)
+  }
+
   test("count-min estimate is an upper bound on the true count") {
     // run the probe query on real testdata: est >= n must hold for every
     // probed token (the sketch can only over-count)
