@@ -137,6 +137,19 @@ object Sketches {
     })
   )
 
+  /** Standard HLL estimator over the 256 `(bucket, r)` register rows that
+    * x2/x5 emit (driver-side arithmetic over 256 ints — the one FP step,
+    * deliberately OUTSIDE the oracle-checked queries). Missing buckets are
+    * empty (rho 0); the small-range linear-counting correction applies
+    * below 2.5m, which is exactly the regime the test corpora sit in. */
+  def hllEstimate(registers: Map[String, Long], m: Int = 256): Double = {
+    val rs = (0 until m).map(b => registers.getOrElse(f"$b%02x", 0L))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m / rs.map(r => math.pow(2.0, -r.toDouble)).sum
+    val empty = rs.count(_ == 0L)
+    if (raw <= 2.5 * m && empty > 0) m * math.log(m.toDouble / empty) else raw
+  }
+
   private def sqlCmBucket(tok: String, r: Int): String =
     s"substring(md5($tok || '$r'), 1, 3)"
 

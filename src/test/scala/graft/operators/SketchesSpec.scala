@@ -34,6 +34,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == global)
   }
 
+  test("HLL estimate lands within 10% of the true distinct count") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val regs = Sketches.queries("x2_hll_registers")(spark, d)
+      .as[(String, Long)].collect().toMap
+    val est = Sketches.hllEstimate(regs)
+    val truth = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .distinct().count()
+    assert(math.abs(est - truth) <= 0.10 * truth, s"est $est vs true $truth")
+  }
+
   test("count-min estimate is an upper bound on the true count") {
     // run the probe query on real testdata: est >= n must hold for every
     // probed token (the sketch can only over-count)
