@@ -73,7 +73,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val usage =
-      """usage: graft.Main <counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend|curate> [options]
+      """usage: graft.Main <counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend|curate|stats> [options]
         |  inputs : -fastq <glob> [-fastq2 <glob>] | -fasta <glob> | -contig <fasta> | -kmerc <csv> | -sam <sam>
         |           curate: -docs <parquet> [-testdocs <parquet>] [-embeddings <parquet with doc_id,v>]
         |  tuning : -kmer N -klist a,b,c -cover N -maxcov N -error N -mincontig N -maxiter N
@@ -276,6 +276,30 @@ object Main {
         val reduced = Dynamic.reduceCounts(shortT, longT, k1, k2)
         Fastq.writeCsv(reduced, s"$out/Count_${k1}_reduced", gzip = gzip)
         println(s"[graft] reduce: wrote $out/Count_${k1}_reduced (k1=$k1 k2=$k2)")
+      case "stats" =>
+        // corpus report over any (doc_id, text[, source]) parquet: exact
+        // counts where cheap, the HLL sketch where a 100 TB corpus would
+        // use one (the estimate is printed next to the exact count so the
+        // sketch's accuracy is visible)
+        val docsPath = opt(args, "-docs", "")
+        require(docsPath.nonEmpty, "stats requires -docs <parquet with doc_id,text>")
+        val doc = spark.read.parquet(docsPath)
+        val tok = doc.select(explode(split(col("text"), " ")).as("tok"))
+        val nDocs = doc.count()
+        val nTok = tok.count()
+        val nDistinct = tok.distinct().count()
+        val regs = tok.distinct()
+          .select(substring(md5(col("tok").cast("binary")), 1, 2).as("bucket"),
+            (operators.Sketches.leadingZeroBits(
+              substring(md5(col("tok").cast("binary")), 3, 8)) + 1).as("rho"))
+          .groupBy("bucket").agg(max(col("rho")).cast("long").as("r"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val est = operators.Sketches.hllEstimate(regs)
+        val top = tok.groupBy("tok").count().orderBy(col("count").desc, col("tok"))
+          .limit(5).collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(", ")
+        println(f"[graft] stats: docs=$nDocs tokens=$nTok distinct=$nDistinct " +
+          f"hll_estimate=$est%.1f top5=[$top]")
+
       case "curate" =>
         // training-corpus curation over a parquet documents table:
         // exact dedup -> near-dup clusters -> quality -> decontamination
@@ -304,7 +328,7 @@ object Main {
           s"semantic ${stats.getLong(5)}) -> $out/curated")
       case other =>
         sys.error(s"unknown subcommand '$other' " +
-          "(counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend|curate)")
+          "(counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend|curate|stats)")
     }
     spark.stop()
   }

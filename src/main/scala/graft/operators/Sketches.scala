@@ -36,9 +36,9 @@ object Sketches {
   /** Leading-zero-bit count of the 8-hex-char window `h` (32 bits), as
     * string arithmetic: 4 bits per leading '0' digit, plus 0-3 from the
     * first non-zero digit. All-zero windows saturate at 32.
-    * (private[operators] so SketchesSpec can fuzz it against the JVM's
-    * Integer.numberOfLeadingZeros.) */
-  private[operators] def leadingZeroBits(h: Column): Column = {
+    * (private[graft] so SketchesSpec can fuzz it against the JVM's
+    * Integer.numberOfLeadingZeros, and the `stats` CLI can reuse it.) */
+  private[graft] def leadingZeroBits(h: Column): Column = {
     val stripped = ltrim(h, "0")
     val zDigits = (length(h) - length(stripped)) * 4
     val first = substring(stripped, 1, 1)
