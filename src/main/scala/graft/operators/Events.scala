@@ -126,6 +126,19 @@ object Events {
           unix_micros(col("sw.end")).as("end_us"),
           col("n_events"), col("sum_value"))),
 
+    // -- sliding window: 6-hour windows every 3 hours ----------------------
+    // each event lands in exactly two windows; the oracle reproduces the
+    // epoch-aligned window starts with integer microsecond arithmetic
+    "e9_sliding_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)")
+            .cast("double").as("sum_value"))
+        .select(unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("event_type"), col("n"), col("sum_value"))),
+
     "e7_range_join" -> ((s, d) => {
       val ev = events(s, d)
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
@@ -207,6 +220,16 @@ object Events {
         |SELECT event_id AS purchase_id, user_id, cid AS click_id,
         |  cval AS click_value, (tus - cts) // 1000 AS gap_ms
         |FROM w WHERE click_id IS NULL""".stripMargin,
+    "e9_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events),
+        |buck AS (
+        |  SELECT us - (us % 10800000000) AS ws, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT us - (us % 10800000000) - 10800000000, event_type, value FROM e)
+        |SELECT ws AS start_us, ws + 21600000000 AS end_us, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
+        |FROM buck GROUP BY ws, event_type""".stripMargin,
     "e8_session_window" ->
       """WITH e AS (SELECT user_id, event_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
