@@ -38,6 +38,24 @@ object Multimodal {
         .toDF("doc_id", "n_bytes", "content_md5", "fake_w", "fake_h")
     }),
 
+    // -- modality-mix report: the dataset-composition table a multimodal --
+    // training mix is balanced against. Modality is derived from a
+    // deterministic md5 coin (the container has no real media); byte
+    // totals are the numbers a mix planner budgets with.
+    "m5_modality_mix" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_bytes"),
+          substring(md5(col("text").cast("binary")), 1, 1).as("h"))
+        .withColumn("modality",
+          when(col("h").isin("0", "1", "2", "3", "4", "5"), "image")
+            .when(col("h").isin("6", "7", "8", "9"), "audio")
+            .when(col("h").isin("a", "b"), "video")
+            .otherwise("text"))
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bytes")).as("total_bytes"),
+          max(col("n_bytes")).as("max_bytes"))),
+
     // -- STUB "resize": downsample payload bytes 2:1, re-extract metadata --
     // (stands in for an image resize; the partition-wise batch shape and
     // binary in/out schema are the real plumbing)
@@ -111,6 +129,18 @@ object Multimodal {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5,
         |  length(text) % 640 AS fake_w, (length(text) * 31) % 480 AS fake_h
         |FROM documents""".stripMargin,
+    "m5_modality_mix" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |    CASE WHEN substring(md5(text), 1, 1) IN ('0','1','2','3','4','5') THEN 'image'
+        |         WHEN substring(md5(text), 1, 1) IN ('6','7','8','9') THEN 'audio'
+        |         WHEN substring(md5(text), 1, 1) IN ('a','b') THEN 'video'
+        |         ELSE 'text' END AS modality
+        |  FROM documents)
+        |SELECT modality, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  MAX(n_bytes) AS max_bytes
+        |FROM m GROUP BY modality""".stripMargin,
     "m3_resize" ->
       """SELECT doc_id,
         |  CAST((length(text) + 1) // 2 AS BIGINT) AS resized_bytes,
