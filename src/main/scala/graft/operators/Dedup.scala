@@ -205,6 +205,29 @@ object Dedup {
             t => t.getField("chunk"))).as("clean"))
     }),
 
+    // -- asymmetric containment (the text analogue of J9's contig dedup) ---
+    // containment(a in b) = |A∩B| / |A|: catches a SHORT doc wholly quoted
+    // inside a long one, which symmetric Jaccard misses (the union term
+    // drowns it). Candidates still come from the banded LSH buckets —
+    // no new candidate machinery, just the asymmetric verify on top.
+    "d10_containment" -> ((s, d) => {
+      val sh = shingled(corpus(s, d)).localCheckpoint()
+      val sets = sh.distinct().localCheckpoint()
+      val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
+      val pairs = candidatePairsFrom(bands(signatures(sh)))
+      val inter = pairs
+        .join(sets.select(col("doc_id").as("a"), col("sh")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("nsz").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("nsz").as("nb")), "b")
+        .select(col("a"), col("b"),
+          round(col("i").cast("double") / least(col("na"), col("nb")), 4)
+            .as("containment"))
+        .filter(col("containment") >= 0.9)
+    }),
+
     // -- bloom-filter decontamination --------------------------------------
     // the 100 TB form of test-set filtering: the test side is compiled
     // into a FIXED-SIZE bloom filter (bit space = 2^16, 3 hashes = three
@@ -329,6 +352,23 @@ object Dedup {
           |JOIN sizes za ON za.doc_id = i.a
           |JOIN sizes zb ON zb.doc_id = i.b
           |WHERE round(CAST(i.i AS DOUBLE) / (za.nsz + zb.nsz - i.i), 4) >= 0.5""".stripMargin),
+    "d10_containment" ->
+      (withAll(
+        "sets AS (SELECT DISTINCT doc_id, sh FROM sh)",
+        "sizes AS (SELECT doc_id, COUNT(*) AS nsz FROM sets GROUP BY doc_id)",
+        """inter AS (
+          |  SELECT p.a, p.b, COUNT(*) AS i
+          |  FROM pairs p
+          |  JOIN sets sa ON sa.doc_id = p.a
+          |  JOIN sets sb ON sb.doc_id = p.b AND sa.sh = sb.sh
+          |  GROUP BY p.a, p.b)""".stripMargin) +
+        """
+          |SELECT i.a, i.b,
+          |  round(CAST(i.i AS DOUBLE) / least(za.nsz, zb.nsz), 4) AS containment
+          |FROM inter i
+          |JOIN sizes za ON za.doc_id = i.a
+          |JOIN sizes zb ON zb.doc_id = i.b
+          |WHERE round(CAST(i.i AS DOUBLE) / least(za.nsz, zb.nsz), 4) >= 0.9""".stripMargin),
     "d7_dedup_clusters" ->
       ("WITH RECURSIVE " +
         (Seq(sqlCorpus, sqlShingles, sqlSig, sqlBand, sqlPairs,

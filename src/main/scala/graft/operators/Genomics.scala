@@ -124,6 +124,18 @@ object Genomics {
         .groupBy(col("count").as("coverage")).agg(count(lit(1)).as("n_kmers"))
         .select(col("coverage"), col("n_kmers"))),
 
+    // -- per-sequence GC content (the standard genome metric next to N50) --
+    // integer base counts + one final rounded division: engine-exact
+    "g12_gc_content" -> ((s, d) => {
+      val seq = dna64(col("doc_id"))
+      documents(s, d).select(
+        col("doc_id"),
+        (length(seq) - length(translate(seq, "GC", ""))).cast("long").as("gc"),
+        length(seq).cast("long").as("len"))
+        .select(col("doc_id"), col("gc"), col("len"),
+          round(col("gc").cast("double") / col("len"), 4).as("gc_frac"))
+    }),
+
     // -- P7: forward sub-kmer split (prefix key, marker, extension base) ---
     "g7_subkmer_split" -> ((s, d) => {
       import s.implicits._
@@ -215,6 +227,14 @@ object Genomics {
     "g6_kmer_spectrum" ->
       (sqlKmerCounts(7) +
         "\nSELECT c AS coverage, COUNT(*) AS n_kmers FROM cnt GROUP BY c"),
+    "g12_gc_content" ->
+      s"""WITH seq AS (SELECT doc_id, $sqlDna64 AS s FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(s) - length(translate(s, 'GC', '')) AS BIGINT) AS gc,
+         |  CAST(length(s) AS BIGINT) AS len,
+         |  round(CAST(length(s) - length(translate(s, 'GC', '')) AS DOUBLE)
+         |    / length(s), 4) AS gc_frac
+         |FROM seq""".stripMargin,
     "g7_subkmer_split" ->
       (sqlKmerCounts(15) +
         """
