@@ -120,6 +120,18 @@ object Relational {
           sum(col("l_quantity").cast(D2)).cast("decimal(38,2)").cast("double").as("sum_qty"))
     }),
 
+    // -- GROUPING SETS: arbitrary set combos (rollup/cube's general form) --
+    // includes GROUPING() markers so the per-set provenance is explicit
+    "q21_grouping_sets" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+          |  COUNT(*) AS n
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
     // -- window-function battery: lag/lead/ntile/cume_dist -----------------
     // per-customer order history; the (date, key) order is unique, so
     // every function is deterministic incl. cume_dist under no ties
@@ -309,6 +321,12 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q21_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "q20_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
         |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,

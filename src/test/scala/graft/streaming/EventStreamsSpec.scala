@@ -105,6 +105,26 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows stream: each event lands in both overlapping windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{window, col, count, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = in.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "60 minutes", "30 minutes"), col("eventType"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    try {
+      in.addData(Event(ts(10), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // one event at minute 10 → windows [-20, 40) and [-50, 10)... with
+      // epoch-aligned 30-min slides the event is in exactly 2 windows
+      assert(spark.table("sliding").count() == 2)
+    } finally q.stop()
+  }
+
   test("curateStream gates quality and dedups first-occurrence across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
