@@ -256,6 +256,14 @@ object Relational {
           sum(col("l_quantity").cast(D2)).cast("decimal(38,2)").cast("double").as("sum_qty"))
     }),
 
+    // -- two-phase (salted) aggregation: result == plain GROUP BY ----------
+    // 6 distinct return flags over 600k rows is exactly the dominant-key
+    // shape; the oracle is the plain count — the salt must be invisible
+    "q22_two_phase_count" -> ((s, d) =>
+      Skew.twoPhaseCount(lineitem(s, d).select(col("l_returnflag")),
+          "l_returnflag", r = 16)
+        .select(col("l_returnflag"), col("n").cast("long").as("n"))),
+
     // -- per-group arg-max via window (scalar-subquery shape) --------------
     "q14_top_account" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -392,6 +400,8 @@ object Relational {
         |  MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN l_extendedprice END) AS p95,
         |  MAX(n) AS n
         |FROM b GROUP BY l_returnflag""".stripMargin,
+    "q22_two_phase_count" ->
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag""",
     "q18_salted_join" ->
       """SELECT l.l_suppkey AS suppkey, s.s_name,
         |  COUNT(*) AS n_items,
