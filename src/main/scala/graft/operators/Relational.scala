@@ -264,6 +264,21 @@ object Relational {
           "l_returnflag", r = 16)
         .select(col("l_returnflag"), col("n").cast("long").as("n"))),
 
+    // -- full outer join: per-customer order rollup keeping both sides -----
+    // customers with no orders AND (synthetic) order-groups with no
+    // customer row both survive; COALESCE makes the null sides explicit
+    "q23_full_outer" -> ((s, d) => {
+      val cust = customer(s, d).filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val ord = orders(s, d).filter(col("o_custkey") % 2 === 0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("c_name"), lit("<no-cust-row>")).as("name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }),
+
     // -- per-group arg-max via window (scalar-subquery shape) --------------
     "q14_top_account" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -402,6 +417,14 @@ object Relational {
         |FROM b GROUP BY l_returnflag""".stripMargin,
     "q22_two_phase_count" ->
       """SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag""",
+    "q23_full_outer" ->
+      """WITH cust AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0),
+        |ord AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |        WHERE o_custkey % 2 = 0 GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  COALESCE(c_name, '<no-cust-row>') AS name,
+        |  COALESCE(n_orders, 0) AS n_orders
+        |FROM cust FULL OUTER JOIN ord ON c_custkey = o_custkey""".stripMargin,
     "q18_salted_join" ->
       """SELECT l.l_suppkey AS suppkey, s.s_name,
         |  COUNT(*) AS n_items,
