@@ -24,6 +24,20 @@ object GenomicsIO {
       Genomics.decodeCounts(Genomics.countCanonical(reads, 15), 15)
     }),
 
+    // -- columnar interchange: ORC sink -> source round-trip ---------------
+    // the "another source format" path: the same documents projection
+    // written as ORC (Spark's second first-class columnar format) and read
+    // back; column pruning and predicate pushdown work on the ORC scan
+    // exactly as on parquet, so intermediate tables can interchange freely
+    "f7_orc_roundtrip" -> ((s, d) => {
+      val tmp = s"${ioDir(d)}/orc"
+      documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).filter(col("n_chars") > 0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
     // -- contigs -> FASTA file (wrapped) -> parsed back ---------------------
     "f2_fasta_roundtrip" -> ((s, d) => {
       val tmp = s"${ioDir(d)}/fasta"
@@ -73,6 +87,9 @@ object GenomicsIO {
 
   def oracles: Map[String, String] = Map(
     "f1_fastq_roundtrip" -> Genomics.oracles("g1_kmer_count"),
+    "f7_orc_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE n_chars > 0 GROUP BY lang""".stripMargin,
     "f2_fasta_roundtrip" ->
       """WITH c AS (
         |  SELECT translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT')
