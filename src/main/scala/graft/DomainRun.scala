@@ -52,9 +52,9 @@ object DomainRun {
         max(length(col("contig"))).as("longest")).as[(Long, Long, Int)].head()
     }
     val lens = contigs.select(length(col("contig"))).as[Int].collect().sorted(Ordering[Int].reverse)
-    val half = lens.map(_.toLong).sum / 2
+    val total = lens.map(_.toLong).sum
     var acc = 0L
-    val n50 = lens.find { l => acc += l; acc >= half }.getOrElse(0)
+    val n50 = lens.find { l => acc += l; 2 * acc >= total }.getOrElse(0)
     outFasta.foreach(p => Fastq.writeFasta(contigs, p))
     println(s"""{"reads":$nReads,"kmers":$nKmers,"k":$k,"min_cov":$minCov,""" +
       s""""contigs":${stats._1},"bases":${stats._2},"longest":${stats._3},"n50":$n50,""" +

@@ -400,7 +400,7 @@ object Assembler {
         .agg(count(lit(1)).as("n_contigs"),
           max(col("total")).as("total_bp"),
           max(col("len")).as("max_bp"),
-          min(when(col("cum") * 2 >= col("total"), col("len"))).as("n50"))
+          max(when(col("cum") * 2 >= col("total"), col("len"))).as("n50"))
     })
   )
 
@@ -423,7 +423,7 @@ object Assembler {
         |SELECT COUNT(*) AS n_contigs,
         |  CAST(MAX(total) AS BIGINT) AS total_bp,
         |  MAX(len) AS max_bp,
-        |  MIN(CASE WHEN cum * 2 >= total THEN len END) AS n50
+        |  MAX(CASE WHEN cum * 2 >= total THEN len END) AS n50
         |FROM cums""".stripMargin
   )
 }

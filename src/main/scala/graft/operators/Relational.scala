@@ -220,26 +220,52 @@ object Relational {
     }),
 
     // -- exact discrete percentiles (p25/p50/p95) per group ----------------
-    // row_number selection with INTEGER-ONLY rank math (ceil(q*n) as
-    // (n*q100 + 99) div 100): no FP interpolation, so both engines select
-    // the identical element — interpolating percentile() implementations
-    // disagree in the last ulp across engines. One shuffle + one window
-    // pass; at scale the same shape works per-group since no global sort
-    // is required.
+    // INTEGER-ONLY rank math (ceil(q*n) as (n*q100 + 99) div 100): no FP
+    // interpolation, so both engines select the identical element —
+    // interpolating percentile() implementations disagree in the last ulp
+    // across engines. Two-phase selection, NOT a per-group row sort (a
+    // window partitioned by l_returnflag puts each group's ENTIRE row set
+    // in one task — 6 tasks sort the whole table):
+    //   1. coarse value-bucket histogram per group; its cumulative sum
+    //      locates the bucket holding each rank. The window runs over
+    //      (group, bucket) counts — bounded by the VALUE DOMAIN
+    //      (price-range/1000 buckets), not by the data size.
+    //   2. distinct-value histogram inside the <=3 target buckets only;
+    //      its cumulative sum selects the rank's value. Bounded by the
+    //      distinct 2-decimal prices inside one 1000-wide bucket (<=1e5)
+    //      regardless of row count; truly continuous domains would recurse
+    //      on narrower buckets instead.
+    // The selected value at rank r is tie-order-independent, so the result
+    // is bit-identical to the row_number form this replaces.
     "q17_percentiles" -> ((s, d) => {
-      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-      lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      val base = lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("bkt", floor(col("l_extendedprice") / 1000).cast("long"))
+      val nPer = base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val targets = nPer.select(col("l_returnflag"), col("n"),
+          explode(array(lit(25), lit(50), lit(95))).as("q"))
+        .withColumn("r", expr("(n * q + 99) div 100"))
+      val wb = Window.partitionBy("l_returnflag").orderBy("bkt")
+      val cb = base.groupBy(col("l_returnflag"), col("bkt")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cumb", sum(col("cnt")).over(wb))
+      val tgt = broadcast(targets.join(cb, "l_returnflag")
+        .filter(col("cumb") >= col("r") && col("cumb") - col("cnt") < col("r"))
+        .select(col("l_returnflag"), col("q"), col("bkt"),
+          (col("r") - (col("cumb") - col("cnt"))).as("rr")))
+      val wv = Window.partitionBy("l_returnflag", "bkt").orderBy("l_extendedprice")
+      val fine = base.join(tgt.select("l_returnflag", "bkt").distinct(),
+          Seq("l_returnflag", "bkt"))
+        .groupBy(col("l_returnflag"), col("bkt"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("vc"))
+        .withColumn("cumv", sum(col("vc")).over(wv))
+      tgt.join(fine, Seq("l_returnflag", "bkt"))
+        .filter(col("cumv") >= col("rr") && col("cumv") - col("vc") < col("rr"))
         .groupBy("l_returnflag")
         .agg(
-          min(when(col("rn") === expr("(n * 25 + 99) div 100"),
-            col("l_extendedprice"))).as("p25"),
-          min(when(col("rn") === expr("(n * 50 + 99) div 100"),
-            col("l_extendedprice"))).as("p50"),
-          min(when(col("rn") === expr("(n * 95 + 99) div 100"),
-            col("l_extendedprice"))).as("p95"),
-          max(col("n")).as("n"))
+          min(when(col("q") === 25, col("l_extendedprice"))).as("p25"),
+          min(when(col("q") === 50, col("l_extendedprice"))).as("p50"),
+          min(when(col("q") === 95, col("l_extendedprice"))).as("p95"))
+        .join(nPer, "l_returnflag")
+        .select(col("l_returnflag"), col("p25"), col("p50"), col("p95"), col("n"))
     }),
 
     // -- skew-salted join ([[Skew.saltedJoin]]): results identical to the

@@ -72,6 +72,25 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     call_function("vec_dot", a, b)
 
+  /** Nearest-centroid assignment (argmax cosine, centroid-id tie-break) as
+    * ONE map-side partial aggregation — [[KMeans.lloyd]]'s plan:
+    * `max(struct(cc, -cid, v, n2))` shuffles n pre-combined rows and sorts
+    * nothing, where a `row_number` window over the broadcast join would
+    * shuffle AND sort all n×C rows. (cc, -cid) is unique per centroid, so
+    * the struct comparison never falls through to the payload fields; NaN
+    * ordering (largest) matches the window sort's, keeping results
+    * bit-identical to the former plan.
+    * `vs`: (vec_id, v, n2); `cents`: (cid, cv, cn2).
+    * Returns (vec_id, v, n2, cell). */
+  private def assignCells(vs: DataFrame, cents: DataFrame): DataFrame =
+    vs.join(broadcast(cents), lit(true))
+      .withColumn("cc", dot(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cc"), (-col("cid")).as("ncid"),
+        col("v"), col("n2"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.n2").as("n2"),
+        (-col("m.ncid")).as("cell"))
+
   /** 8-bit sign bucket over the first 8 dimensions (raw float sign tests —
     * deterministic across engines, no FP arithmetic). */
   private def bucketOf(emb: Column): Column =
@@ -102,13 +121,7 @@ object Similarity {
       .withColumn("n2", dot(col("v"), col("v")))
     val cents = centroids.select(col("cid"), col("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cc").desc, col("cid"))
-    val assigned = vs.join(broadcast(cents), lit(true))
-      .withColumn("cc", dot(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
+    val assigned = assignCells(vs, cents)
     val r = assigned.select(col("cell").as("cell2"), col("vec_id").as("b"),
       col("v").as("v2"), col("n2").as("m2"))
     val dropped = assigned.join(r,
@@ -185,13 +198,7 @@ object Similarity {
       val all = vecs(s, d)
       val cents = all.filter(col("vec_id") < 32)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cc").desc, col("cid"))
-      val assigned = all.join(broadcast(cents), lit(true))
-        .withColumn("cc", dot(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
+      val assigned = assignCells(all, cents)
       val q = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("n2").as("qn2"), col("cell"))
@@ -231,13 +238,8 @@ object Similarity {
       val all = vecs(s, d)
       val cents = all.filter(col("vec_id") < 32)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cc").desc, col("cid"))
-      val assigned = all.join(broadcast(cents), lit(true))
-        .withColumn("cc", dot(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("v"), col("cid").as("cell"))
+      val assigned = assignCells(all, cents)
+        .select(col("vec_id"), col("v"), col("cell"))
       val pops = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
       assigned
         .select(col("cell"), posexplode(col("v")))

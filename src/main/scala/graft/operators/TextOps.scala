@@ -13,6 +13,26 @@ object TextOps {
 
   private def ws: Column = split(col("text"), " ")
 
+  /** Frequency-ranked vocabulary `(tok, n, id)` — id 1 = most frequent,
+    * count-desc / token-asc tie-break. Ranking uses a range-partitioned
+    * distributed sort + `zipWithIndex` (one tiny count job turns
+    * per-partition positions into exact global ranks — the same P11
+    * pattern as [[graft.sources.Fastq.formatFasta]]), NOT a global
+    * `Window.orderBy`: Spark plans an empty-partition window as ONE task
+    * holding every distinct token, which at web scale (1e8-1e9 distinct
+    * tokens) is a single-machine sort of the whole vocabulary. */
+  private def rankedVocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(explode(ws).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .orderBy(col("n").desc, col("tok"))
+      .as[(String, Long)]
+      .rdd.zipWithIndex()
+      .map { case ((tok, n), i) => (tok, n, i + 1) }
+      .toDF("tok", "n", "id")
+  }
+
   private def tokenCountIn(set: Seq[String]): Column =
     size(filter(ws, w => w.isInCollection(set)))
 
@@ -303,18 +323,9 @@ object TextOps {
     // query (no DuckDB oracle); the spec pins exact ratios instead.
     // -- vocabulary construction (tokenizer-training step 1) ---------------
     // global token counts -> frequency-ranked ids (1 = most frequent;
-    // count-desc, token-asc tie-break). The ranking window is global but
-    // runs over the DISTINCT-token table, which is vocabulary-sized (not
-    // corpus-sized) at any scale — the corpus itself is touched only by
-    // the one counting aggregation.
-    "t21_vocab" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("tok"))
-      documents(s, d).select(explode(ws).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 5)
-        .select(col("tok"), col("n"), row_number().over(w).cast("long").as("id"))
-    }),
+    // count-desc, token-asc tie-break). See [[rankedVocab]] for why the
+    // ranking is a distributed sort + zipWithIndex, not a global window.
+    "t21_vocab" -> ((s, d) => rankedVocab(s, d)),
 
     // -- corpus encoding against the trained vocab (step 2) ----------------
     // per-doc token-id sequence (OOV -> 0), plus token/OOV counts — the
@@ -322,12 +333,7 @@ object TextOps {
     // The vocab side of the join is vocabulary-sized (broadcastable); the
     // corpus side is one posexplode + one per-doc aggregation.
     "t22_encode" -> ((s, d) => {
-      val wv = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("tok"))
-      val vocab = documents(s, d).select(explode(ws).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 5)
-        .select(col("tok"), row_number().over(wv).cast("long").as("id"))
+      val vocab = rankedVocab(s, d).select(col("tok"), col("id"))
       documents(s, d)
         .select(col("doc_id"), posexplode(ws))
         .select(col("doc_id"), col("pos"), col("col").as("tok"))
