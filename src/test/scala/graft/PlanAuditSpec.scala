@@ -81,6 +81,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("centroid assignment is a partial aggregation, not a window (s5/s7/s8)") {
+    // VERDICT r4 #1: the row_number-over-broadcast-join form shuffled and
+    // sorted 32n rows; the max(struct) partial-agg form shuffles n. Guard
+    // that no assignment window (partitioned per-vector on vec_id) sneaks
+    // back into these plans. s7/s8 end with zero Window nodes; s5 keeps
+    // only its per-QUERY top-k window (partitioned by q_id).
+    for (q <- Seq("s7_semdedup", "s8_kmeans_step")) {
+      val w = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.collect {
+        case n: org.apache.spark.sql.catalyst.plans.logical.Window => n
+      }
+      assert(w.isEmpty, s"$q has ${w.size} Window node(s) in its optimized plan")
+    }
+    val w5 = SparkEntry.queries("s5_ivf_ann")(spark, sf).queryExecution.optimizedPlan.collect {
+      case n: org.apache.spark.sql.catalyst.plans.logical.Window
+          if n.partitionSpec.exists(_.references.exists(_.name == "vec_id")) => n
+    }
+    assert(w5.isEmpty, s"s5_ivf_ann re-grew a per-vector assignment window:\n${w5.mkString("\n")}")
+  }
+
+  test("no single-partition window in any query plan (allowlist: a4)") {
+    // A window with an empty or constant partitionSpec plans as ONE task
+    // holding the entire input — the q17/t21 class of scale defect
+    // (VERDICT r4 #2/#3). a4_assembly_stats is the one sanctioned use:
+    // its global ranking runs over the output-sized contig-length table.
+    val allow = Set("a4_assembly_stats")
+    for ((name, q) <- SparkEntry.queries if !allow(name)) {
+      val bad = q(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) => w
+      }
+      assert(bad.isEmpty, s"$name has a single-partition window:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("semantic dedup: centroid assignment broadcasts, in-cell pass is equi-join") {
     for (q <- Seq("s7_semdedup", "s8_kmeans_step")) {
       val p = plan(q)
