@@ -73,7 +73,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val usage =
-      """usage: graft.Main <counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend|curate|stats> [options]
+      """usage: graft.Main <counter|run|preprocess|meta|reassemble|mercy|merger|stitch|reduce|extend|curate|stats> [options]
         |  inputs : -fastq <glob> [-fastq2 <glob>] | -fasta <glob> | -contig <fasta> | -kmerc <csv> | -sam <sam>
         |           curate: -docs <parquet> [-testdocs <parquet>] [-embeddings <parquet with doc_id,v>]
         |  tuning : -kmer N -klist a,b,c -cover N -maxcov N -error N -mincontig N -maxiter N
@@ -215,6 +215,21 @@ object Main {
       case "run" =>
         Fastq.writeFasta(assembleReads(k).toDF("contig"), s"$out/Assembly")
         println(s"[graft] run: wrote $out/Assembly")
+      case "preprocess" =>
+        // E2 — the reference's first pipeline stage (`Pipelines.java:1299`
+        // pipes every read through the external `lighter` binary); graft
+        // corrects in-engine against the read set's own k-mer spectrum
+        // ([[operators.ErrorCorrect]]) and re-fabricates FASTQ. `-cover`
+        // doubles as the solid threshold (reference lighter default: auto).
+        val rdf = reads.toDF("read")
+          .withColumn("read_id", monotonically_increasing_id())
+        val corr = operators.ErrorCorrect
+          .correctReads(rdf.select("read_id", "read"), k, minCov.toLong)
+          .localCheckpoint()
+        val nChanged = corr.agg(sum(col("changed"))).as[Long].head()
+        Fastq.toFastqLines(corr.select(col("corrected").as("read")))
+          .write.mode("overwrite").text(s"$out/Corrected")
+        println(s"[graft] preprocess: corrected $nChanged reads -> $out/Corrected")
       case "meta" =>
         val kList = opt(args, "-klist", "23,31,41,53,67,81,95")
           .split(",").map(_.trim.toInt).toSeq
@@ -284,11 +299,16 @@ object Main {
         val docsPath = opt(args, "-docs", "")
         require(docsPath.nonEmpty, "stats requires -docs <parquet with doc_id,text>")
         val doc = spark.read.parquet(docsPath)
+        // four separate actions consume the exploded token stream — pin it
+        // (and its distinct) once instead of re-reading + re-shuffling the
+        // parquet per action
         val tok = doc.select(explode(split(col("text"), " ")).as("tok"))
+          .localCheckpoint()
+        val dtok = tok.distinct().localCheckpoint()
         val nDocs = doc.count()
         val nTok = tok.count()
-        val nDistinct = tok.distinct().count()
-        val regs = tok.distinct()
+        val nDistinct = dtok.count()
+        val regs = dtok
           .select(substring(md5(col("tok").cast("binary")), 1, 2).as("bucket"),
             (operators.Sketches.leadingZeroBits(
               substring(md5(col("tok").cast("binary")), 3, 8)) + 1).as("rho"))
@@ -328,7 +348,7 @@ object Main {
           s"semantic ${stats.getLong(5)}) -> $out/curated")
       case other =>
         sys.error(s"unknown subcommand '$other' " +
-          "(counter|run|meta|reassemble|mercy|merger|stitch|reduce|extend|curate|stats)")
+          "(counter|run|preprocess|meta|reassemble|mercy|merger|stitch|reduce|extend|curate|stats)")
     }
     spark.stop()
   }
