@@ -54,14 +54,14 @@ object Main {
     "-mincontig", "-maxiter", "-clipf", "-clipe", "-minlength", "-reads",
     "-partition", "-partitionredu", "-overlap",
     "-bubble", "-gzip", "-single", "-inter", "-paired", "-exact-fastq", "-mercy",
-    "-merge")
+    "-merge", "-scramble")
 
   /** Typo guard: an unrecognized -option is silently inert with positional
     * sliding parsing, which can quietly run a job with default settings —
     * surface it loudly (warn, not fail: option values may start with '-'). */
   private def warnUnknown(args: Array[String]): Unit = {
     val taking = knownOpts -- Set("-bubble", "-gzip", "-single", "-inter",
-      "-paired", "-exact-fastq", "-mercy", "-merge") // flags take no value
+      "-paired", "-exact-fastq", "-mercy", "-merge", "-scramble") // flags take no value
     val skipIdx = args.zipWithIndex.collect {
       case (a, i) if taking(a) => i + 1
     }.toSet
@@ -78,7 +78,8 @@ object Main {
         |           curate: -docs <parquet> [-testdocs <parquet>] [-embeddings <parquet with doc_id,v>]
         |  tuning : -kmer N -klist a,b,c -cover N -maxcov N -error N -mincontig N -maxiter N
         |           -clipf N -clipe N -minlength N -reads N -partition N -partitionredu N -overlap N
-        |  flags  : -bubble (keep bubbles) -mercy (rescue gap kmers) -gzip -exact-fastq -single -inter -paired -merge (overlap-merge mate pairs)
+        |  flags  : -bubble (keep bubbles) -mercy (rescue gap kmers) -scramble (repeat-aware unitigs)
+        |           -gzip -exact-fastq -single -inter -paired -merge (overlap-merge mate pairs)
         |  output : -outfile <dir>""".stripMargin
     require(args.nonEmpty, usage)
     if (args.head == "-h" || args.head == "--help" || args.head == "-help") {
@@ -99,6 +100,8 @@ object Main {
         System.err.println("[graft] WARNING: -mercy needs the read stream; ignored with a pre-counted -kmerc table")
       if (args.contains("-merge") && opt(args, "-fastq2", "").isEmpty)
         System.err.println("[graft] WARNING: -merge requires two-file paired input (-fastq2); ignored")
+      if (args.contains("-scramble") && kOpt > 31)
+        System.err.println("[graft] WARNING: -scramble is not implemented for k > 31 (wide-block regime); ignored")
     }
     val fastq = opt(args, "-fastq", "/root/reference/example/*.fq.gz")
     val out = opt(args, "-outfile", "/root/repo/target/graft_cli_out")
@@ -183,7 +186,8 @@ object Main {
           else raw
         Assembler.assemble(counts.filter(col("count") <= maxCov), kk,
           minCov = minCov, maxIter = maxIter, minContig = minContig,
-          popBubbles = popBubbles, minError = minError)
+          popBubbles = popBubbles, minError = minError,
+          scramble = args.contains("-scramble"))
       } else {
         val counts =
           if (kmerc.nonEmpty)
