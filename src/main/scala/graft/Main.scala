@@ -49,7 +49,7 @@ object Main {
 
   private val knownOpts = Set(
     "-fastq", "-fastq2", "-fasta", "-contig", "-kmerc", "-kmerc1", "-kmerc2",
-    "-sam", "-docs", "-testdocs", "-embeddings",
+    "-sam", "-aligner", "-docs", "-testdocs", "-embeddings",
     "-outfile", "-kmer", "-klist", "-cover", "-maxcov", "-error",
     "-mincontig", "-maxiter", "-clipf", "-clipe", "-minlength", "-reads",
     "-partition", "-partitionredu", "-overlap",
@@ -75,6 +75,7 @@ object Main {
     val usage =
       """usage: graft.Main <counter|run|preprocess|meta|reassemble|mercy|merger|stitch|reduce|extend|curate|stats> [options]
         |  inputs : -fastq <glob> [-fastq2 <glob>] | -fasta <glob> | -contig <fasta> | -kmerc <csv> | -sam <sam>
+        |           extend: -aligner '<cmd>' pipes -fastq reads through an external aligner ({ref} = contig fasta)
         |           curate: -docs <parquet> [-testdocs <parquet>] [-embeddings <parquet with doc_id,v>]
         |  tuning : -kmer N -klist a,b,c -cover N -maxcov N -error N -mincontig N -maxiter N
         |           -clipf N -clipe N -minlength N -reads N -partition N -partitionredu N -overlap N
@@ -261,19 +262,30 @@ object Main {
         Fastq.writeFasta(stitched, s"$out/Assembly", seqCol = "contig")
         println(s"[graft] stitch: wrote $out/Assembly")
       case "extend" =>
-        // E3 end-to-end: SAM-driven contig-end extension. The SAM comes
-        // from any aligner (the reference pipes minimap2; pipe via
-        // graft.sources.PipeOps when the binary exists) — the consensus
-        // operator itself needs no external binary.
+        // E3 end-to-end: SAM-driven contig-end extension. Two input modes:
+        //  -sam <file>      a pre-computed SAM from any aligner;
+        //  -aligner <cmd>   run the aligner in-pipeline ({ref} in the
+        //                   command resolves to the contig FASTA, which is
+        //                   built driver-side and shipped to executors —
+        //                   graft.sources.AlignerPipe, the reference's
+        //                   index-build + --files + pipe orchestration).
+        // The consensus operator itself needs no external binary.
         val samPath = opt(args, "-sam", "")
-        require(samPath.nonEmpty, "extend requires -sam <sam file/dir>")
+        val alignerCmd = opt(args, "-aligner", "")
+        require(samPath.nonEmpty || alignerCmd.nonEmpty,
+          "extend requires -sam <sam file/dir> or -aligner '<cmd with {ref}>'")
         val contigs = Fastq.readFasta(spark, opt(args, "-contig", "")
           .ensuring(_.nonEmpty, "extend requires -contig <fasta>"))
-        val sam = spark.read.text(samPath).as[String]
-          .filter(l => l.nonEmpty && !l.startsWith("@"))
-          .map { l => val f = l.split("\t"); (f(2), f(3).toInt, f(5), f(9)) }
-          .toDF("contig", "pos", "cigar", "seq")
-          .filter(col("contig") =!= "*" && col("cigar") =!= "*")
+        val sam =
+          if (samPath.nonEmpty)
+            spark.read.text(samPath).as[String]
+              .filter(l => l.nonEmpty && !l.startsWith("@"))
+              .map { l => val f = l.split("\t"); (f(2), f(3).toInt, f(5), f(9)) }
+              .toDF("contig", "pos", "cigar", "seq")
+              .filter(col("contig") =!= "*" && col("cigar") =!= "*")
+          else
+            graft.sources.AlignerPipe.alignReads(contigs, reads,
+              alignerCmd.split("\\s+").toSeq)
         val extended = operators.SamConsensus.extendContigs(contigs, sam,
           minDepth = minCov)
         Fastq.writeFasta(extended.select(col("extended").as("contig")), s"$out/Assembly")

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.SparkFiles
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** E3 orchestration — the reference's external-aligner pipeline
+  * (`ReflexivDSDynamicKmerMapping.java:147-230` builds the minimap2 index
+  * on the driver and ships it with `--files`; `DSJavaPipeMinimap2`
+  * `:1157-1267` pipes each partition's FASTQ through the binary), with the
+  * aligner itself staying external/pluggable:
+  *
+  *  1. the contig set (output-sized — the same table the reference
+  *     collects for its driver-side index build) is materialized once as a
+  *     local FASTA and shipped to every executor via `addFile`;
+  *  2. reads are re-fabricated as FASTQ ([[Fastq.toFastqLines]]) and piped
+  *     partition-wise through the aligner command ([[PipeOps]]) — `{ref}`
+  *     in the command resolves to the shipped FASTA ON THE EXECUTOR
+  *     (`SparkFiles.get`), which is why the command is assembled lazily;
+  *  3. stdout SAM lines are parsed to the `(contig, pos, cigar, seq)`
+  *     frame [[graft.operators.SamConsensus.extendContigs]] consumes.
+  */
+object AlignerPipe {
+
+  /** Align `reads` against `contigs` = `(id, seq)` with an external
+    * aligner command (whitespace-split; `{ref}` -> shipped contig FASTA).
+    * Returns parsed mapped SAM rows `(contig, pos, cigar, seq)`. */
+  def alignReads(contigs: DataFrame, reads: Dataset[String],
+                 cmdTemplate: Seq[String]): DataFrame = {
+    val spark = contigs.sparkSession
+    import spark.implicits._
+    val name = s"graft_ref_${System.nanoTime}.fa"
+    val refFa = java.nio.file.Files.createTempDirectory("graft_ref").resolve(name)
+    val sb = new StringBuilder
+    contigs.select(col("id").cast("string"), col("seq").cast("string"))
+      .as[(String, String)].collect()
+      .foreach { case (id, sq) =>
+        sb.append('>').append(id).append('\n').append(sq).append('\n')
+      }
+    java.nio.file.Files.write(refFa, sb.toString.getBytes("UTF-8"))
+    spark.sparkContext.addFile(refFa.toString)
+    val fq = Fastq.toFastqLines(reads.toDF("read")).as[String]
+    val sam = PipeOps.pipePartitionsLazy(fq,
+      () => cmdTemplate.map(_.replace("{ref}", SparkFiles.get(name))))
+    sam.filter(l => l.nonEmpty && !l.startsWith("@"))
+      .map { l => val f = l.split("\t"); (f(2), f(3).toInt, f(5), f(9)) }
+      .toDF("contig", "pos", "cigar", "seq")
+      .filter(col("contig") =!= "*" && col("cigar") =!= "*")
+  }
+}

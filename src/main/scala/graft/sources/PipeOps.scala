@@ -27,9 +27,17 @@ object PipeOps {
     * pipe buffer. After stdout drains the subprocess is reaped and a
     * non-zero exit (or a writer-side IO error) fails the task — silent
     * truncation must never masquerade as success. */
-  def pipePartitions(ds: Dataset[String], cmd: Seq[String]): Dataset[String] = {
+  def pipePartitions(ds: Dataset[String], cmd: Seq[String]): Dataset[String] =
+    pipePartitionsLazy(ds, () => cmd)
+
+  /** As [[pipePartitions]], but the command line is assembled ON THE
+    * EXECUTOR at partition start — for arguments that resolve
+    * per-machine, e.g. a `SparkFiles`-shipped reference index path
+    * ([[AlignerPipe]]). */
+  def pipePartitionsLazy(ds: Dataset[String], cmdF: () => Seq[String]): Dataset[String] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it0 =>
+      val cmd = cmdF()
       val it = it0.buffered
       if (!it.hasNext) Iterator.empty
       else {
