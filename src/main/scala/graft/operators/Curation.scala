@@ -36,11 +36,15 @@ object Curation {
 
   private val stopwords = Seq("the", "a", "of", "and", "in", "to")
 
-  /** Flags per doc in `docs`; `test` is the held-out benchmark corpus. */
+  /** Flags per doc in `docs`; `test` is the held-out benchmark corpus.
+    * `semCentroidSet`: explicit `(cid, cv)` centroids for the semantic
+    * stage (deterministic / oracle-checkable); default trains
+    * [[KMeans.lloyd]] on the corpus vectors. */
   def curate(docs: DataFrame, test: DataFrame,
              embeddings: Option[DataFrame] = None,
              semCentroids: Int = 32,
-             semThreshold: Double = 0.999): DataFrame = {
+             semThreshold: Double = 0.999,
+             semCentroidSet: Option[DataFrame] = None): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val ws = split(col("text"), " ")
 
@@ -84,8 +88,14 @@ object Curation {
     val sem = embeddings match {
       case None => base.select(col("doc_id"), lit(1).as("sem_keep"))
       case Some(emb) =>
+        // ONLY corpus vectors participate: a held-out doc's embedding must
+        // neither train the centroids nor drop a corpus doc that happens
+        // to share its vector (the test split is evaluation data, not a
+        // dedup peer) — hence the semi-join before lloyd/semDedup
         val vs = emb.select(col("doc_id").as("vec_id"), col("v"))
-        val cents = KMeans.lloyd(vs, semCentroids, iters = 2)
+          .join(base.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val cents = semCentroidSet.getOrElse(
+          KMeans.lloyd(vs, semCentroids, iters = 2))
           .select(col("cid"), col("cv"))
         val kept = Similarity.semDedup(vs, cents, semThreshold)
           .select(col("vec_id").as("doc_id")).withColumn("sk", lit(1))
@@ -114,13 +124,63 @@ object Curation {
       val doc = documents(s, d)
       curate(doc.filter(col("doc_id") % 100 =!= 0),
         doc.filter(col("doc_id") % 100 === 0))
+    }),
+
+    // -- the same pipeline with the SEMANTIC stage live -------------------
+    // deterministic embedding branch: doc i carries the embedding of
+    // vec_id = i div 2, so even/odd doc pairs are exact semantic dups and
+    // the odd one must get sem_keep = 0. Pairs whose even member is a
+    // TEST doc (0/1, 100/101, ...) prove the corpus-only rule: the
+    // held-out vector must NOT drop its train twin, so doc 1 stays kept —
+    // an implementation that lets test embeddings into the dedup fails
+    // this oracle. Centroids are the fixed train-side seed set (cid < 32),
+    // the same deterministic convention as s5/s7.
+    "c2_curate_sem" -> ((s, d) => {
+      val doc = documents(s, d)
+      val e = embeddings(s, d)
+      val emb = e.select(col("vec_id").as("doc_id"), expr("vec_id div 2").as("src"))
+        .join(e.select(col("vec_id").as("src"), col("embedding")), "src")
+        .select(col("doc_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cents = emb
+        .filter(col("doc_id") < 32 && col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("cid"), col("v").as("cv"))
+      curate(doc.filter(col("doc_id") % 100 =!= 0),
+        doc.filter(col("doc_id") % 100 === 0),
+        embeddings = Some(emb), semCentroidSet = Some(cents))
     })
   )
 
   // Oracle: same four verdicts assembled from the d2/d3/d7/t2/t10 oracle
-  // fragments, over the unaugmented train split.
-  def oracles: Map[String, String] = Map(
-    "c1_curate" -> {
+  // fragments, over the unaugmented train split; `sem = true` appends the
+  // s7 semantic-dedup fragment (fixed seed centroids, corpus vectors only)
+  // and folds sem_keep into keep.
+  private def curateOracle(sem: Boolean): String = {
+      val semCtes = if (!sem) "" else
+        """embt AS (SELECT d.vec_id AS doc_id, s.embedding::DOUBLE[] AS v
+          |         FROM embeddings d
+          |         JOIN embeddings s ON s.vec_id = d.vec_id // 2
+          |         JOIN train t ON t.doc_id = d.vec_id),
+          |en AS (SELECT doc_id, v, list_dot_product(v, v) AS n2 FROM embt),
+          |ecents AS (SELECT doc_id AS cid, v AS cv, n2 AS cn2 FROM en
+          |           WHERE doc_id < 32),
+          |eassigned AS (
+          |  SELECT doc_id, v, n2, cid AS cell FROM (
+          |    SELECT en.doc_id, en.v, en.n2, c.cid,
+          |      ROW_NUMBER() OVER (PARTITION BY en.doc_id
+          |        ORDER BY list_dot_product(en.v, c.cv) / sqrt(en.n2 * c.cn2) DESC, c.cid) AS arn
+          |    FROM en CROSS JOIN ecents c) WHERE arn = 1),
+          |edropped AS (
+          |  SELECT DISTINCT b.doc_id AS b
+          |  FROM eassigned a JOIN eassigned b ON a.cell = b.cell AND a.doc_id < b.doc_id
+          |  WHERE list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) >= 0.999),
+          |semk AS (SELECT doc_id,
+          |           CASE WHEN doc_id IN (SELECT b FROM edropped) THEN 0 ELSE 1 END AS sk
+          |         FROM embt)""".stripMargin
+      val semExpr =
+        if (sem) "CASE WHEN semk.doc_id IS NULL THEN 1 ELSE semk.sk END"
+        else "1"
+      val semJoin = if (sem) "\nLEFT JOIN semk ON semk.doc_id = t.doc_id" else ""
       val sw = stopwords.map(w => s"'$w'").mkString(", ")
       """WITH RECURSIVE
         |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
@@ -171,19 +231,24 @@ object Curation {
           |            SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
           |            FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
           |                  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train)))
-          |          JOIN tsh USING (g))
-          |SELECT t.doc_id, ex.exact_keep,
+          |          JOIN tsh USING (g))""".stripMargin +
+        (if (sem) ",\n" + semCtes else "") + "\n" +
+        s"""SELECT t.doc_id, ex.exact_keep,
           |  COALESCE(clu.ndk, 1) AS nd_keep,
           |  qual.quality_ok,
           |  CASE WHEN dirty.doc_id IS NULL THEN 1 ELSE 0 END AS clean,
-          |  1 AS sem_keep,
+          |  $semExpr AS sem_keep,
           |  ex.exact_keep * COALESCE(clu.ndk, 1) * qual.quality_ok *
-          |    (CASE WHEN dirty.doc_id IS NULL THEN 1 ELSE 0 END) AS keep
+          |    (CASE WHEN dirty.doc_id IS NULL THEN 1 ELSE 0 END) * ($semExpr) AS keep
           |FROM train t
           |JOIN ex ON ex.doc_id = t.doc_id
           |LEFT JOIN clu ON clu.doc_id = t.doc_id
           |JOIN qual ON qual.doc_id = t.doc_id
-          |LEFT JOIN dirty ON dirty.doc_id = t.doc_id""".stripMargin
-    }
+          |LEFT JOIN dirty ON dirty.doc_id = t.doc_id$semJoin""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "c1_curate" -> curateOracle(sem = false),
+    "c2_curate_sem" -> curateOracle(sem = true)
   )
 }
