@@ -39,21 +39,48 @@ object ScaleReplay {
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
     enlarged.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    // embeddings scale too (for the s-family): copies get a deterministic
-    // first-dimension nudge so they are distinct vectors, not near-dups
+    // embeddings scale too (for the s-family): copy i is the CYCLIC
+    // ROTATION of the original by i dimensions — norm-preserving, and the
+    // cosine between a random vector and its rotation is near 0, so copies
+    // are genuinely distinct directions, not semantic near-dups (the old
+    // 0.001*i first-dim nudge left cosine ~1-5e-7, far above s7's 0.999
+    // threshold, so s7 silently dropped every scaled copy and skewed the
+    // s-family evidence)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
     (0 until factor).map { i =>
       emb.select(
         (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
         (if (i == 0) col("embedding")
          else transform(col("embedding"),
-           (x, j) => when(j === 0, x + lit(0.001f * i)).otherwise(x))).as("embedding"),
+           (_, j) => element_at(col("embedding"),
+             ((j + lit(i)) % dims) + 1))).as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the relational/event fact tables scale with key offsets that
+    // replicate the join structure per copy (q17/q18/q22/q23, e-family):
+    // per-order and per-customer relationships repeat in each copy, while
+    // DIMENSION keys (l_suppkey, l_partkey) stay shared — dims grow slower
+    // than facts in real warehouses, and keeping them shared preserves the
+    // hot-key skew q18's salted join exists for.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def enlarge(t: String, offsets: Map[String, Long]): Unit =
+      (0 until factor).map { i =>
+        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        df.select(df.columns.map { c =>
+          offsets.get(c) match {
+            case Some(off) => (col(c) + lit(i * off)).as(c)
+            case None      => col(c)
+          }
+        }: _*)
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    enlarge("lineitem", Map("l_orderkey" -> 1000000000L))
+    enlarge("orders", Map("o_orderkey" -> 1000000000L, "o_custkey" -> 100000000L))
+    enlarge("customer", Map("c_custkey" -> 100000000L))
+    enlarge("events", Map("event_id" -> 1000000000L, "user_id" -> 100000000L))
+    Seq("region", "nation", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
