@@ -18,84 +18,150 @@ import graft.Tables._
   *     is `solid` when its count >= `minSolid` (errors are singletons at
   *     any real coverage; correct k-mers are re-sampled by overlapping
   *     reads).
-  *  2. CANDIDATES: for every position p and base b, the single-substitution
-  *     candidate read. Scoring only needs the <=k k-mers COVERING p —
-  *     k-mers not touching p are identical for every candidate of a read,
-  *     so ranking by covering-solid-count difference (`delta` vs the
-  *     original base at p) equals ranking by whole-read solid count at a
-  *     fraction of the join volume (k vs read-length k-mers per candidate).
-  *  3. SELECT: the best strict improvement (delta > 0) wins, deterministic
+  *  2. SUSPECTS: score the ORIGINAL read's k-mers once (one anti-join —
+  *     L-k+1 rows per read) and keep only the starts of non-solid k-mers.
+  *     A substitution at p can only strictly improve the covering solid
+  *     count when some k-mer covering p is non-solid, so positions whose
+  *     covering window is fully solid are pruned BEFORE any candidate is
+  *     generated — at realistic error rates that is almost every position
+  *     of almost every read. The baseline score `oc` at a surviving p
+  *     needs no join at all: it is `#covering(p) - #non-solid covering p`,
+  *     both computable from the non-solid start list.
+  *  3. CANDIDATES: the 3 alternate bases at each suspect position; only
+  *     the <=k ALTERED k-mers covering p hit the solid join (k-mers not
+  *     touching p are identical for every candidate of a read, so ranking
+  *     by covering-solid-count difference `delta = c - oc` equals ranking
+  *     by whole-read solid count at a fraction of the join volume).
+  *  4. SELECT: the best strict improvement (delta > 0) wins, deterministic
   *     tie-break (position asc, base asc); otherwise the read is untouched.
-  *     One `row_number` window PARTITIONED BY read_id — bounded at 3·L+1
-  *     rows per partition regardless of corpus size.
+  *     The `row_number` window PARTITIONED BY read_id only ever sees
+  *     delta > 0 rows — bounded at 3·L rows per partition regardless of
+  *     corpus size, and empty for clean reads. Pruning is exact, not
+  *     heuristic: delta > 0 forces c > oc, i.e. a non-solid covering
+  *     k-mer, i.e. a suspect position — so the argmax over suspect
+  *     candidates equals the argmax over all 3·L candidates whenever a
+  *     strict improvement exists, and the output is bit-identical to the
+  *     unpruned form (the DuckDB oracle computes the unpruned form).
   *
   * Everything is string-domain `least(s, revcomp(s))` canonicalization —
   * identical semantics in DuckDB (`least`/`reverse`/`translate`), which is
-  * what makes the p1 oracle exact; it also works for any k (no 31-base
-  * packing limit). All joins are equality joins on the k-mer string; the
-  * candidate explosion is linear in read length — no all-pairs anywhere.
+  * what makes the p1 oracle exact; for k <= 31 the join KEYS are the 2-bit
+  * packed longs of those canonical strings (injective, so set membership
+  * is unchanged — see [[kmKey]]) and plain strings beyond. All joins are
+  * equality joins on the k-mer key; the candidate explosion is linear in
+  * read length — no all-pairs anywhere.
   */
 object ErrorCorrect {
 
   private def rc(c: Column): Column = reverse(translate(c, "ACGT", "TGCA"))
   private def canon(c: Column): Column = least(c, rc(c))
 
-  /** All canonical k-mers of `c` (empty when the sequence is shorter than
-    * k — Spark's `sequence(a, b)` would otherwise DESCEND for b < a). */
-  private def kmersOf(c: Column, k: Int): Column =
-    when(length(c) >= k,
-      transform(sequence(lit(1), length(c) - k + 1), i => canon(c.substr(i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+  // K-mer iteration is explode(sequence(1, L-k+1)) + a per-row
+  // canon(substr(...)) — NOT transform(sequence(...), i => canon(...)):
+  // higher-order array functions are CodegenFallback in Spark, and with
+  // projection collapse the interpreted lambda re-evaluates its whole
+  // input expression (e.g. the candidate-read concat) once per element —
+  // measured 22 s of the original 24 s at sf0.1 in exactly that stage.
+  // The explode+substr form stays inside whole-stage codegen. Reads
+  // shorter than k are filtered before the sequence (Spark's sequence
+  // DESCENDS for b < a).
 
-  /** Canonical k-mers of `c` covering position `p` (1-based). */
-  private def covering(c: Column, p: Column, k: Int): Column =
-    when(length(c) >= k,
-      transform(
-        sequence(greatest(lit(1), p - (k - 1)), least(p, length(c) - k + 1)),
-        i => canon(c.substr(i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+  /** Join key for a canonical k-mer string column named `n`: the 2-bit
+    * packed Long (codegen'd `kmer_pack`, injective for k <= 31) so the
+    * spectrum joins shuffle 8-byte longs, not k-char strings; plain string
+    * passthrough for k > 31. Canonicalization happens in the STRING domain
+    * on both sides before packing, so the packed solid SET is exactly the
+    * packed image of the string solid set — scores are unchanged. */
+  private def kmKey(n: String, k: Int): Column =
+    if (k <= 31) expr(s"kmer_pack($n)") else col(n)
 
-  /** The solid-k-mer spectrum of a read set: `(skm)` canonical k-mers with
-    * count >= `minSolid`. */
-  def solidSpectrum(reads: DataFrame, k: Int, minSolid: Long): DataFrame =
-    reads.select(explode(kmersOf(col("read"), k)).as("skm"))
-      .groupBy("skm").agg(count(lit(1)).as("sc"))
+  /** The solid-k-mer spectrum of a read set: `(skv)` keyed canonical
+    * k-mers (see [[kmKey]]) with count >= `minSolid`. */
+  def solidSpectrum(reads: DataFrame, k: Int, minSolid: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(reads.sparkSession)
+    reads.filter(length(col("read")) >= k)
+      .select(col("read"),
+        explode(sequence(lit(1), length(col("read")) - (k - 1))).as("i"))
+      .select(canon(col("read").substr(col("i"), lit(k))).as("km"))
+      .select(kmKey("km", k).as("skv"))
+      .groupBy("skv").agg(count(lit(1)).as("sc"))
       .filter(col("sc") >= minSolid)
-      .select("skm")
+      .select("skv")
+  }
 
   /** Correct `reads` = `(read_id, read)` against their own spectrum.
     * Returns `(read_id, corrected, changed)` — `changed` 1 iff a
     * substitution strictly improved the solid covering-k-mer count. */
   def correctReads(reads: DataFrame, k: Int, minSolid: Long = 2L): DataFrame = {
-    val solid = solidSpectrum(reads, k, minSolid)
-    // per (read, position): the 4 single-base variants (the original base's
-    // row doubles as the baseline score at that position)
-    val cand = reads
+    // two consumers (original-read anti-join + candidate scoring) — one
+    // distributed materialization instead of two spectrum aggregations
+    val solid = solidSpectrum(reads, k, minSolid).localCheckpoint()
+    // the starts (1-based) of the original read's NON-solid k-mers; reads
+    // whose every k-mer is solid vanish here and take the untouched
+    // shortcut through the final left join
+    val badStarts = reads
+      .filter(length(col("read")) >= k)
       .select(col("read_id"), col("read"),
-        explode(sequence(lit(1), length(col("read")))).as("p"))
-      .select(col("read_id"), col("read"), col("p"),
+        explode(sequence(lit(1), length(col("read")) - (k - 1))).as("i"))
+      .withColumn("km", canon(col("read").substr(col("i"), lit(k))))
+      .join(solid, kmKey("km", k) === col("skv"), "left_anti")
+      .groupBy("read_id", "read")
+      .agg(collect_list(col("i")).as("bad"))
+    // AQE sizes post-shuffle partitions by SHUFFLE bytes, but the
+    // ~100x suspect->candidate->covering-k-mer fan-out happens AFTER this
+    // exchange — left to the coalescer, the few-MB badStarts shuffle
+    // lands on one partition and the whole candidate pipeline serializes
+    // onto one task (measured: 15 s of p1's 18 s in a single-task stage).
+    // Pin the fan-out width to the session's shuffle parallelism.
+    val fanout = reads.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200") match {
+        case "auto" => 200
+        case n => n.toInt
+      }
+    // suspect positions = union of the bad k-mers' spans; oc (the original
+    // base's covering solid count) is pure arithmetic on the bad list.
+    // The spread key is (read_id, p) — deliberately FINER than any
+    // upstream partitioning (a plain read_id repartition here is elided
+    // as partitioning-equivalent when the caller's reads already arrive
+    // hash-partitioned by read_id, resurrecting the single-task stage).
+    val suspects = badStarts
+      .select(col("read_id"), col("read"), col("bad"),
+        explode(array_distinct(flatten(transform(col("bad"),
+          i => sequence(i, least(i + (k - 1), length(col("read")))))))).as("p"))
+      .withColumn("lo", greatest(lit(1), col("p") - (k - 1)))
+      .withColumn("hi", least(col("p"), length(col("read")) - (k - 1)))
+      .withColumn("oc", col("hi") - col("lo") + 1 -
+        size(filter(col("bad"), i => i.between(col("lo"), col("hi")))))
+    // 3 alternate bases per suspect position; only the ALTERED covering
+    // k-mers need the solid lookup
+    val alt = suspects
+      .repartition(fanout, col("read_id"), col("p"))
+      .select(col("read_id"), col("read"), col("p"), col("oc"),
         explode(array(lit("A"), lit("C"), lit("G"), lit("T"))).as("b"))
+      .filter(col("b") =!= col("read").substr(col("p"), lit(1)))
       .withColumn("cand", concat(
         col("read").substr(lit(1), col("p") - 1), col("b"),
         col("read").substr(col("p") + 1, length(col("read")) - col("p"))))
-    // solid count over the k-mers covering p only
-    val sc = cand
-      .select(col("read_id"), col("read"), col("p"), col("b"), col("cand"),
-        explode(covering(col("cand"), col("p"), k)).as("km"))
-      .join(solid, col("km") === col("skm"), "left")
-      .groupBy("read_id", "read", "p", "b", "cand")
-      .agg(sum(when(col("skm").isNotNull, 1).otherwise(0)).as("c"))
-    val base = sc.filter(col("b") === col("read").substr(col("p"), lit(1)))
-      .select(col("read_id").as("rid2"), col("p").as("p2"), col("c").as("oc"))
-    val alt = sc.filter(col("b") =!= col("read").substr(col("p"), lit(1)))
-      .join(base, col("read_id") === col("rid2") && col("p") === col("p2"))
+    val sc = alt
+      .select(col("read_id"), col("p"), col("b"), col("oc"), col("cand"),
+        explode(sequence(greatest(lit(1), col("p") - (k - 1)),
+          least(col("p"), length(col("cand")) - (k - 1)))).as("i"))
+      .withColumn("km", canon(col("cand").substr(col("i"), lit(k))))
+      .join(solid, kmKey("km", k) === col("skv"), "left")
+      .groupBy("read_id", "p", "b", "oc")
+      .agg(sum(when(col("skv").isNotNull, 1).otherwise(0)).as("c"))
       .withColumn("delta", col("c") - col("oc"))
     val w = Window.partitionBy("read_id").orderBy(col("delta").desc, col("p"), col("b"))
-    alt.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val winner = sc.filter(col("delta") > 0)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("read_id").as("wid"), col("p"), col("b"))
+    reads.join(winner, col("read_id") === col("wid"), "left")
       .select(col("read_id"),
-        when(col("delta") > 0, col("cand")).otherwise(col("read")).as("corrected"),
-        when(col("delta") > 0, 1).otherwise(0).as("changed"))
+        when(col("wid").isNotNull, concat(
+          col("read").substr(lit(1), col("p") - 1), col("b"),
+          col("read").substr(col("p") + 1, length(col("read")) - col("p"))))
+          .otherwise(col("read")).as("corrected"),
+        when(col("wid").isNotNull, 1).otherwise(0).as("changed"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -124,7 +190,16 @@ object ErrorCorrect {
               col("tr").substr(lit(17), lit(16))))
             .otherwise(col("tr")))
         .withColumn("read_id", col("doc_id") * 16 + col("rid"))
-      val corr = correctReads(reads.select("read_id", "read"), 21, 2L)
+      // the sf parquet is one split — spread the spectrum/candidate map
+      // work across the session's parallelism (real FASTQ input arrives
+      // pre-split; this mirrors that). By-NUM, not by-col: AQE coalesces
+      // a by-col exchange to 1 partition on these few shuffle MB, blind
+      // to the 100x k-mer fan-out downstream of it.
+      val n = s.conf.get("spark.sql.shuffle.partitions", "32") match {
+        case "auto" => 32; case v => v.toInt
+      }
+      val corr = correctReads(
+        reads.select("read_id", "read").repartition(n, col("read_id")), 21, 2L)
       reads.join(corr, "read_id")
         .select(col("doc_id"), col("rid"), col("read"), col("corrected"),
           col("changed"),
