@@ -155,6 +155,33 @@ object Events {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_in_week"),
           countDistinct(col("event_id")).as("n_distinct"))
+    }),
+
+    // -- e10: ordered conversion funnel (view -> click -> purchase) -------
+    // per user: first view, first click strictly AFTER that view, first
+    // purchase strictly after that click — the sequential-pattern query
+    // product analytics runs constantly and SQL has no native operator
+    // for. Three stage-filtered min-aggregations chained by user_id
+    // equi-joins: each stage's input is the type-filtered slice (a
+    // fraction of the stream) and every join/agg shares the user_id
+    // shuffle key, so the stages co-partition and the funnel tables only
+    // shrink. No window over the full stream, no per-user event sort.
+    "e10_funnel" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tus").as("v_us"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("tus") > col("v_us"))
+        .groupBy("user_id").agg(min("tus").as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("tus") > col("c_us"))
+        .groupBy("user_id").agg(min("tus").as("p_us"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("v_us"), col("c_us"), col("p_us"),
+          (lit(1) + when(col("c_us").isNotNull, 1).otherwise(0) +
+            when(col("p_us").isNotNull, 1).otherwise(0)).as("stage"))
     })
   )
 
@@ -257,6 +284,21 @@ object Events {
         |       COUNT(DISTINCT e.event_id) AS n_distinct
         |FROM ev e JOIN iv i ON e.user_id = i.user_id
         |WHERE e.tus >= i.lo AND e.tus <= i.hi
-        |GROUP BY e.user_id""".stripMargin
+        |GROUP BY e.user_id""".stripMargin,
+    "e10_funnel" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+        |v AS (SELECT user_id, MIN(tus) AS v_us FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT ev.user_id, MIN(tus) AS c_us FROM ev
+        |      JOIN v ON ev.user_id = v.user_id
+        |      WHERE event_type = 'click' AND tus > v_us GROUP BY ev.user_id),
+        |p AS (SELECT ev.user_id, MIN(tus) AS p_us FROM ev
+        |      JOIN c ON ev.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND tus > c_us GROUP BY ev.user_id)
+        |SELECT v.user_id, v.v_us, c.c_us, p.p_us,
+        |  1 + CASE WHEN c.c_us IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN p.p_us IS NULL THEN 0 ELSE 1 END AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
   )
 }

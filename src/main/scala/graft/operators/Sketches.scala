@@ -134,6 +134,27 @@ object Sketches {
         (leadingZeroBits(substring(md5(col("tok").cast("binary")), 3, 8)) + 1)
           .as("rho"))
         .groupBy("source", "bucket").agg(max(col("rho")).cast("long").as("r"))
+    }),
+
+    // -- hashed linear classifier scoring ----------------------------------
+    // the INFERENCE half of the x3 hashing-trick vectorizer: score every
+    // document under a fixed linear model over the 256 hashed feature
+    // buckets (the fasttext-style quality filter a curation pipeline runs
+    // over the whole corpus). The "trained" weight vector is a
+    // deterministic function of the bucket id (both engines derive it
+    // with ascii() arithmetic — no weight table to ship at all; a real
+    // model would broadcast its 256 ints). Integer weights and an integer
+    // score keep the oracle bit-exact; the one scan aggregates map-side
+    // with no join and no shuffle beyond the per-doc combine — scoring at
+    // 100 TB is embarrassingly parallel.
+    "x6_linear_score" -> ((s, d) => {
+      val b = substring(md5(col("tok").cast("binary")), 1, 2)
+      val w = (ascii(substring(b, 1, 1)) * 7 + ascii(substring(b, 2, 1))) % 41 - 20
+      documents(s, d).select(col("doc_id"), explode(ws).as("tok"))
+        .select(col("doc_id"), w.as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("score"))
+        .withColumn("keep", when(col("score") > 0, 1).otherwise(0))
     })
   )
 
@@ -219,6 +240,17 @@ object Sketches {
         |                    ELSE 0 END
         |        END + 1 AS rho
         |      FROM z)
-        |SELECT bucket, CAST(MAX(rho) AS BIGINT) AS r FROM r GROUP BY bucket""".stripMargin
+        |SELECT bucket, CAST(MAX(rho) AS BIGINT) AS r FROM r GROUP BY bucket""".stripMargin,
+    "x6_linear_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |wtok AS (SELECT doc_id,
+        |    (ascii(substring(md5(tok), 1, 1)) * 7 +
+        |     ascii(substring(md5(tok), 2, 1))) % 41 - 20 AS w
+        |  FROM tok),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(w) AS BIGINT) AS score
+        |       FROM wtok GROUP BY doc_id)
+        |SELECT doc_id, n_tok, score,
+        |  CASE WHEN score > 0 THEN 1 ELSE 0 END AS keep
+        |FROM sc""".stripMargin
   )
 }
