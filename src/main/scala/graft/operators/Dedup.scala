@@ -281,6 +281,46 @@ object Dedup {
       val sim = (0 until 16).map(j =>
         when(col(s"s$j") > 0, 1 << j).otherwise(0)).reduce(_ + _)
       agg.select(col("doc_id"), sim.as("simhash"))
+    }),
+
+    // -- d11: banded SimHash near-dup pairing ------------------------------
+    // completes the SimHash path the way d3/d4 complete MinHash: a 60-bit
+    // signature (60 md5-parity bits — 60, not 64, so the sign bit never
+    // enters shift/xor arithmetic in either engine), banded into 4x15-bit
+    // keys. By pigeonhole, hamming <= 3 forces one identical band, so the
+    // candidate join is an EQUALITY join on (band, value) — never
+    // all-pairs — and the exact popcount(xor) verify touches candidates
+    // only. Like s2's sign-LSH, band width is the scale knob: 15 bits
+    // suits ~10^5 docs; at 10^9 grow the signature and band to keep
+    // random collisions ~n^2/2^width bounded (wider bands trade recall,
+    // recovered by repeating with rotated bit orders).
+    "d11_simhash_pairs" -> ((s, d) => {
+      val tok = corpus(s, d).select(col("doc_id"), explode(words).as("w"))
+        .withColumn("m", concat(md5(col("w").cast("binary")),
+          md5(concat(col("w"), lit("x")).cast("binary"))))
+      val bitSums = (0 until 60).map(j =>
+        sum(when(ascii(substring(col("m"), j + 1, 1)) % 2 === 1, 1)
+          .otherwise(-1)).as(s"s$j"))
+      val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val sim = (0 until 60).map(j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      val sig = agg.select(col("doc_id"), sim.as("sig"))
+      val bands = sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("bnd"),
+          shiftrightunsigned(col("sig"), 15 * b).bitwiseAND(lit(32767L))
+            .as("bv"))): _*)).as("e"))
+        .select(col("doc_id"), col("sig"), col("e.bnd").as("bnd"),
+          col("e.bv").as("bv"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bnd") === col("y.bnd") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sig").as("sa"), col("y.sig").as("sb"))
+        .distinct()
+      cand.withColumn("hamming",
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
     })
   )
 
@@ -452,6 +492,25 @@ object Dedup {
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          |agg AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
          |SELECT doc_id, $bits AS simhash FROM agg""".stripMargin
-    }
+    },
+    "d11_simhash_pairs" ->
+      s"""WITH $sqlCorpus,
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),
+         |m AS (SELECT doc_id, md5(w) || md5(w || 'x') AS m FROM tok),
+         |bits AS (SELECT doc_id, j,
+         |    SUM(CASE WHEN ascii(substring(m, j+1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS sj
+         |  FROM m, (SELECT unnest(generate_series(0, 59)) AS j) js
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN sj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM bits GROUP BY doc_id),
+         |bands AS (SELECT doc_id, sig, b, (sig >> (15*b)) & 32767 AS bv
+         |          FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |           x.sig AS sa, y.sig AS sb
+         |         FROM bands x JOIN bands y
+         |           ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
   )
 }

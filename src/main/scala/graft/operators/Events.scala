@@ -182,6 +182,25 @@ object Events {
         .select(col("user_id"), col("v_us"), col("c_us"), col("p_us"),
           (lit(1) + when(col("c_us").isNotNull, 1).otherwise(0) +
             when(col("p_us").isNotNull, 1).otherwise(0)).as("stage"))
+    }),
+
+    // -- e11: retention cohort matrix -------------------------------------
+    // users cohorted by first-activity week; cell (cohort, offset) counts
+    // distinct users active `offset` weeks after their cohort week. The
+    // (user, week) distinct happens FIRST (collapses the event stream to
+    // at most users x weeks rows), then one broadcast-sized cohort join
+    // and one matrix-sized aggregation — the event table is touched once,
+    // and nothing downstream of the distinct scales with event volume.
+    "e11_retention" -> ((s, d) => {
+      val week = 7L * 86400L * 1000000L
+      val uw = events(s, d)
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div ${week}L").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min("wk").as("cohort"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+        .agg(countDistinct(col("user_id")).as("users"))
     })
   )
 
@@ -299,6 +318,14 @@ object Events {
         |  1 + CASE WHEN c.c_us IS NULL THEN 0 ELSE 1 END
         |    + CASE WHEN p.p_us IS NULL THEN 0 ELSE 1 END AS stage
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
-        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "e11_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |cohort AS (SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY user_id)
+        |SELECT c.cohort, u.wk - c.cohort AS offset,
+        |  COUNT(DISTINCT u.user_id) AS users
+        |FROM uw u JOIN cohort c ON u.user_id = c.user_id
+        |GROUP BY c.cohort, u.wk - c.cohort""".stripMargin
   )
 }

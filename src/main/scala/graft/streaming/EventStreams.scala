@@ -102,6 +102,44 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("h")
   }
 
+  case class FunnelState(vUs: Long, cUs: Long, pUs: Long)
+  case class FunnelRow(userId: Long, vUs: Long, cUs: Long, pUs: Long, stage: Int)
+
+  /** Streaming analogue of e10: the per-user view->click->purchase stage
+    * machine as mapGroupsWithState (Update mode — each microbatch emits
+    * the user's current funnel row). State is three epoch-micro longs per
+    * user (-1 = stage not reached), so the store scales with the user
+    * space, not the stream. Events inside a microbatch are processed in
+    * event-time order; with in-order arrival across batches the fixpoint
+    * equals the batch e10 funnel (spec-proven on a replayed stream).
+    * Late cross-batch events are the usual streaming trade: an earlier
+    * view arriving after a click was consumed cannot retroactively move
+    * the click — the nightly batch e10 is the reconciler. */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[Event], state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.eventType)).foreach { e =>
+            val t = e.ts.getTime * 1000L // micros, matching e10's unix_micros
+            e.eventType match {
+              case "view" if st.vUs < 0 => st = st.copy(vUs = t)
+              case "click" if st.vUs >= 0 && st.cUs < 0 && t > st.vUs =>
+                st = st.copy(cUs = t)
+              case "purchase" if st.cUs >= 0 && st.pUs < 0 && t > st.cUs =>
+                st = st.copy(pUs = t)
+              case _ =>
+            }
+          }
+          state.update(st)
+          FunnelRow(uid, st.vUs, st.cUs, st.pUs,
+            (if (st.vUs >= 0) 1 else 0) + (if (st.cUs >= 0) 1 else 0) +
+              (if (st.pUs >= 0) 1 else 0))
+        })
+  }
+
   /** Running per-user aggregates via mapGroupsWithState (Update mode). */
   def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
     import events.sparkSession.implicits._

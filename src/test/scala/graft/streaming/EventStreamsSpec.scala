@@ -50,6 +50,53 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStream fixpoint equals the batch e10 funnel on a replayed stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // u1 full funnel; u2 view+click, purchase BEFORE the click (must not
+    // count); u3 click before any view (stalls at view); u4 view only
+    val evs = Seq(
+      Event(ts(0), 1L, "view", 0.0), Event(ts(5), 1L, "click", 0.0),
+      Event(ts(9), 1L, "purchase", 0.0),
+      Event(ts(1), 2L, "view", 0.0), Event(ts(2), 2L, "purchase", 0.0),
+      Event(ts(6), 2L, "click", 0.0),
+      Event(ts(3), 3L, "click", 0.0), Event(ts(4), 3L, "view", 0.0),
+      Event(ts(7), 4L, "view", 0.0))
+    val in = MemoryStream[Event]
+    val q = funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      val (b1, b2) = evs.sortBy(_.ts.getTime).splitAt(5)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val last = spark.table("funnel").as[FunnelRow].collect()
+        .groupBy(_.userId).map { case (u, rows) => u -> rows.maxBy(_.stage) }
+      // batch e10 on the same events (stage-filtered min-agg form)
+      val ev = evs.toDF("ts", "user_id", "event_type", "value")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.unix_micros($"ts")).as("v_us"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter(org.apache.spark.sql.functions.unix_micros($"ts") > $"v_us")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.unix_micros($"ts")).as("c_us"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter(org.apache.spark.sql.functions.unix_micros($"ts") > $"c_us")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.unix_micros($"ts")).as("p_us"))
+      val batch = v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .collect().map { r =>
+          val cu = if (r.isNullAt(2)) -1L else r.getLong(2)
+          val pu = if (r.isNullAt(3)) -1L else r.getLong(3)
+          r.getLong(0) -> FunnelRow(r.getLong(0), r.getLong(1), cu, pu,
+            1 + (if (cu >= 0) 1 else 0) + (if (pu >= 0) 1 else 0))
+        }.toMap
+      batch.foreach { case (u, row) => assert(last(u) == row, s"user $u") }
+      assert(last(1L).stage == 3 && last(2L).stage == 2 && last(4L).stage == 1)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each microbatch against the dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
