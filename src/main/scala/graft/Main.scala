@@ -52,7 +52,7 @@ object Main {
     "-sam", "-aligner", "-docs", "-testdocs", "-embeddings",
     "-outfile", "-kmer", "-klist", "-cover", "-maxcov", "-error",
     "-mincontig", "-maxiter", "-clipf", "-clipe", "-minlength", "-reads",
-    "-partition", "-partitionredu", "-overlap",
+    "-partition", "-partitionredu", "-overlap", "-rounds",
     "-bubble", "-gzip", "-single", "-inter", "-paired", "-exact-fastq", "-mercy",
     "-merge", "-scramble")
 
@@ -226,15 +226,29 @@ object Main {
         // corrects in-engine against the read set's own k-mer spectrum
         // ([[operators.ErrorCorrect]]) and re-fabricates FASTQ. `-cover`
         // doubles as the solid threshold (reference lighter default: auto).
-        val rdf = reads.toDF("read")
+        // `-rounds N` (default 2, lighter-like): each pass fixes at most
+        // one substitution per read, so N passes correct up to N errors —
+        // later passes see the previous pass's (partly corrected) spectrum
+        // and converge early when a pass changes nothing.
+        val rounds = opt(args, "-rounds", "2").toInt
+        var cur = reads.toDF("read")
           .withColumn("read_id", monotonically_increasing_id())
-        val corr = operators.ErrorCorrect
-          .correctReads(rdf.select("read_id", "read"), k, minCov.toLong)
-          .localCheckpoint()
-        val nChanged = corr.agg(sum(col("changed"))).as[Long].head()
-        Fastq.toFastqLines(corr.select(col("corrected").as("read")))
+          .select("read_id", "read").localCheckpoint()
+        var total = 0L
+        var r = 0
+        var continue = true
+        while (r < rounds && continue) {
+          val corr = operators.ErrorCorrect
+            .correctReads(cur, k, minCov.toLong).localCheckpoint()
+          val nChanged = corr.agg(sum(col("changed"))).as[Long].head()
+          total += nChanged
+          cur = corr.select(col("read_id"), col("corrected").as("read"))
+          r += 1
+          continue = nChanged > 0
+        }
+        Fastq.toFastqLines(cur.select(col("read").as("read")))
           .write.mode("overwrite").text(s"$out/Corrected")
-        println(s"[graft] preprocess: corrected $nChanged reads -> $out/Corrected")
+        println(s"[graft] preprocess: corrected $total base(s) over $r round(s) -> $out/Corrected")
       case "meta" =>
         val kList = opt(args, "-klist", "23,31,41,53,67,81,95")
           .split(",").map(_.trim.toInt).toSeq

@@ -72,6 +72,25 @@ class ErrorCorrectSpec extends AnyFunSuite {
     assert(out(0L) == ((read, 0)))
   }
 
+  test("two errors in one read need two passes (the preprocess -rounds loop)") {
+    val genome = randGenome(300, seed = 59)
+    val clean = cleanReads(genome, 80, 7)
+    val victim = clean.size / 2
+    // two substitutions 40 bases apart: no 21-mer covers both, so each
+    // pass sees one lone weak base per covering window and fixes the
+    // better-supported one; the second pass fixes the other
+    val corrupted = clean.updated(victim,
+      clean(victim).updated(20, flip(clean(victim)(20)))
+        .updated(60, flip(clean(victim)(60))))
+    val after1 = correct(corrupted, 21, 2L)
+    val once = corrupted.indices.map(i => after1(i.toLong)._1)
+    assert(once(victim) != clean(victim), "one pass cannot fix both errors")
+    val after2 = correct(once, 21, 2L)
+    after2.foreach { case (id, (corr, _)) =>
+      assert(corr == clean(id.toInt), s"read $id not restored after 2 passes")
+    }
+  }
+
   test("correction recovers the clean assembly from noisy reads") {
     val genome = randGenome(500, seed = 53)
     val clean = cleanReads(genome, 80, 5)
