@@ -38,6 +38,22 @@ object GenomicsIO {
           sum(col("n_chars")).as("total_chars"))
     }),
 
+    // -- JSONL sink -> source interchange ----------------------------------
+    // the third interchange format (line-delimited JSON — the lingua
+    // franca of web-scraped training corpora): typed write, schema-given
+    // read (schema inference would be a second full scan at 100 TB), same
+    // aggregation witness as f7 so any row/field corruption surfaces as a
+    // hash mismatch.
+    "f8_json_roundtrip" -> ((s, d) => {
+      val tmp = s"${ioDir(d)}/jsonl"
+      documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(tmp)
+        .filter(col("n_chars") > 0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
     // -- contigs -> FASTA file (wrapped) -> parsed back ---------------------
     "f2_fasta_roundtrip" -> ((s, d) => {
       val tmp = s"${ioDir(d)}/fasta"
@@ -88,6 +104,9 @@ object GenomicsIO {
   def oracles: Map[String, String] = Map(
     "f1_fastq_roundtrip" -> Genomics.oracles("g1_kmer_count"),
     "f7_orc_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE n_chars > 0 GROUP BY lang""".stripMargin,
+    "f8_json_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE n_chars > 0 GROUP BY lang""".stripMargin,
     "f2_fasta_roundtrip" ->

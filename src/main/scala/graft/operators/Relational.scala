@@ -219,6 +219,23 @@ object Relational {
           |GROUP BY o_orderpriority""".stripMargin)
     }),
 
+    // -- correlated LATERAL subquery (per-nation top-2 customers) ----------
+    // the SQL-standard form of "top-N per group" (Spark 4's LATERAL
+    // support); Catalyst rewrites the correlated limit into the same
+    // window-rank plan q7 declares directly — one shuffle on the
+    // correlation key, no per-nation scan. Deterministic: c_name is
+    // unique, so (acctbal DESC, c_name) fully orders ties.
+    "q24_lateral_topn" -> ((s, d) => {
+      nation(s, d).createOrReplaceTempView("nation_v")
+      customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT n.n_name, c.c_name, c.c_acctbal
+          |FROM nation_v n, LATERAL (
+          |  SELECT c_name, c_acctbal FROM customer_v
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c""".stripMargin)
+    }),
+
     // -- exact discrete percentiles (p25/p50/p95) per group ----------------
     // INTEGER-ONLY rank math (ceil(q*n) as (n*q100 + 99) div 100): no FP
     // interpolation, so both engines select the identical element —
@@ -424,6 +441,12 @@ object Relational {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 48)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q24_lateral_topn" ->
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c""".stripMargin,
     "q14_top_account" ->
       """SELECT n_name, c_custkey, c_name FROM (
         |  SELECT c_nationkey, c_custkey, c_name,
