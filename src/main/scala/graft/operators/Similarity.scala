@@ -212,6 +212,40 @@ object Similarity {
           (round(col("c"), 4) + lit(0.0)).as("score"))
     }),
 
+    // -- IVF with multi-probe (nprobe = 2) ---------------------------------
+    // the recall knob every IVF deployment turns: a query near a cell
+    // boundary misses neighbors assigned to the adjacent cell, so search
+    // its top-2 cells instead of 1 (~2x candidate cost, recall -> ~1 for
+    // boundary queries). Corpus assignment stays the s5 argmax partial
+    // agg; probe selection is a window over 32 broadcast centroid rows
+    // PER QUERY — and the query set is absolutely capped (as s1/s5), so
+    // that window is O(queries), constant in corpus size. Each corpus
+    // vector lives in exactly one cell, so the two probes can never
+    // produce a duplicate (query, neighbor) row.
+    "s9_ivf_multiprobe" -> ((s, d) => {
+      val all = vecs(s, d)
+      val cents = all.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      val assigned = assignCells(all, cents)
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qc").desc, col("cid"))
+      val probes = all.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+        .join(broadcast(cents), lit(true))
+        .withColumn("qc", dot(col("qv"), col("cv")) / sqrt(col("qn2") * col("cn2")))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 2)
+        .select(col("q_id"), col("qv"), col("qn2"), col("cid").as("cell"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+      probes.join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("c", dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id").as("neighbor"),
+          col("rnk").cast("long").as("rnk"),
+          (round(col("c"), 4) + lit(0.0)).as("score"))
+    }),
+
     // -- SemDedup: cluster-then-in-cluster pairwise semantic dedup ---------
     // corpus augmented with exact copies (vec_id + 10000) the pass must
     // drop; cells from the same fixed coarse quantizer as s5 (copies share
@@ -355,6 +389,31 @@ object Similarity {
         |sc AS (SELECT q.q_id, a.vec_id AS neighbor,
         |         list_dot_product(q.qv, a.v) / sqrt(q.qn2 * a.n2) AS c
         |       FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.q_id),
+        |r AS (SELECT q_id, neighbor, c,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor) AS rnk
+        |      FROM sc)
+        |SELECT q_id, neighbor, rnk, round(c, 4) + 0 AS score FROM r WHERE rnk <= 3""".stripMargin,
+    "s9_ivf_multiprobe" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+        |cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 32),
+        |assigned AS (
+        |  SELECT vec_id, v, n2, cid AS cell FROM (
+        |    SELECT n.vec_id, n.v, n.n2, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / sqrt(n.n2 * c.cn2) DESC, c.cid) AS arn
+        |    FROM n CROSS JOIN cents c) WHERE arn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n
+        |      WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |probes AS (
+        |  SELECT q_id, qv, qn2, cid AS cell FROM (
+        |    SELECT q.q_id, q.qv, q.qn2, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_dot_product(q.qv, c.cv) / sqrt(q.qn2 * c.cn2) DESC, c.cid) AS pr
+        |    FROM q CROSS JOIN cents c) WHERE pr <= 2),
+        |sc AS (SELECT p.q_id, a.vec_id AS neighbor,
+        |         list_dot_product(p.qv, a.v) / sqrt(p.qn2 * a.n2) AS c
+        |       FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.q_id),
         |r AS (SELECT q_id, neighbor, c,
         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor) AS rnk
         |      FROM sc)

@@ -123,6 +123,28 @@ object TextOps {
         .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
     }),
 
+    // -- deterministic train/val/test split --------------------------------
+    // the id-hash split every training pipeline runs: md5 bucket 0..255
+    // (two hex digits, pure ascii arithmetic in both engines) → ~5% test,
+    // ~5% val, 90% train. Hash-of-id, NOT random(): the assignment is
+    // reproducible across runs/engines and stable under corpus growth
+    // (new docs never move old ones between splits). Shuffle-free until
+    // the 3-row report aggregation.
+    "t23_split" -> ((s, d) => {
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      def hv(i: Int): Column = {
+        val a = ascii(substring(h, i, 1))
+        a - when(a >= 97, 87).otherwise(48)
+      }
+      val bucket = hv(1) * 16 + hv(2)
+      val part = when(bucket < 13, "test").when(bucket < 26, "val")
+        .otherwise("train")
+      documents(s, d)
+        .select(part.as("part"), size(split(col("text"), " ")).as("nt"))
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    }),
+
     // -- character trigram profile per language ----------------------------
     "t5_trigrams" -> ((s, d) =>
       documents(s, d)
@@ -469,6 +491,19 @@ object TextOps {
         |    ROW_NUMBER() OVER (PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) WHERE rk <= 5""".stripMargin,
+    "t23_split" ->
+      """WITH h AS (SELECT md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    len(string_split(text, ' ')) AS nt FROM documents),
+        |b AS (SELECT nt,
+        |    (ascii(substring(h,1,1)) -
+        |      CASE WHEN ascii(substring(h,1,1)) >= 97 THEN 87 ELSE 48 END) * 16 +
+        |    (ascii(substring(h,2,1)) -
+        |      CASE WHEN ascii(substring(h,2,1)) >= 97 THEN 87 ELSE 48 END) AS bucket
+        |  FROM h)
+        |SELECT CASE WHEN bucket < 13 THEN 'test' WHEN bucket < 26 THEN 'val'
+        |            ELSE 'train' END AS part,
+        |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1""".stripMargin,
     "t5_trigrams" ->
       """SELECT lang, substr(text, i, 3) AS g, COUNT(*) AS count
         |FROM (SELECT lang, text, unnest(generate_series(1, length(text) - 2)) AS i
