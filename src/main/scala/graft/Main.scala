@@ -101,8 +101,7 @@ object Main {
         System.err.println("[graft] WARNING: -mercy needs the read stream; ignored with a pre-counted -kmerc table")
       if (args.contains("-merge") && opt(args, "-fastq2", "").isEmpty)
         System.err.println("[graft] WARNING: -merge requires two-file paired input (-fastq2); ignored")
-      if (args.contains("-scramble") && kOpt > 31)
-        System.err.println("[graft] WARNING: -scramble is not implemented for k > 31 (wide-block regime); ignored")
+      // (-scramble is implemented in BOTH k regimes; no wide-k warning)
     }
     val fastq = opt(args, "-fastq", "/root/reference/example/*.fq.gz")
     val out = opt(args, "-outfile", "/root/repo/target/graft_cli_out")
@@ -200,7 +199,8 @@ object Main {
             .toDF("kb").groupBy("kb").count()
         AssemblerWide.assemble(counts.filter(col("count") <= maxCov), kk,
           minCov = minCov, maxIter = maxIter, minContig = minContig,
-          popBubbles = popBubbles, minError = minError)
+          popBubbles = popBubbles, minError = minError,
+          scramble = args.contains("-scramble"))
       }
     }
 

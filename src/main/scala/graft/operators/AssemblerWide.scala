@@ -48,15 +48,12 @@ object AssemblerWide {
     }
   }
 
-  /** P6 + J2 for block-encoded counts `(kb: Array[Long], count)`; see
-    * [[Assembler.resolveForks]] for the `popBubbles` / `minError`
-    * semantics. */
-  def forkFilteredEdges(counts: DataFrame, k: Int,
-                        popBubbles: Boolean = true,
-                        minError: Int = 0): DataFrame = {
+  /** RC-mirrored oriented edge table in the string domain:
+    * `(kmer, prefix, suffix, count)`. */
+  private def mirroredEdges(counts: DataFrame, k: Int): DataFrame = {
     val s = counts.sparkSession
     import s.implicits._
-    val edges = counts.as[(Array[Long], Long)]
+    counts.as[(Array[Long], Long)]
       .flatMap { case (kb, c) =>
         val rc = KmerCodec.rcBlocks(kb)
         val fwd = KmerCodec.decodeBlocks(kb)
@@ -65,7 +62,44 @@ object AssemblerWide {
       }
       .map { case (km, c) => (km, km.substring(0, k - 1), km.substring(1), c) }
       .toDF("kmer", "prefix", "suffix", "count")
-    Assembler.resolveForks(edges, popBubbles, minError)
+  }
+
+  /** P6 + J2 for block-encoded counts `(kb: Array[Long], count)`; see
+    * [[Assembler.resolveForks]] for the `popBubbles` / `minError`
+    * semantics. */
+  def forkFilteredEdges(counts: DataFrame, k: Int,
+                        popBubbles: Boolean = true,
+                        minError: Int = 0): DataFrame =
+    Assembler.resolveForks(mirroredEdges(counts, k), popBubbles, minError)
+
+  /** Wide-k `-scramble` seed (see [[Assembler.resolveForksUnitig]] for the
+    * repeat semantics): fragments whose barrier-touching endpoints are
+    * replaced by per-edge unique keys so contraction stops at repeat
+    * junctions, each incident unitig keeping the junction's k-1 bases.
+    * Block-domain salting: the salted key is the edge's own k-mer blocks
+    * with one extra flag long appended (0 = head, 1 = tail). Real endpoint
+    * keys are (k-1)-base arrays of `blocksFor(k-1)` longs; salted keys
+    * have `blocksFor(k) + 1` — strictly longer, so they can never collide
+    * with a real key, and the k-mer content makes them unique per oriented
+    * edge (the sign-bit trick of the narrow path has no block analogue:
+    * bit 63 carries base data here). */
+  private def scrambleSeed(counts: DataFrame, k: Int,
+                           minError: Int): Dataset[FragW] = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val (edges, barriers) =
+      Assembler.resolveForksUnitig(mirroredEdges(counts, k), minError)
+    edges
+      .join(barriers.select(col("gk").as("bp")), col("prefix") === col("bp"), "left")
+      .join(barriers.select(col("gk").as("bs")), col("suffix") === col("bs"), "left")
+      .select(col("kmer"), col("bp").isNotNull.as("sh"), col("bs").isNotNull.as("st"))
+      .as[(String, Boolean, Boolean)]
+      .map { case (km, sh, st) =>
+        val blocks = KmerCodec.encodeBlocks(km)
+        val head = if (sh) blocks :+ 0L else KmerCodec.sliceBlocks(blocks, 0, k - 1)
+        val tail = if (st) blocks :+ 1L else KmerCodec.sliceBlocks(blocks, 1, k)
+        FragW(head, tail, blocks)
+      }
   }
 
   private[operators] def mergeRound(frags: Dataset[FragW], k: Int, iter: Int): Dataset[FragW] = {
@@ -101,22 +135,25 @@ object AssemblerWide {
                popBubbles: Boolean = true,
                localThreshold: Long = 2000000L,
                localMaxBases: Long = 500000000L,
-               minError: Int = 0): Dataset[String] = {
+               minError: Int = 0,
+               scramble: Boolean = false): Dataset[String] = {
     val s = counts.sparkSession
     import s.implicits._
     val runner = ckptDir.map(new StageRunner(s, _))
     val resumeIter = runner.toSeq.flatMap(_.completed("frags_i"))
       .map(_.stripPrefix("frags_i").toInt).maxOption
-    def seed(): Dataset[FragW] = {
-      val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k,
-        popBubbles, minError)
-      edges.select("kmer").as[String]
-        .map { km =>
-          val blocks = KmerCodec.encodeBlocks(km)
-          FragW(KmerCodec.sliceBlocks(blocks, 0, k - 1),
-            KmerCodec.sliceBlocks(blocks, 1, k), blocks)
-        }
-    }
+    def seed(): Dataset[FragW] =
+      if (scramble) scrambleSeed(counts.filter(col("count") >= minCov), k, minError)
+      else {
+        val edges = forkFilteredEdges(counts.filter(col("count") >= minCov), k,
+          popBubbles, minError)
+        edges.select("kmer").as[String]
+          .map { km =>
+            val blocks = KmerCodec.encodeBlocks(km)
+            FragW(KmerCodec.sliceBlocks(blocks, 0, k - 1),
+              KmerCodec.sliceBlocks(blocks, 1, k), blocks)
+          }
+      }
     def durable(name: String, ds: => Dataset[FragW]): Dataset[FragW] =
       runner.get.stage(name)(ds.toDF()).as[FragW]
     var frags: Dataset[FragW] = (runner, resumeIter) match {

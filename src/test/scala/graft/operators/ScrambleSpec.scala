@@ -89,6 +89,43 @@ class ScrambleSpec extends AnyFunSuite {
     assert(d == s)
   }
 
+  private def assembleWide(rds: Seq[String], k: Int, scramble: Boolean,
+                           minError: Int): Seq[String] = {
+    import spark.implicits._
+    val counts = rds.toDS()
+      .flatMap(r => graft.core.KmerIter.canonicalBlocks(r, k))
+      .toDF("kb").groupBy("kb").count()
+    AssemblerWide.assemble(counts, k, minCov = 1, maxIter = 60,
+      minError = minError, scramble = scramble).collect().toSeq
+  }
+
+  test("wide-k (k=40) 2-copy repeat: scramble emits the 4-unitig overlap set") {
+    val k = 40
+    val (a, b, c) = flanks()
+    val rep = randGenome(70, seed = 73)
+    val genome = a + rep + b + rep + c
+    val contigs = assembleWide(reads(genome, 90, 5), k,
+      scramble = true, minError = 2)
+    val expected = Set(
+      canonStr(a + rep.take(k - 1)),
+      canonStr(rep),
+      canonStr(rep.takeRight(k - 1) + b + rep.take(k - 1)),
+      canonStr(rep.takeRight(k - 1) + c))
+    assert(contigs.toSet == expected)
+    assert(contigs.flatMap(kmersOf(_, k)).toSet == kmersOf(genome, k))
+    contigs.foreach(u =>
+      assert(genome.contains(u) || genome.contains(rcStr(u)), s"chimeric unitig: $u"))
+  }
+
+  test("wide-k repeat-free genome: scramble and default agree") {
+    val genome = randGenome(500, seed = 89)
+    val rds = reads(genome, 90, 7)
+    val s = assembleWide(rds, 40, scramble = true, minError = 2)
+    val d = assembleWide(rds, 40, scramble = false, minError = 2)
+    assert(s == Seq(canonStr(genome)))
+    assert(d == s)
+  }
+
   test("scramble still drops low-coverage error arms (bubble popping intact)") {
     val genome = randGenome(400, seed = 83)
     val clean = reads(genome, 80, 5)
