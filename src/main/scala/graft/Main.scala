@@ -95,13 +95,11 @@ object Main {
     // to KNOWN options that don't apply to the selected input/k regime
     locally {
       val kOpt = opt(args, "-kmer", "31").toInt
-      if (args.contains("-mercy") && kOpt > 31)
-        System.err.println("[graft] WARNING: -mercy is not implemented for k > 31 (wide-block regime); ignored")
+      // (-mercy and -scramble are implemented in BOTH k regimes)
       if (args.contains("-mercy") && opt(args, "-kmerc", "").nonEmpty)
         System.err.println("[graft] WARNING: -mercy needs the read stream; ignored with a pre-counted -kmerc table")
       if (args.contains("-merge") && opt(args, "-fastq2", "").isEmpty)
         System.err.println("[graft] WARNING: -merge requires two-file paired input (-fastq2); ignored")
-      // (-scramble is implemented in BOTH k regimes; no wide-k warning)
     }
     val fastq = opt(args, "-fastq", "/root/reference/example/*.fq.gz")
     val out = opt(args, "-outfile", "/root/repo/target/graft_cli_out")
@@ -197,7 +195,11 @@ object Main {
               .toDF("kb", "count")
           else reads.flatMap(r => graft.core.KmerIter.canonicalBlocks(r, kk))
             .toDF("kb").groupBy("kb").count()
-        AssemblerWide.assemble(counts.filter(col("count") <= maxCov), kk,
+        val mercied =
+          if (args.contains("-mercy") && kmerc.isEmpty)
+            Rescue.applyMercyWide(counts, reads, kk, minCov)
+          else counts
+        AssemblerWide.assemble(mercied.filter(col("count") <= maxCov), kk,
           minCov = minCov, maxIter = maxIter, minContig = minContig,
           popBubbles = popBubbles, minError = minError,
           scramble = args.contains("-scramble"))

@@ -70,6 +70,25 @@ object Rescue {
           .otherwise(col("count")).as("count"))
   }
 
+  /** [[applyMercy]] for the wide-k regime: the rescue scan itself is
+    * string-domain (any k), only the count-table join key differs — block
+    * arrays instead of packed longs. String-canonical == block-canonical
+    * here: 2-bit codes order A<C<G<T exactly as ASCII does, so the
+    * lexicographic strand choice agrees and `encodeBlocks(canonical str)`
+    * IS the canonical block key the wide counter groups by. */
+  def applyMercyWide(counts: DataFrame, reads: Dataset[String], k: Int,
+                     minCov: Int): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val rescued = mercyKmers(reads, k, solidCov = minCov)
+      .as[String].map(graft.core.KmerCodec.encodeBlocks(_))
+      .toDF("kbm").withColumn("mercy", lit(1))
+    counts.join(rescued, col("kb") === col("kbm"), "left")
+      .select(col("kb"),
+        when(col("mercy") === 1, greatest(col("count"), lit(minCov.toLong)))
+          .otherwise(col("count")).as("count"))
+  }
+
   /** J10 generic form: splice contigs whose `overlap`-base suffix equals
     * another contig's prefix (the join key IS the overlap, so each round is
     * an equi-join, never contig × contig).

@@ -56,6 +56,24 @@ class GenericOpsSpec extends AnyFunSuite {
     assert(withM == Seq(canonStr(g)))
   }
 
+  test("applyMercyWide lifts gap-bridging kmers over the gate (k=40 block regime)") {
+    import spark.implicits._
+    val k = 40
+    val g = randGenome(160, seed = 149)
+    val rds = Seq(g.substring(0, 80), g.substring(0, 80),
+      g.substring(80), g.substring(80),
+      g.substring(35, 125)).toDS()
+    val counts = rds.flatMap(r => graft.core.KmerIter.canonicalBlocks(r, k))
+      .toDF("kb").groupBy("kb").count()
+    val without = AssemblerWide.assemble(counts.filter(col("count") >= 2), k,
+      minCov = 2, maxIter = 60).collect().toSeq
+    assert(!without.contains(canonStr(g)))
+    val mercied = Rescue.applyMercyWide(counts, rds, k, minCov = 2)
+    val withM = AssemblerWide.assemble(mercied, k, minCov = 2, maxIter = 60)
+      .collect().toSeq
+    assert(withM == Seq(canonStr(g)))
+  }
+
   test("overlapMergeContigs splices on exact suffix/prefix overlap, passes others through") {
     import spark.implicits._
     val g = randGenome(100, seed = 43)
