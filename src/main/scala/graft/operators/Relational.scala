@@ -236,6 +236,33 @@ object Relational {
           |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c""".stripMargin)
     }),
 
+    // -- recursive CTE calendar spine (gap-filled daily series) ------------
+    // Spark 4's WITH RECURSIVE (UNION ALL form — Spark rejects the
+    // dedup-fixpoint UNION, so only acyclic recursions terminate; the
+    // spine is the canonical one): generate every day of 1997 Q1, left
+    // join daily order counts, zero-fill the gap days — the time-series
+    // densification every dashboard needs and a plain GROUP BY cannot
+    // produce (missing days have no row to group). Recursion depth 90
+    // stays under spark.sql's recursion limit; the spine is 90 rows, so
+    // the join broadcasts it.
+    "q25_recursive_spine" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_r")
+      s.sql(
+        """WITH RECURSIVE days(day) AS (
+          |  SELECT DATE '1997-01-01'
+          |  UNION ALL
+          |  SELECT day + INTERVAL '1' DAY FROM days WHERE day < DATE '1997-03-31'
+          |),
+          |daily AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS od, COUNT(*) AS n
+          |  FROM orders_r
+          |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          |    AND o_orderdate < TIMESTAMP '1997-04-01'
+          |  GROUP BY CAST(o_orderdate AS DATE))
+          |SELECT date_format(day, 'yyyy-MM-dd') AS day, COALESCE(n, 0) AS n_orders
+          |FROM days LEFT JOIN daily ON od = day""".stripMargin)
+    }),
+
     // -- exact discrete percentiles (p25/p50/p95) per group ----------------
     // INTEGER-ONLY rank math (ceil(q*n) as (n*q100 + 99) div 100): no FP
     // interpolation, so both engines select the identical element —
@@ -447,6 +474,21 @@ object Relational {
         |  SELECT c_name, c_acctbal FROM customer
         |  WHERE c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c""".stripMargin,
+    "q25_recursive_spine" ->
+      """WITH RECURSIVE days(day) AS (
+        |  SELECT DATE '1997-01-01'
+        |  UNION ALL
+        |  SELECT day + INTERVAL 1 DAY FROM days WHERE day < DATE '1997-03-31'
+        |),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS od, COUNT(*) AS n
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY CAST(o_orderdate AS DATE))
+        |SELECT strftime(CAST(day AS DATE), '%Y-%m-%d') AS day,
+        |  COALESCE(n, 0) AS n_orders
+        |FROM days LEFT JOIN daily ON od = day""".stripMargin,
     "q14_top_account" ->
       """SELECT n_name, c_custkey, c_name FROM (
         |  SELECT c_nationkey, c_custkey, c_name,

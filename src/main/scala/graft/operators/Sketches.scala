@@ -136,6 +136,33 @@ object Sketches {
         .groupBy("source", "bucket").agg(max(col("rho")).cast("long").as("r"))
     }),
 
+    // -- fixed-bin histogram quantiles -------------------------------------
+    // the MERGEABLE approximate complement to q17's exact two-phase
+    // selection: a 1000-unit-wide integer histogram per group (state =
+    // #bins cells, sum-merged across any partitioning — the sketch shape
+    // a 100 TB profiler keeps), quantile = lower edge of the bin where
+    // the cumulative count crosses the rank. The rank window runs over
+    // <= #bins rows per group — bounded by the VALUE RANGE, not the data
+    // — so unlike a per-group row sort it never concentrates data-sized
+    // work. floor() before the cast in both engines (DuckDB's
+    // double->bigint cast rounds; Spark's truncates).
+    "x7_hist_quantiles" -> ((s, d) => {
+      val hist = lineitem(s, d)
+        .select(col("l_returnflag").as("g"),
+          floor(col("l_extendedprice") / 1000).cast("long").as("bin"))
+        .groupBy("g", "bin").agg(count(lit(1)).as("c"))
+      val byBin = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("bin")
+      val whole = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      hist.withColumn("cum", sum("c").over(byBin))
+        .withColumn("n", sum("c").over(whole))
+        .groupBy("g", "n")
+        .agg((min(when(col("cum") * 2 >= col("n"), col("bin"))) * 1000)
+            .as("p50_lo"),
+          (min(when(col("cum") * 20 >= col("n") * 19, col("bin"))) * 1000)
+            .as("p95_lo"))
+    }),
+
     // -- hashed linear classifier scoring ----------------------------------
     // the INFERENCE half of the x3 hashing-trick vectorizer: score every
     // document under a fixed linear model over the 256 hashed feature
@@ -241,6 +268,18 @@ object Sketches {
         |        END + 1 AS rho
         |      FROM z)
         |SELECT bucket, CAST(MAX(rho) AS BIGINT) AS r FROM r GROUP BY bucket""".stripMargin,
+    "x7_hist_quantiles" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS bin FROM lineitem),
+        |h AS (SELECT g, bin, COUNT(*) AS c FROM b GROUP BY g, bin),
+        |cw AS (SELECT g, bin, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY bin) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS n
+        |  FROM h)
+        |SELECT g, CAST(n AS BIGINT) AS n,
+        |  MIN(CASE WHEN cum * 2 >= n THEN bin END) * 1000 AS p50_lo,
+        |  MIN(CASE WHEN cum * 20 >= n * 19 THEN bin END) * 1000 AS p95_lo
+        |FROM cw GROUP BY g, n""".stripMargin,
     "x6_linear_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |wtok AS (SELECT doc_id,
