@@ -201,6 +201,29 @@ object Events {
       uw.join(cohort, "user_id")
         .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset"))
         .agg(countDistinct(col("user_id")).as("users"))
+    }),
+
+    // -- e12: DAU / trailing-7-day WAU stickiness -------------------------
+    // a trailing-window DISTINCT count can't ride an ordinary window
+    // frame (distinct isn't decomposable over frames); the scalable form
+    // is a bounded fan-out: each (user, day) row votes for the 7 window
+    // days it keeps the user active in, then one distinct + one count per
+    // day. Fan-out is exactly 7x the (user, day) DISTINCT table — already
+    // collapsed from the raw stream — never 7x the events. Integer
+    // stickiness (dau*100 div wau) keeps both engines exact.
+    "e12_dau_wau" -> ((s, d) => {
+      val day = 86400L * 1000000L
+      val uw = events(s, d)
+        .select(col("user_id"), expr(s"unix_micros(ts) div ${day}L").as("dy"))
+        .distinct()
+      val dau = uw.groupBy("dy").agg(countDistinct(col("user_id")).as("dau"))
+      val wau = uw
+        .select(col("user_id"), explode(sequence(col("dy"), col("dy") + 6)).as("wd"))
+        .distinct()
+        .groupBy("wd").agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, col("dy") === col("wd"))
+        .select(col("dy"), col("dau"), col("wau"),
+          expr("dau * 100 div wau").as("stickiness_pct"))
     })
   )
 
@@ -326,6 +349,15 @@ object Events {
         |SELECT c.cohort, u.wk - c.cohort AS offset,
         |  COUNT(DISTINCT u.user_id) AS users
         |FROM uw u JOIN cohort c ON u.user_id = c.user_id
-        |GROUP BY c.cohort, u.wk - c.cohort""".stripMargin
+        |GROUP BY c.cohort, u.wk - c.cohort""".stripMargin,
+    "e12_dau_wau" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS dy FROM events),
+        |dau AS (SELECT dy, COUNT(DISTINCT user_id) AS dau FROM uw GROUP BY dy),
+        |fan AS (SELECT DISTINCT user_id, dy + o AS wd
+        |        FROM uw, (SELECT unnest(generate_series(0, 6)) AS o) os),
+        |wau AS (SELECT wd, COUNT(DISTINCT user_id) AS wau FROM fan GROUP BY wd)
+        |SELECT d.dy, d.dau, w.wau, d.dau * 100 // w.wau AS stickiness_pct
+        |FROM dau d JOIN wau w ON d.dy = w.wd""".stripMargin
   )
 }
