@@ -49,7 +49,7 @@ object Main {
 
   private val knownOpts = Set(
     "-fastq", "-fastq2", "-fasta", "-contig", "-kmerc", "-kmerc1", "-kmerc2",
-    "-sam", "-aligner", "-docs", "-testdocs", "-embeddings",
+    "-sam", "-aligner", "-docs", "-testdocs", "-embeddings", "-classifier",
     "-outfile", "-kmer", "-klist", "-cover", "-maxcov", "-error",
     "-mincontig", "-maxiter", "-clipf", "-clipe", "-minlength", "-reads",
     "-partition", "-partitionredu", "-overlap", "-rounds",
@@ -366,18 +366,23 @@ object Main {
             docs.filter(col("doc_id") % 100 === 0))
         val embPath = opt(args, "-embeddings", "")
         val emb = if (embPath.nonEmpty) Some(spark.read.parquet(embPath)) else None
-        val flags = operators.Curation.curate(corpus, test, emb).cache()
+        // -classifier <minScore>: enable the hashed-linear quality-model
+        // gate (cls_keep = score > minScore)
+        val clsMin = opt(args, "-classifier", "")
+        val flags = operators.Curation.curate(corpus, test, emb,
+          classifierMin = if (clsMin.nonEmpty) Some(clsMin.toLong) else None).cache()
         flags.write.mode("overwrite").parquet(s"$out/curation_flags")
         corpus.join(flags.filter(col("keep") === 1).select("doc_id"), "doc_id")
           .write.mode("overwrite").parquet(s"$out/curated")
         val stats = flags.agg(count(lit(1)).as("docs"),
           sum(col("exact_keep")).as("exact"), sum(col("nd_keep")).as("neardup"),
           sum(col("quality_ok")).as("quality"), sum(col("clean")).as("clean"),
-          sum(col("sem_keep")).as("sem"), sum(col("keep")).as("kept")).collect()(0)
-        println(s"[graft] curate: ${stats.getLong(6)}/${stats.getLong(0)} docs kept " +
+          sum(col("sem_keep")).as("sem"), sum(col("cls_keep")).as("cls"),
+          sum(col("keep")).as("kept")).collect()(0)
+        println(s"[graft] curate: ${stats.getLong(7)}/${stats.getLong(0)} docs kept " +
           s"(exact ${stats.getLong(1)}, neardup ${stats.getLong(2)}, " +
           s"quality ${stats.getLong(3)}, clean ${stats.getLong(4)}, " +
-          s"semantic ${stats.getLong(5)}) -> $out/curated")
+          s"semantic ${stats.getLong(5)}, classifier ${stats.getLong(6)}) -> $out/curated")
       case other =>
         sys.error(s"unknown subcommand '$other' " +
           "(counter|run|preprocess|meta|reassemble|mercy|merger|stitch|reduce|extend|curate|stats)")

@@ -44,7 +44,8 @@ object Curation {
              embeddings: Option[DataFrame] = None,
              semCentroids: Int = 32,
              semThreshold: Double = 0.999,
-             semCentroidSet: Option[DataFrame] = None): DataFrame = {
+             semCentroidSet: Option[DataFrame] = None,
+             classifierMin: Option[Long] = None): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val ws = split(col("text"), " ")
 
@@ -109,12 +110,24 @@ object Curation {
               .otherwise(coalesce(col("sk"), lit(0))).as("sem_keep"))
     }
 
+    // 6. optional hashed-linear-classifier gate ([[Sketches.linearScore]],
+    //    the x6 model): score > threshold keeps. Like sem_keep, the flag
+    //    column is ALWAYS present (constant 1 when disabled) so downstream
+    //    schemas never fork.
+    val cls = classifierMin match {
+      case None => base.select(col("doc_id"), lit(1).as("cls_keep"))
+      case Some(thr) =>
+        Sketches.linearScore(base)
+          .select(col("doc_id"),
+            when(col("score") > thr, 1).otherwise(0).as("cls_keep"))
+    }
+
     exact.join(nd, "doc_id").join(quality, "doc_id").join(clean, "doc_id")
-      .join(sem, "doc_id")
+      .join(sem, "doc_id").join(cls, "doc_id")
       .select(col("doc_id"), col("exact_keep"), col("nd_keep"),
-        col("quality_ok"), col("clean"), col("sem_keep"),
+        col("quality_ok"), col("clean"), col("sem_keep"), col("cls_keep"),
         (col("exact_keep") * col("nd_keep") * col("quality_ok") * col("clean") *
-          col("sem_keep")).as("keep"))
+          col("sem_keep") * col("cls_keep")).as("keep"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -148,6 +161,18 @@ object Curation {
       curate(doc.filter(col("doc_id") % 100 =!= 0),
         doc.filter(col("doc_id") % 100 === 0),
         embeddings = Some(emb), semCentroidSet = Some(cents))
+    }),
+
+    // -- the pipeline with the CLASSIFIER gate live -----------------------
+    // quality-model filtering (the x6 hashed linear scorer) composed as a
+    // fifth verdict: cls_keep = score > 0. Exercises the stage the big
+    // curation recipes (C4/FineWeb-style) put after dedup: a cheap model
+    // gate over every surviving doc.
+    "c3_curate_cls" -> ((s, d) => {
+      val doc = documents(s, d)
+      curate(doc.filter(col("doc_id") % 100 =!= 0),
+        doc.filter(col("doc_id") % 100 === 0),
+        classifierMin = Some(0L))
     })
   )
 
@@ -155,7 +180,18 @@ object Curation {
   // fragments, over the unaugmented train split; `sem = true` appends the
   // s7 semantic-dedup fragment (fixed seed centroids, corpus vectors only)
   // and folds sem_keep into keep.
-  private def curateOracle(sem: Boolean): String = {
+  private def curateOracle(sem: Boolean, cls: Boolean = false): String = {
+      val clsCte =
+        """clsk AS (SELECT doc_id,
+          |    CASE WHEN CAST(SUM(w) AS BIGINT) > 0 THEN 1 ELSE 0 END AS ck
+          |  FROM (SELECT doc_id,
+          |      (ascii(substring(md5(tok), 1, 1)) * 7 +
+          |       ascii(substring(md5(tok), 2, 1))) % 41 - 20 AS w
+          |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          |          FROM train))
+          |  GROUP BY doc_id)""".stripMargin
+      val clsExpr = if (cls) "clsk.ck" else "1"
+      val clsJoin = if (cls) "\nJOIN clsk ON clsk.doc_id = t.doc_id" else ""
       val semCtes = if (!sem) "" else
         """embt AS (SELECT d.vec_id AS doc_id, s.embedding::DOUBLE[] AS v
           |         FROM embeddings d
@@ -232,23 +268,27 @@ object Curation {
           |            FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
           |                  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train)))
           |          JOIN tsh USING (g))""".stripMargin +
-        (if (sem) ",\n" + semCtes else "") + "\n" +
+        (if (sem) ",\n" + semCtes else "") +
+        (if (cls) ",\n" + clsCte else "") + "\n" +
         s"""SELECT t.doc_id, ex.exact_keep,
           |  COALESCE(clu.ndk, 1) AS nd_keep,
           |  qual.quality_ok,
           |  CASE WHEN dirty.doc_id IS NULL THEN 1 ELSE 0 END AS clean,
           |  $semExpr AS sem_keep,
+          |  $clsExpr AS cls_keep,
           |  ex.exact_keep * COALESCE(clu.ndk, 1) * qual.quality_ok *
-          |    (CASE WHEN dirty.doc_id IS NULL THEN 1 ELSE 0 END) * ($semExpr) AS keep
+          |    (CASE WHEN dirty.doc_id IS NULL THEN 1 ELSE 0 END) * ($semExpr) *
+          |    ($clsExpr) AS keep
           |FROM train t
           |JOIN ex ON ex.doc_id = t.doc_id
           |LEFT JOIN clu ON clu.doc_id = t.doc_id
           |JOIN qual ON qual.doc_id = t.doc_id
-          |LEFT JOIN dirty ON dirty.doc_id = t.doc_id$semJoin""".stripMargin
+          |LEFT JOIN dirty ON dirty.doc_id = t.doc_id$semJoin$clsJoin""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
     "c1_curate" -> curateOracle(sem = false),
-    "c2_curate_sem" -> curateOracle(sem = true)
+    "c2_curate_sem" -> curateOracle(sem = true),
+    "c3_curate_cls" -> curateOracle(sem = false, cls = true)
   )
 }

@@ -174,16 +174,22 @@ object Sketches {
     // score keep the oracle bit-exact; the one scan aggregates map-side
     // with no join and no shuffle beyond the per-doc combine — scoring at
     // 100 TB is embarrassingly parallel.
-    "x6_linear_score" -> ((s, d) => {
-      val b = substring(md5(col("tok").cast("binary")), 1, 2)
-      val w = (ascii(substring(b, 1, 1)) * 7 + ascii(substring(b, 2, 1))) % 41 - 20
-      documents(s, d).select(col("doc_id"), explode(ws).as("tok"))
-        .select(col("doc_id"), w.as("w"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("score"))
-        .withColumn("keep", when(col("score") > 0, 1).otherwise(0))
-    })
+    "x6_linear_score" -> ((s, d) =>
+      linearScore(documents(s, d))
+        .withColumn("keep", when(col("score") > 0, 1).otherwise(0)))
   )
+
+  /** `(doc_id, n_tok, score)` under the fixed hashed linear model (see
+    * x6's doc) — the reusable scoring surface [[Curation.curate]]'s
+    * optional classifier gate composes. */
+  def linearScore(docs: DataFrame): DataFrame = {
+    val b = substring(md5(col("tok").cast("binary")), 1, 2)
+    val w = (ascii(substring(b, 1, 1)) * 7 + ascii(substring(b, 2, 1))) % 41 - 20
+    docs.select(col("doc_id"), explode(ws).as("tok"))
+      .select(col("doc_id"), w.as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("score"))
+  }
 
   /** Standard HLL estimator over the 256 `(bucket, r)` register rows that
     * x2/x5 emit (driver-side arithmetic over 256 ints — the one FP step,

@@ -11,8 +11,8 @@ class CurationSpec extends AnyFunSuite {
       : Map[Long, (Int, Int, Int, Int, Int)] = {
     import spark.implicits._
     Curation.curate(docs.toDF("doc_id", "text"), test.toDF("doc_id", "text"))
-      .as[(Long, Int, Int, Int, Int, Int, Int)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._7))).toMap
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._8))).toMap
   }
 
   test("exact dup, near dup, low quality, and contaminated docs are each flagged") {
@@ -53,8 +53,8 @@ class CurationSpec extends AnyFunSuite {
       (11L, Array(1.0, 0.0, 0.0))).toDF("doc_id", "v")
     val f = Curation.curate(docs.toDF("doc_id", "text"), test.toDF("doc_id", "text"),
         Some(emb), semCentroids = 2)
-      .as[(Long, Int, Int, Int, Int, Int, Int)].collect()
-      .map(r => r._1 -> ((r._6, r._7))).toMap
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._6, r._8))).toMap
     assert(f(10L) == ((1, 1)), f(10L)) // identical pair: min id kept
     assert(f(11L) == ((0, 0)), f(11L)) // identical pair: larger id dropped
     assert(f(12L) == ((1, 1)), f(12L)) // no embedding: passes trivially
