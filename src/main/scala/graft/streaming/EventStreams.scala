@@ -115,28 +115,46 @@ object EventStreams {
     * Late cross-batch events are the usual streaming trade: an earlier
     * view arriving after a click was consumed cannot retroactively move
     * the click — the nightly batch e10 is the reconciler. */
-  def funnelStream(events: Dataset[Event]): Dataset[FunnelRow] = {
+  /** `idleTimeoutMs > 0` bounds the state store at 100 TB/day rates: a
+    * user idle past the timeout is evicted (emitted once more with their
+    * final stage) and restarts from stage 0 if they return — the usual
+    * streaming state/completeness trade; the nightly batch e10
+    * reconciles. 0 = keep state forever. */
+  def funnelStream(events: Dataset[Event],
+                   idleTimeoutMs: Long = 0L): Dataset[FunnelRow] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.userId)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+      .mapGroupsWithState(timeoutConf)(
         (uid: Long, it: Iterator[Event], state: GroupState[FunnelState]) => {
-          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          it.toSeq.sortBy(e => (e.ts.getTime, e.eventType)).foreach { e =>
-            val t = e.ts.getTime * 1000L // micros, matching e10's unix_micros
-            e.eventType match {
-              case "view" if st.vUs < 0 => st = st.copy(vUs = t)
-              case "click" if st.vUs >= 0 && st.cUs < 0 && t > st.vUs =>
-                st = st.copy(cUs = t)
-              case "purchase" if st.cUs >= 0 && st.pUs < 0 && t > st.cUs =>
-                st = st.copy(pUs = t)
-              case _ =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            FunnelRow(uid, st.vUs, st.cUs, st.pUs,
+              (if (st.vUs >= 0) 1 else 0) + (if (st.cUs >= 0) 1 else 0) +
+                (if (st.pUs >= 0) 1 else 0))
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            it.toSeq.sortBy(e => (e.ts.getTime, e.eventType)).foreach { e =>
+              val t = e.ts.getTime * 1000L // micros, matching e10's unix_micros
+              e.eventType match {
+                case "view" if st.vUs < 0 => st = st.copy(vUs = t)
+                case "click" if st.vUs >= 0 && st.cUs < 0 && t > st.vUs =>
+                  st = st.copy(cUs = t)
+                case "purchase" if st.cUs >= 0 && st.pUs < 0 && t > st.cUs =>
+                  st = st.copy(pUs = t)
+                case _ =>
+              }
             }
+            state.update(st)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            FunnelRow(uid, st.vUs, st.cUs, st.pUs,
+              (if (st.vUs >= 0) 1 else 0) + (if (st.cUs >= 0) 1 else 0) +
+                (if (st.pUs >= 0) 1 else 0))
           }
-          state.update(st)
-          FunnelRow(uid, st.vUs, st.cUs, st.pUs,
-            (if (st.vUs >= 0) 1 else 0) + (if (st.cUs >= 0) 1 else 0) +
-              (if (st.pUs >= 0) 1 else 0))
         })
   }
 
