@@ -91,6 +91,50 @@ class ErrorCorrectSpec extends AnyFunSuite {
     }
   }
 
+  test("pruned engine == naive unpruned model on random read sets (3 seeds)") {
+    // in-memory reference implementation of the UNPRUNED computation (what
+    // the DuckDB oracle runs): every position, every base, full candidate
+    // scoring — the pruning in correctReads must be invisible
+    def naive(rds: Seq[String], k: Int, minSolid: Int): Map[Long, (String, Int)] = {
+      val counts = rds.flatMap(r =>
+        (0 to r.length - k).map(i => canonStr(r.substring(i, i + k))))
+        .groupBy(identity).map { case (km, xs) => km -> xs.size }
+      val solid = counts.filter(_._2 >= minSolid).keySet
+      rds.zipWithIndex.map { case (r, id) =>
+        val L = r.length
+        def coveringScore(s: String, p: Int): Int =
+          (math.max(1, p - k + 1) to math.min(p, L - k + 1))
+            .count(i => solid(canonStr(s.substring(i - 1, i - 1 + k))))
+        val cands = for {
+          p <- 1 to L
+          b <- "ACGT" if b != r(p - 1)
+        } yield {
+          val cand = r.substring(0, p - 1) + b + r.substring(p)
+          val delta =
+            if (L < k) 0
+            else coveringScore(cand, p) - coveringScore(r, p)
+          (delta, p, b, cand)
+        }
+        val best = cands.minBy { case (d, p, b, _) => (-d, p, b) }
+        id.toLong -> (if (best._1 > 0) (best._4, 1) else (r, 0))
+      }.toMap
+    }
+    for (seed <- Seq(97L, 101L, 103L)) {
+      val rnd = new scala.util.Random(seed)
+      val genome = randGenome(200, seed)
+      val clean = cleanReads(genome, 60, 6)
+      // corrupt ~1/4 of reads at a random position each
+      val rds = clean.map(r =>
+        if (rnd.nextInt(4) == 0) {
+          val p = rnd.nextInt(r.length)
+          r.updated(p, flip(r(p)))
+        } else r)
+      val expected = naive(rds, 21, 2)
+      val got = correct(rds, 21, 2L)
+      assert(got == expected, s"seed $seed diverges from the unpruned model")
+    }
+  }
+
   test("correction recovers the clean assembly from noisy reads") {
     val genome = randGenome(500, seed = 53)
     val clean = cleanReads(genome, 80, 5)
