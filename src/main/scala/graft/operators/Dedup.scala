@@ -304,25 +304,32 @@ object Dedup {
       val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       val sim = (0 until 60).map(j =>
         when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-      val sig = agg.select(col("doc_id"), sim.as("sig"))
-      val bands = sig.select(col("doc_id"), col("sig"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("bnd"),
-          shiftrightunsigned(col("sig"), 15 * b).bitwiseAND(lit(32767L))
-            .as("bv"))): _*)).as("e"))
-        .select(col("doc_id"), col("sig"), col("e.bnd").as("bnd"),
-          col("e.bv").as("bv"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.bnd") === col("y.bnd") && col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.sig").as("sa"), col("y.sig").as("sb"))
-        .distinct()
-      cand.withColumn("hamming",
-          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+      simhashPairs(agg.select(col("doc_id"), sim.as("sig")))
     })
   )
+
+  /** Banded hamming pairing over a `(doc_id, sig)` 60-bit signature
+    * table: pairs with popcount(xor) <= 3, found via 4x15-bit band
+    * equality (pigeonhole-COMPLETE for that radius — spec-proven equal to
+    * brute force on random signatures). */
+  def simhashPairs(sig: DataFrame): DataFrame = {
+    val bands = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("bnd"),
+        shiftrightunsigned(col("sig"), 15 * b).bitwiseAND(lit(32767L))
+          .as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("sig"), col("e.bnd").as("bnd"),
+        col("e.bv").as("bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bnd") === col("y.bnd") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .distinct()
+    cand.withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+  }
 
   // ----------------------------------------------------------- oracle SQL
 
