@@ -145,6 +145,34 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
     }),
 
+    // -- within-doc duplicate-3-gram stripping -----------------------------
+    // t12 FLAGS repetitious docs; this trims them: every token that
+    // STARTS a 3-gram already seen earlier in the same doc is dropped,
+    // keeping the first occurrence (the Gopher-style duplicated-content
+    // removal, as an actual rewrite). All three windows partition by
+    // doc_id (+gram) — bounded by DOCUMENT length, never corpus size —
+    // and the ordered reassembly is a per-doc sort_array over collected
+    // (pos, token) structs.
+    "t24_dup_gram_strip" -> ((s, d) => {
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("i")
+      val tok = documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      val g = tok.withColumn("g",
+        when(lead("w", 2).over(byPos).isNotNull,
+          concat_ws(" ", col("w"), lead("w", 1).over(byPos),
+            lead("w", 2).over(byPos))))
+      val occ = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id", "g").orderBy("i")
+      g.withColumn("rn",
+          when(col("g").isNotNull, row_number().over(occ)).otherwise(1))
+        .filter(col("g").isNull || col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          expr("array_join(transform(sort_array(collect_list(struct(i, w)))," +
+            " x -> x.w), ' ')").as("cleaned"))
+    }),
+
     // -- character trigram profile per language ----------------------------
     "t5_trigrams" -> ((s, d) =>
       documents(s, d)
@@ -504,6 +532,21 @@ object TextOps {
         |            ELSE 'train' END AS part,
         |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1""".stripMargin,
+    "t24_dup_gram_strip" ->
+      """WITH tok AS (SELECT doc_id, i, ws[i] AS w,
+        |    CASE WHEN i <= len(ws) - 2
+        |         THEN array_to_string(ws[i:i+2], ' ') END AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+        |          unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        |        FROM documents)),
+        |r AS (SELECT doc_id, i, w, g,
+        |    CASE WHEN g IS NULL THEN 1
+        |         ELSE ROW_NUMBER() OVER (PARTITION BY doc_id, g ORDER BY i) END AS rn
+        |  FROM tok)
+        |SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(w, ' ' ORDER BY i) AS cleaned
+        |FROM r WHERE g IS NULL OR rn = 1
+        |GROUP BY doc_id""".stripMargin,
     "t5_trigrams" ->
       """SELECT lang, substr(text, i, 3) AS g, COUNT(*) AS count
         |FROM (SELECT lang, text, unnest(generate_series(1, length(text) - 2)) AS i
