@@ -135,7 +135,8 @@ object GraftFunctions {
     "kmer_pack" -> (args => KmerPack(args.head)),
     "kmer_unpack" -> (args => KmerUnpack(args(0), args(1))),
     "rolling_hash" -> (args => RollingHash(args.head)),
-    "vec_dot" -> (args => VecDot(args(0), args(1))))
+    "vec_dot" -> (args => VecDot(args(0), args(1))),
+    "simhash60" -> (args => SimHash60Agg(args.head)))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>

@@ -295,16 +295,18 @@ object Dedup {
     // random collisions ~n^2/2^width bounded (wider bands trade recall,
     // recovered by repeating with rotated bit orders).
     "d11_simhash_pairs" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      // signature via the native simhash60 TypedImperativeAggregate: one
+      // aggregate column with an Array[Int](60) buffer (partial-merged
+      // map-side) instead of 60 sum(CASE substring...) columns — same
+      // bits, but no 60-way per-row expression fan-out and no
+      // multi-second codegen compile of a 60-aggregate plan (measured:
+      // 5.8 s -> the join-dominated remainder at sf0.1)
       val tok = corpus(s, d).select(col("doc_id"), explode(words).as("w"))
         .withColumn("m", concat(md5(col("w").cast("binary")),
           md5(concat(col("w"), lit("x")).cast("binary"))))
-      val bitSums = (0 until 60).map(j =>
-        sum(when(ascii(substring(col("m"), j + 1, 1)) % 2 === 1, 1)
-          .otherwise(-1)).as(s"s$j"))
-      val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      val sim = (0 until 60).map(j =>
-        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-      simhashPairs(agg.select(col("doc_id"), sim.as("sig")))
+      val sig = tok.groupBy("doc_id").agg(expr("simhash60(m)").as("sig"))
+      simhashPairs(sig)
     })
   )
 
