@@ -263,6 +263,27 @@ object Relational {
           |FROM days LEFT JOIN daily ON od = day""".stripMargin)
     }),
 
+    // -- RANGE-frame trailing window (value-based, not row-based) ----------
+    // the frame family q20 doesn't cover: per customer, the trailing
+    // 90-DAY order total — RANGE frames bound by the ORDER-BY VALUE, so
+    // ties share a frame and sparse histories window correctly where a
+    // ROWS frame would count rows. Decimal-exact sums (the e1 pattern),
+    // epoch-micro order key; the window partitions per customer (bounded
+    // by one customer's history, never table-sized).
+    "q26_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("ts"))
+        .rangeBetween(-90L * 86400L * 1000000L, 0L)
+      orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          // o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC, so the
+          // cast is the same wall-clock micros DuckDB's epoch_us computes
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ts"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .withColumn("trailing_90d",
+          sum(col("p")).over(w).cast("decimal(38,2)").cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("ts"),
+          col("trailing_90d"))
+    }),
+
     // -- exact discrete percentiles (p25/p50/p95) per group ----------------
     // INTEGER-ONLY rank math (ceil(q*n) as (n*q100 + 99) div 100): no FP
     // interpolation, so both engines select the identical element —
@@ -474,6 +495,13 @@ object Relational {
         |  SELECT c_name, c_acctbal FROM customer
         |  WHERE c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c""".stripMargin,
+    "q26_range_frame" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS ts,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |    RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS trailing_90d
+        |FROM orders""".stripMargin,
     "q25_recursive_spine" ->
       """WITH RECURSIVE days(day) AS (
         |  SELECT DATE '1997-01-01'

@@ -347,6 +347,36 @@ object TextOps {
           round(col("surprisal_bits").cast("double") / col("n_tokens"), 4).as("score"))
     }),
 
+    // -- bigram-LM surprisal (the CCNet-style filter, one order up) --------
+    // t18 scores against a unigram LM; this conditions on the previous
+    // word: surprisal(doc) = sum over bigrams of -log2 P(b|a) with
+    // P(b|a) = c(a,b)/c(a,-), both counts from the corpus itself. Same
+    // integer bit-length quantization as t18 (bits(c1) - bits(c2) per
+    // occurrence) so both engines agree exactly; per-(doc,a,b) counts
+    // dedupe BEFORE the two global joins, and the context table c1 is
+    // derived from the bigram table (one aggregation chain, both joins
+    // co-partitioned on the leading word).
+    "t25_bigram_surprisal" -> ((s, d) => {
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("i")
+      val big = documents(s, d)
+        .select(col("doc_id"), posexplode(ws).as(Seq("i", "w")))
+        .withColumn("b", lead("w", 1).over(byPos))
+        .filter(col("b").isNotNull)
+        .select(col("doc_id"), col("w").as("a"), col("b"))
+      val tf = big.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
+      val c2 = tf.groupBy("a", "b").agg(sum(col("tf")).as("c2"))
+      val c1 = c2.groupBy("a").agg(sum(col("c2")).as("c1"))
+      tf.join(c2, Seq("a", "b")).join(c1, Seq("a"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_bigrams"),
+          sum(col("tf") * (length(bin(col("c1"))) - length(bin(col("c2")))))
+            .as("surprisal_bits"))
+        .select(col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
+          round(col("surprisal_bits").cast("double") / col("n_bigrams"), 4)
+            .as("score"))
+    }),
+
     // -- token-budgeted per-source sampling --------------------------------
     // the other half of training-mix construction (t9 caps DOCUMENT count,
     // this caps TOKEN count): per source, take docs in deterministic
@@ -643,6 +673,22 @@ object TextOps {
         |SELECT doc_id, source, weight, n_copies,
         |  unnest(generate_series(1, n_copies)) AS copy
         |FROM c WHERE n_copies >= 1""".stripMargin,
+    "t25_bigram_surprisal" ->
+      """WITH big AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+        |          unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+        |        FROM documents)),
+        |tf AS (SELECT doc_id, a, b, COUNT(*) AS tf FROM big GROUP BY doc_id, a, b),
+        |c2 AS (SELECT a, b, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY a, b),
+        |c1 AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY a),
+        |per AS (SELECT doc_id,
+        |          CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |          CAST(SUM(tf * (length(bin(c1)) - length(bin(c2)))) AS BIGINT)
+        |            AS surprisal_bits
+        |        FROM tf JOIN c2 USING (a, b) JOIN c1 USING (a) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, surprisal_bits,
+        |  round(CAST(surprisal_bits AS DOUBLE) / n_bigrams, 4) AS score
+        |FROM per""".stripMargin,
     "t18_surprisal" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
