@@ -205,6 +205,27 @@ object Relational {
         .na.fill(0L)
     }),
 
+    // -- UNPIVOT (melt): q15's inverse, wide matrix -> long triples --------
+    // round-trips the pivoted event matrix back to (ubucket, event_type,
+    // n) rows via Dataset.unpivot — the wide->long reshape every
+    // metrics-table consumer needs; zero shuffle beyond q15's own
+    // (unpivot is a per-row Expand, no exchange).
+    "q27_unpivot" -> ((s, d) => {
+      import graft.Tables.events
+      val wide = events(s, d)
+        .withColumn("ubucket", col("user_id") % 10)
+        .groupBy("ubucket")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(Array(col("ubucket")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"),
+          col("view")), "event_type", "n")
+        // q15's fill(0) invents rows for combos absent from the data; the
+        // long-form oracle (GROUP BY bucket, type) has no such rows
+        .filter(col("n") > 0)
+    }),
+
     // -- spark.sql() API surface: correlated EXISTS (TPC-H Q4 shape) -------
     "q16_sql_api" -> ((s, d) => {
       orders(s, d).createOrReplaceTempView("orders_v")
@@ -481,6 +502,10 @@ object Relational {
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id % 10""".stripMargin,
+    "q27_unpivot" ->
+      """SELECT user_id % 10 AS ubucket, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id % 10, event_type""".stripMargin,
     "q16_sql_api" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
