@@ -12,13 +12,16 @@ import graft.sources.Fastq
   * equivalent on the only dataset the reference ships.
   *
   * Usage: runMain graft.DomainRun [fastqGlob] [k] [minCov] [outFasta]
+  *        [-preprocess]  (spectrum error correction before assembly)
   */
 object DomainRun {
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    val doPre = rawArgs.contains("-preprocess")
+    val args = rawArgs.filterNot(_ == "-preprocess")
     val glob = args.headOption.getOrElse("/root/reference/example/*.fq.gz")
     val k = args.lift(1).map(_.toInt).getOrElse(31)
     val minCov = args.lift(2).map(_.toInt).getOrElse(2)
-    val outFasta = args.lift(3)
+    val outFasta = args.lift(3).filter(p => p.nonEmpty && p != "''")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,7 +42,19 @@ object DomainRun {
         val Array(p1, p2) = glob.split(",", 2)
         Fastq.interleavePairs(Fastq.readPairedFastq(spark, p1, p2))
       } else Fastq.fastqSequences(spark, glob)
-    val reads = Fastq.guardReads(rawReads, minLen = k)
+    val guarded = Fastq.guardReads(rawReads, minLen = k)
+    // -preprocess: the E2 stage — correct each read against the set's own
+    // k-mer spectrum (k=21 like lighter's default regime) before counting
+    val (reads, nCorrected) =
+      if (doPre) {
+        val withId = guarded.toDF("read")
+          .withColumn("read_id", monotonically_increasing_id())
+          .select("read_id", "read")
+        val corr = operators.ErrorCorrect.correctReads(withId, 21, minCov.toLong)
+          .localCheckpoint()
+        (corr.select(col("corrected")).as[String],
+          corr.agg(sum(col("changed"))).as[Long].head())
+      } else (guarded, 0L)
     val (nReads, tRead) = timed(reads.count())
     val counts = Genomics.countCanonical(reads, k).localCheckpoint()
     val (nKmers, tCount) = timed(counts.count())
@@ -57,6 +72,7 @@ object DomainRun {
     val n50 = lens.find { l => acc += l; 2 * acc >= total }.getOrElse(0)
     outFasta.foreach(p => Fastq.writeFasta(contigs, p))
     println(s"""{"reads":$nReads,"kmers":$nKmers,"k":$k,"min_cov":$minCov,""" +
+      s""""preprocessed":$doPre,"corrected_reads":$nCorrected,""" +
       s""""contigs":${stats._1},"bases":${stats._2},"longest":${stats._3},"n50":$n50,""" +
       s""""sec_read":$tRead,"sec_count":$tCount,"sec_assemble":$tAsm}""")
     spark.stop()
