@@ -307,6 +307,37 @@ object Dedup {
           md5(concat(col("w"), lit("x")).cast("binary"))))
       val sig = tok.groupBy("doc_id").agg(expr("simhash60(m)").as("sig"))
       simhashPairs(sig)
+    }),
+
+    // -- d12: canonical-URL dedup ------------------------------------------
+    // web-crawl dedup's cheapest and highest-yield pass: the same page
+    // arrives under host-case variants, tracking query params (utm_*),
+    // fragments, and trailing slashes; canonicalize (lowercase scheme+host
+    // only — paths are case-sensitive — strip fragment, utm query,
+    // trailing '/') and keep the smallest doc_id per canonical URL. Pure
+    // codegen'd string/regex ops + one hash aggregation on the canonical
+    // key — no joins, embarrassingly parallel, scales to any crawl. URLs
+    // are synthesized deterministically from doc_id (the documents table
+    // has no url column), with every noise dimension exercised.
+    "d12_url_dedup" -> ((s, d) => {
+      val host = concat(lit("https://site"), col("doc_id") % 20,
+        lit(".example.org"))
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, upper(host)).otherwise(host),
+        lit("/p/"), col("doc_id") % 10,
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=feed&utm_campaign=c"), col("doc_id") % 5))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(lit("#sec"), col("doc_id") % 7))
+          .otherwise(lit("")))
+      val noslash = regexp_replace(regexp_replace(
+        regexp_replace(raw, "#.*$", ""), "\\?utm[^#]*$", ""), "/+$", "")
+      val canon = concat(lower(regexp_extract(noslash, "^[^/]*//[^/]*", 0)),
+        regexp_replace(noslash, "^[^/]*//[^/]*", ""))
+      documents(s, d).select(canon.as("url"), col("doc_id"))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
     })
   )
 
@@ -520,6 +551,29 @@ object Dedup {
          |         FROM bands x JOIN bands y
          |           ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+    "d12_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0
+        |       THEN upper('https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org')
+        |       ELSE 'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' END)
+        |    || '/p/' || CAST(doc_id % 10 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |          THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 5 AS VARCHAR)
+        |          ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0
+        |          THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END) AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(raw,
+        |      '#.*$', ''), '\?utm[^#]*$', ''), '/+$', '') AS noslash
+        |  FROM u),
+        |c AS (SELECT doc_id,
+        |    lower(regexp_extract(noslash, '^[^/]*//[^/]*')) ||
+        |      regexp_replace(noslash, '^[^/]*//[^/]*', '') AS url
+        |  FROM n)
+        |SELECT url, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc
+        |FROM c GROUP BY url""".stripMargin
   )
 }

@@ -224,6 +224,27 @@ object Events {
       dau.join(wau, col("dy") === col("wd"))
         .select(col("dy"), col("dau"), col("wau"),
           expr("dau * 100 div wau").as("stickiness_pct"))
+    }),
+
+    // -- e13: event-type transition matrix --------------------------------
+    // the Markov-chain summary sequence models train against: per-user
+    // adjacent event pairs (one lead window, keyed and shuffled on
+    // user_id exactly like the sessionizer) collapse to a |types|^2
+    // count table — everything after the window scales with the number
+    // of DISTINCT event types, not events. Probabilities in integer
+    // basis points (n*10000 div row_total) keep both engines exact.
+    "e13_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val cnt = tr.groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy("from_type").agg(sum(col("n")).as("tot"))
+      cnt.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 10000 div tot").as("prob_bp"))
     })
   )
 
@@ -358,6 +379,18 @@ object Events {
         |        FROM uw, (SELECT unnest(generate_series(0, 6)) AS o) os),
         |wau AS (SELECT wd, COUNT(DISTINCT user_id) AS wau FROM fan GROUP BY wd)
         |SELECT d.dy, d.dau, w.wau, d.dau * 100 // w.wau AS stickiness_pct
-        |FROM dau d JOIN wau w ON d.dy = w.wd""".stripMargin
+        |FROM dau d JOIN wau w ON d.dy = w.wd""".stripMargin,
+    "e13_transitions" ->
+      """WITH tr AS (SELECT event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |cnt AS (SELECT event_type AS from_type, next_type AS to_type,
+        |    COUNT(*) AS n
+        |  FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+        |  FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, c.n * 10000 // t.tot AS prob_bp
+        |FROM cnt c JOIN tot t ON c.from_type = t.from_type""".stripMargin
   )
 }

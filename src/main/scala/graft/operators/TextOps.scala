@@ -466,6 +466,26 @@ object TextOps {
         round(col("dup3").cast("double") / col("tot3"), 4).as("dup_3gram_frac"),
         when(col("top2").cast("double") / col("tot2") > 0.08 ||
           col("dup3").cast("double") / col("tot3") > 0.3, 1).otherwise(0).as("repetitive"))
+    }),
+
+    // -- t26: BPE merge learning (the first merge table) -------------------
+    // the decision step a byte-pair-encoding trainer iterates: count every
+    // adjacent within-word symbol pair over the corpus, take the most
+    // frequent pairs as the next merges. One map-side-combinable count over
+    // character bigrams (state bounded by alphabet^2, not corpus size) and
+    // a TakeOrdered top-k — per-partition heads merged on the driver, no
+    // global sort, no single-partition window. A full trainer repeats this
+    // per merge round; each round is this same bounded-state pass.
+    // Deterministic: ties broken by pair text ascending.
+    "t26_bpe_merge" -> ((s, d) => {
+      documents(s, d)
+        .select(explode(ws).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(sequence(lit(1), length(col("w")) - 1)).as("i"), col("w"))
+        .select(col("w").substr(col("i"), lit(2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
     })
   )
 
@@ -719,6 +739,13 @@ object TextOps {
         |  round(CAST(dup3 AS DOUBLE) / tot3, 4) AS dup_3gram_frac,
         |  CASE WHEN CAST(top2 AS DOUBLE) / tot2 > 0.08
         |         OR CAST(dup3 AS DOUBLE) / tot3 > 0.3 THEN 1 ELSE 0 END AS repetitive
-        |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id""".stripMargin
+        |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id""".stripMargin,
+    "t26_bpe_merge" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT substr(w, i, 2) AS pair
+        |      FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |            FROM w WHERE len(w) >= 2))
+        |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin
   )
 }
