@@ -338,8 +338,45 @@ object Dedup {
       documents(s, d).select(canon.as("url"), col("doc_id"))
         .groupBy("url")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
-    })
+    }),
+
+    // -- d13: cross-document repeated-SPAN detection -----------------------
+    // exact-substring dedup (the suffix-array method's distributed twin,
+    // cf. "Deduplicating Training Data Makes Language Models Better"):
+    // a positional 8-gram table, hash-agg to find grams appearing in >=2
+    // distinct docs, then gaps-and-islands over each doc's HIT positions
+    // merges adjacent duplicated grams back into maximal repeated
+    // passages (span_tokens = last_pos - first_pos + n). Scale: the gram
+    // table is one JIT'd generator pass (tokens-sized, 16-byte md5 keys,
+    // map-side-combined df agg); the island window partitions by doc_id
+    // over SURVIVING hits only — bounded by doc length, parallel across
+    // docs; nothing is all-pairs. Run on the augmented corpus so true
+    // repeated passages exist at every sf.
+    "d13_span_dedup" -> ((s, d) => repeatedSpans(corpus(s, d), 8))
   )
+
+  /** Maximal cross-document repeated passages: (doc_id, span_start,
+    * span_tokens), one row per maximal run of n-gram start positions
+    * whose gram occurs in >= 2 distinct docs (d13's engine). */
+  def repeatedSpans(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Shingles.wordNGramsPos(docs, n)
+      .select(col("doc_id"), col("pos"), md5(col("sh").cast("binary")).as("h"))
+    val dup = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("h")
+    val hits = grams.join(dup, "h").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > 1, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("mx"))
+      .select(col("doc_id"), col("span_start"),
+        (col("mx") - col("span_start") + n).as("span_tokens"))
+  }
 
   /** Banded hamming pairing over a `(doc_id, sig)` 60-bit signature
     * table: pairs with popcount(xor) <= 3, found via 4x15-bit band
@@ -574,6 +611,26 @@ object Dedup {
         |      regexp_replace(noslash, '^[^/]*//[^/]*', '') AS url
         |  FROM n)
         |SELECT url, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc
-        |FROM c GROUP BY url""".stripMargin
+        |FROM c GROUP BY url""".stripMargin,
+    "d13_span_dedup" ->
+      (s"WITH $sqlCorpus,\n" +
+        """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+          |g AS (SELECT doc_id, i - 1 AS pos,
+          |        md5(array_to_string(w[i:i+7], ' ')) AS h
+          |      FROM (SELECT doc_id, w,
+          |              unnest(generate_series(1, len(w) - 7)) AS i FROM w)),
+          |dup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df
+          |                       FROM g GROUP BY h) WHERE df >= 2),
+          |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+          |isl AS (SELECT doc_id, pos,
+          |         SUM(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END)
+          |           OVER (PARTITION BY doc_id ORDER BY pos
+          |                 ROWS UNBOUNDED PRECEDING) AS isl
+          |        FROM (SELECT doc_id, pos,
+          |                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          |              FROM hits))
+          |SELECT doc_id, MIN(pos) AS span_start,
+          |  MAX(pos) - MIN(pos) + 8 AS span_tokens
+          |FROM isl GROUP BY doc_id, isl""".stripMargin)
   )
 }

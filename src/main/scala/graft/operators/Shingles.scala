@@ -68,4 +68,28 @@ object Shingles {
         }
       }.toDF(idCol, "sh")
   }
+
+  /** [[wordNGrams]] with the 0-based start-token position kept:
+    * (id, pos, sh). The positional form span-level dedup needs —
+    * adjacency of hit positions is what lets single-gram hits merge back
+    * into maximal repeated passages. */
+  def wordNGramsPos(df: DataFrame, n: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val ws = text.split(" ", -1)
+          if (ws.length < n) Iterator.empty
+          else (0 to ws.length - n).iterator.map { i =>
+            val sb = new java.lang.StringBuilder(ws(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+            (id, i.toLong, sb.toString)
+          }
+        }
+      }.toDF(idCol, "pos", "sh")
+  }
 }

@@ -486,6 +486,34 @@ object TextOps {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
+    }),
+
+    // -- t27: graded contamination scoring ---------------------------------
+    // t10's binary verdict, upgraded to the fraction eval suites actually
+    // report: per training doc, what share of its 5-gram INSTANCES appear
+    // in the held-out set (instances, not distinct grams — that keeps the
+    // whole plan two map-side-combinable aggs + one broadcast join, with
+    // no corpus-wide distinct shuffle; both numerator and denominator are
+    // per-doc, so the fraction is exact either way). Basis points via
+    // integer div keep both engines bit-exact. Zero-hit docs are kept
+    // (left join + coalesce): the score's consumers threshold on it, so
+    // absent rows would read as "unknown", not "clean".
+    "t27_contamination_frac" -> ((s, d) => {
+      val doc = documents(s, d)
+      val testDocs = doc.filter(col("doc_id") % 100 === 0)
+      val trainDocs = doc.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .union(testDocs.select((col("doc_id") + 300000).as("doc_id"),
+          concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))).as("text")))
+      val testSh = Shingles.wordNGrams(testDocs, 5).select("sh").distinct()
+      val tsh = Shingles.wordNGrams(trainDocs, 5)
+      val tot = tsh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val hits = tsh.join(broadcast(testSh), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      tot.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("coalesce(n_hits, 0) * 10000 div n_sh").as("contam_bp"))
     })
   )
 
@@ -746,6 +774,24 @@ object TextOps {
         |      FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
         |            FROM w WHERE len(w) >= 2))
         |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
-        |ORDER BY n DESC, pair LIMIT 20""".stripMargin
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "t27_contamination_frac" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |test AS (SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS sh
+        |         FROM (SELECT w, unnest(generate_series(1, len(w) - 4)) AS i
+        |               FROM w WHERE doc_id % 100 = 0)),
+        |train AS (SELECT doc_id, w FROM w WHERE doc_id % 100 <> 0
+        |          UNION ALL
+        |          SELECT doc_id + 300000, w[1:greatest(len(w) - 2, 1)]
+        |          FROM w WHERE doc_id % 100 = 0),
+        |tsh AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+        |              FROM train)),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM tsh GROUP BY doc_id),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_hits
+        |         FROM tsh JOIN test USING (sh) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_sh, coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) * 10000 // t.n_sh AS contam_bp
+        |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin
   )
 }

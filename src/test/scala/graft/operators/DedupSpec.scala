@@ -37,4 +37,21 @@ class DedupSpec extends AnyFunSuite {
       assert(brutePairs.nonEmpty, s"seed $seed planted no near pairs")
     }
   }
+
+  test("repeatedSpans merges adjacent duplicated n-grams into maximal passages") {
+    import spark.implicits._
+    // doc 1 and doc 2 share a 6-token passage (>= n=4 tokens -> 3 gram
+    // starts, one island); doc 3 is all-unique filler and must not appear.
+    val shared = "the quick brown fox jumps high"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta"),
+      (2L, s"one two three four $shared five six"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // shared passage = 6 tokens -> gram starts p, p+1, p+2 (one island of
+    // span_tokens = 2 + 4 = 6); doc1 starts at token 2, doc2 at token 4
+    assert(got == Set((1L, 2L, 6L), (2L, 4L, 6L)))
+  }
 }
