@@ -360,8 +360,15 @@ object Dedup {
     * whose gram occurs in >= 2 distinct docs (d13's engine). */
   def repeatedSpans(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the gram hash is INTERNAL (never output), so the engines need not
+    // agree on it — only on the duplicated-gram SET, which any
+    // effectively-collision-free hash preserves. xxhash64 longs (8 B)
+    // halve-again the shuffle vs md5 hex strings (48 B); at 10^11
+    // distinct grams the 64-bit birthday bound yields a handful of
+    // spurious dup grams — noise for a dedup FLAGGER. The DuckDB twin
+    // groups on the raw gram text instead.
     val grams = Shingles.wordNGramsPos(docs, n)
-      .select(col("doc_id"), col("pos"), md5(col("sh").cast("binary")).as("h"))
+      .select(col("doc_id"), col("pos"), xxhash64(col("sh")).as("h"))
     val dup = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2).select("h")
@@ -616,7 +623,7 @@ object Dedup {
       (s"WITH $sqlCorpus,\n" +
         """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
           |g AS (SELECT doc_id, i - 1 AS pos,
-          |        md5(array_to_string(w[i:i+7], ' ')) AS h
+          |        array_to_string(w[i:i+7], ' ') AS h
           |      FROM (SELECT doc_id, w,
           |              unnest(generate_series(1, len(w) - 7)) AS i FROM w)),
           |dup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df
