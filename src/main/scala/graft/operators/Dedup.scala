@@ -352,7 +352,42 @@ object Dedup {
     // over SURVIVING hits only — bounded by doc length, parallel across
     // docs; nothing is all-pairs. Run on the augmented corpus so true
     // repeated passages exist at every sf.
-    "d13_span_dedup" -> ((s, d) => repeatedSpans(corpus(s, d), 8))
+    "d13_span_dedup" -> ((s, d) => repeatedSpans(corpus(s, d), 8)),
+
+    // -- d14: fuzzy entity resolution (SymSpell deletion blocking) ---------
+    // approximate string matching without a quadratic block: each name
+    // emits itself + its single-character-deletion variants as block
+    // keys (SymSpell's completeness argument: any two strings at edit
+    // distance 1 share a key), equality self-join on the key gives
+    // candidates, levenshtein verifies ONLY candidates. Resolution runs
+    // over the DISTINCT-name vocabulary (min partkey as representative) —
+    // the scale-correct form: block population is the vocabulary, not the
+    // row count, so repeated names can't inflate any bucket. A noisy twin
+    // of every name (first char -> 'x') plants true matches at every sf.
+    "d14_fuzzy_match" -> ((s, d) => {
+      val names = part(s, d)
+        .groupBy(lower(col("p_name")).as("nm"))
+        .agg(min(col("p_partkey")).as("pk"))
+      val noisy = names.select(
+        concat(lit("x"), expr("substring(nm, 2)")).as("nm"),
+        (col("pk") + 1000000).as("pk"))
+      val all = names.union(noisy)
+      val keys = all
+        .select(col("pk"), col("nm"),
+          explode(sequence(lit(0), length(col("nm")))).as("i"))
+        .select(col("pk"), col("nm"),
+          when(col("i") === 0, col("nm"))
+            .otherwise(concat(expr("substring(nm, 1, i - 1)"),
+              expr("substring(nm, i + 1)"))).as("blk"))
+      val cand = keys.as("x").join(keys.as("y"),
+          col("x.blk") === col("y.blk") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"),
+          col("x.nm").as("nm_a"), col("y.nm").as("nm_b"))
+        .distinct()
+      cand.filter(levenshtein(col("nm_a"), col("nm_b")) <= 1)
+        .select(col("a"), col("b"), col("nm_a"), col("nm_b"),
+          levenshtein(col("nm_a"), col("nm_b")).cast("long").as("dist"))
+    })
   )
 
   /** Maximal cross-document repeated passages: (doc_id, span_start,
@@ -638,6 +673,23 @@ object Dedup {
           |              FROM hits))
           |SELECT doc_id, MIN(pos) AS span_start,
           |  MAX(pos) - MIN(pos) + 8 AS span_tokens
-          |FROM isl GROUP BY doc_id, isl""".stripMargin)
+          |FROM isl GROUP BY doc_id, isl""".stripMargin),
+    "d14_fuzzy_match" ->
+      """WITH names AS (SELECT lower(p_name) AS nm, MIN(p_partkey) AS pk
+        |               FROM part GROUP BY 1),
+        |al AS (SELECT nm, pk FROM names
+        |       UNION ALL
+        |       SELECT 'x' || substr(nm, 2) AS nm, pk + 1000000 AS pk FROM names),
+        |k AS (SELECT pk, nm,
+        |        CASE WHEN i = 0 THEN nm
+        |             ELSE substr(nm, 1, i - 1) || substr(nm, i + 1) END AS blk
+        |      FROM (SELECT pk, nm, unnest(generate_series(0, len(nm))) AS i
+        |            FROM al)),
+        |cand AS (SELECT DISTINCT x.pk AS a, y.pk AS b,
+        |           x.nm AS nm_a, y.nm AS nm_b
+        |         FROM k x JOIN k y ON x.blk = y.blk AND x.pk < y.pk)
+        |SELECT a, b, nm_a, nm_b,
+        |  CAST(levenshtein(nm_a, nm_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(nm_a, nm_b) <= 1""".stripMargin
   )
 }

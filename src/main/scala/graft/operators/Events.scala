@@ -245,6 +245,33 @@ object Events {
       cnt.join(tot, "from_type")
         .select(col("from_type"), col("to_type"), col("n"),
           expr("n * 10000 div tot").as("prob_bp"))
+    }),
+
+    // -- e14: 3-sigma daily-volume anomaly flags ---------------------------
+    // the monitoring query every ingest pipeline runs: per event type,
+    // flag days whose count exceeds mean + 3 * population stddev. The
+    // test is INTEGER algebra — n > S/D + 3*sqrt((DQ-S^2)/D^2) rewritten
+    // as nD > S AND (nD-S)^2 > 9(DQ-S^2) — so both engines compare exact
+    // integers (squares in decimal(38,0): no ANSI overflow at any daily
+    // volume). Everything after the first agg scales with |types| x days,
+    // not events. A deterministic x10 spike on dy%16==5 plants anomalies
+    // at every sf.
+    "e14_anomaly" -> ((s, d) => {
+      val day = 86400L * 1000000L
+      val daily0 = events(s, d)
+        .select(col("event_type"), expr(s"unix_micros(ts) div ${day}L").as("dy"))
+        .groupBy("event_type", "dy").agg(count(lit(1)).as("n0"))
+      val daily = daily0.select(col("event_type"), col("dy"),
+        when(col("dy") % 16 === 5, col("n0") * 10).otherwise(col("n0")).as("n"))
+      val stats = daily.groupBy("event_type").agg(
+        count(lit(1)).as("dcnt"),
+        sum(col("n").cast("decimal(38,0)")).as("sn"),
+        sum((col("n") * col("n")).cast("decimal(38,0)")).as("qn"))
+      daily.join(stats, "event_type")
+        .filter(col("n") * col("dcnt") > col("sn") &&
+          (col("n") * col("dcnt") - col("sn")) * (col("n") * col("dcnt") - col("sn")) >
+            lit(9) * (col("dcnt") * col("qn") - col("sn") * col("sn")))
+        .select(col("event_type"), col("dy"), col("n"))
     })
   )
 
@@ -391,6 +418,20 @@ object Events {
         |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
         |  FROM cnt GROUP BY 1)
         |SELECT c.from_type, c.to_type, c.n, c.n * 10000 // t.tot AS prob_bp
-        |FROM cnt c JOIN tot t ON c.from_type = t.from_type""".stripMargin
+        |FROM cnt c JOIN tot t ON c.from_type = t.from_type""".stripMargin,
+    "e14_anomaly" ->
+      """WITH d0 AS (SELECT event_type, epoch_us(ts) // 86400000000 AS dy,
+        |    COUNT(*) AS n0
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (SELECT event_type, dy,
+        |    CASE WHEN dy % 16 = 5 THEN n0 * 10 ELSE n0 END AS n FROM d0),
+        |stats AS (SELECT event_type, COUNT(*) AS dcnt,
+        |    SUM(n)::HUGEINT AS sn, SUM(n * n)::HUGEINT AS qn
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.dy, d.n
+        |FROM daily d JOIN stats s ON d.event_type = s.event_type
+        |WHERE d.n * s.dcnt > s.sn
+        |  AND (d.n * s.dcnt - s.sn) * (d.n * s.dcnt - s.sn)
+        |      > 9 * (s.dcnt * s.qn - s.sn * s.sn)""".stripMargin
   )
 }
