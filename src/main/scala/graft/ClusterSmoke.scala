@@ -73,8 +73,11 @@ object ClusterSmoke {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val picks = args.lift(1).map(_.split(",").toSeq).getOrElse(DefaultPicks)
-      .filter(SparkEntry.queries.contains)
+    val picks = args.lift(1) match {
+      case Some("ALL") => SparkEntry.queries.keys.toSeq.sorted
+      case Some(list)  => list.split(",").toSeq.filter(SparkEntry.queries.contains)
+      case None        => DefaultPicks.filter(SparkEntry.queries.contains)
+    }
 
     val jar = new java.io.File("target/scala-2.13").listFiles()
       .filter(f => f.getName.startsWith("reflexivspark") && f.getName.endsWith(".jar"))
