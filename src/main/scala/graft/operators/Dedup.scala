@@ -354,6 +354,51 @@ object Dedup {
     // repeated passages exist at every sf.
     "d13_span_dedup" -> ((s, d) => repeatedSpans(corpus(s, d), 8)),
 
+    // -- d15: per-source boilerplate removal (RefinedWeb/C4-style) ---------
+    // nav bars / cookie banners / footers repeat VERBATIM across many
+    // pages of the same site: any word 4-gram appearing in >= 3 distinct
+    // docs of the SAME source is boilerplate; every token it covers is
+    // stripped and survivors reassemble in order. Run on a corpus where
+    // each doc carries its source's synthetic site header, so true
+    // boilerplate exists at every sf (both engines build the same
+    // augmentation — oracle stays exact). d13 flags repeated spans
+    // anywhere; d15 REMOVES them, scoped per source, the curation form.
+    "d15_boilerplate" -> ((s, d) => {
+      val aug = documents(s, d).select(col("doc_id"), col("source"),
+        concat(lit("site header for "), col("source"), lit(" menu "),
+          col("text")).as("text"))
+      stripBoilerplate(aug, 4, 3)
+    }),
+
+    // -- d16: content-defined chunk dedup (CDC) ----------------------------
+    // d8 chunks at FIXED offsets, so one inserted prefix word shifts every
+    // boundary and kills all chunk-hash matches; CDC anchors boundaries to
+    // the CONTENT (word-pair hash coin), so an edit only perturbs its own
+    // chunk — the property incremental dedup of evolving web snapshots
+    // depends on. The query demonstrates it head-to-head: each doc gets a
+    // prefix-inserted copy, and per doc we report how many distinct chunk
+    // hashes the copy still shares under CDC vs fixed chunking (CDC ~all,
+    // fixed ~none).
+    "d16_cdc_chunks" -> ((s, d) => {
+      val doc = documents(s, d).select(col("doc_id"), col("text"))
+      val base = doc.unionByName(doc.select(
+        (col("doc_id") + 400000).as("doc_id"),
+        concat(lit("inserted preamble before everything "), col("text")).as("text")))
+      val cdc = cdcChunks(base).select("doc_id", "h")
+      val fixed = Shingles.wordChunks(base, 16)
+        .select(col("doc_id"), md5(col("chunk").cast("binary")).as("h"))
+      def stats(chunks: DataFrame, pref: String): DataFrame = {
+        val o = chunks.filter(col("doc_id") < 400000).distinct()
+        val cpy = chunks.filter(col("doc_id") >= 400000)
+          .select((col("doc_id") - 400000).as("doc_id"), col("h")).distinct()
+        o.join(cpy.withColumn("hit", lit(1L)), Seq("doc_id", "h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as(s"${pref}_chunks"),
+            sum(coalesce(col("hit"), lit(0L))).as(s"${pref}_shared"))
+      }
+      stats(cdc, "cdc").join(stats(fixed, "fixed"), Seq("doc_id"))
+    }),
+
     // -- d14: fuzzy entity resolution (SymSpell deletion blocking) ---------
     // approximate string matching without a quadratic block: each name
     // emits itself + its single-character-deletion variants as block
@@ -418,6 +463,66 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"), max(col("pos")).as("mx"))
       .select(col("doc_id"), col("span_start"),
         (col("mx") - col("span_start") + n).as("span_tokens"))
+  }
+
+  /** Content-defined chunking (d16's engine): word-level Rabin-style
+    * boundaries — a new chunk starts at word i when the first hex char of
+    * md5(w_{i-1} || ' ' || w_i) is '0' (P = 1/16, ~16-word expected
+    * chunks). Returns (doc_id, chunk_id, chunk, h). Boundaries are
+    * content-anchored: a prefix insertion shifts every fixed-offset chunk
+    * (d8) but leaves every CDC boundary past the edit untouched.
+    * Scale: the lag/cumsum windows partition per doc (bounded by doc
+    * length, parallel across docs); the chunk table is ~corpus/16 rows
+    * with 32-char hash keys — nothing global, nothing all-pairs. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+    tok.withColumn("pw", lag(col("w"), 1).over(w))
+      .withColumn("b",
+        when(col("pw").isNotNull &&
+          substring(md5(concat(col("pw"), lit(" "), col("w"))), 1, 1) === "0",
+          1L).otherwise(0L))
+      .withColumn("chunk_id", sum(col("b")).over(w))
+      .groupBy("doc_id", "chunk_id")
+      .agg(expr("array_join(transform(sort_array(collect_list(struct(i, w)))," +
+        " x -> x.w), ' ')").as("chunk"))
+      .withColumn("h", md5(col("chunk").cast("binary")))
+      .select("doc_id", "chunk_id", "chunk", "h")
+  }
+
+  /** Per-source boilerplate stripping (d15's engine): any word n-gram
+    * occurring in >= minDf distinct docs of the same source is
+    * boilerplate; tokens covered by one are dropped, the rest
+    * reassemble in document order. Returns (doc_id, n_kept, clean_text).
+    * Docs whose every token is boilerplate disappear entirely.
+    *
+    * Scale: grams come from one JIT'd generator pass that CARRIES the
+    * source key ([[Shingles.wordNGramsPosKeyed]]) — no token-scale
+    * join back to document metadata; the boilerplate set is a
+    * map-side-combinable (source, gram) aggregate; covered positions
+    * are hits-sized (boilerplate occurrences only, not the corpus);
+    * the reassembly groupBy is bounded by document length. Nothing is
+    * all-pairs and no window spans more than one document. */
+  def stripBoilerplate(docs: DataFrame, n: Int, minDf: Int): DataFrame = {
+    val grams = Shingles.wordNGramsPosKeyed(docs, n)
+    val bp = grams.groupBy("source", "sh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("source", "sh")
+    val hits = grams.join(bp, Seq("source", "sh")).select("doc_id", "pos")
+    val covered = hits
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("i"))
+      .distinct()
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+    tok.join(covered, Seq("doc_id", "i"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(sort_array(collect_list(struct(i, w)))," +
+          " x -> x.w), ' ')").as("clean_text"))
   }
 
   /** Banded hamming pairing over a `(doc_id, sig)` 60-bit signature
@@ -674,6 +779,82 @@ object Dedup {
           |SELECT doc_id, MIN(pos) AS span_start,
           |  MAX(pos) - MIN(pos) + 8 AS span_tokens
           |FROM isl GROUP BY doc_id, isl""".stripMargin),
+    "d15_boilerplate" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source,
+        |         'site header for ' || source || ' menu ' || text AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, source, i - 1 AS i, ws[i] AS w,
+        |         CASE WHEN i <= len(ws) - 3
+        |              THEN array_to_string(ws[i:i+3], ' ') END AS g
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws,
+        |               unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        |        FROM aug)),
+        |bp AS (
+        |  SELECT source, g FROM tok WHERE g IS NOT NULL
+        |  GROUP BY source, g HAVING COUNT(DISTINCT doc_id) >= 3),
+        |cov AS (
+        |  SELECT DISTINCT t.doc_id, t.i + d.k AS ci
+        |  FROM tok t
+        |  JOIN bp b ON t.source = b.source AND t.g = b.g
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) d),
+        |kept AS (
+        |  SELECT t.doc_id, t.i, t.w
+        |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.ci
+        |  WHERE c.doc_id IS NULL)
+        |SELECT doc_id, COUNT(*) AS n_kept,
+        |       string_agg(w, ' ' ORDER BY i) AS clean_text
+        |FROM kept GROUP BY doc_id""".stripMargin,
+    "d16_cdc_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id,
+        |         'inserted preamble before everything ' || text AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i - 1 AS i, ws[i] AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+        |               unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        |        FROM base)),
+        |brk AS (
+        |  SELECT doc_id, i, w,
+        |    CASE WHEN lag(w) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+        |          AND substring(md5(lag(w) OVER (PARTITION BY doc_id ORDER BY i)
+        |                            || ' ' || w), 1, 1) = '0'
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM tok),
+        |cid AS (
+        |  SELECT doc_id, i, w,
+        |         SUM(b) OVER (PARTITION BY doc_id ORDER BY i) AS chunk_id
+        |  FROM brk),
+        |cdc AS (
+        |  SELECT doc_id, md5(string_agg(w, ' ' ORDER BY i)) AS h
+        |  FROM cid GROUP BY doc_id, chunk_id),
+        |fixed AS (
+        |  SELECT doc_id, md5(array_to_string(ws[s:least(s + 15, len(ws))], ' ')) AS h
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+        |               unnest(generate_series(1, len(string_split(text, ' ')), 16)) AS s
+        |        FROM base)),
+        |cs AS (
+        |  SELECT o.doc_id, COUNT(*) AS cdc_chunks,
+        |         CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS cdc_shared
+        |  FROM (SELECT DISTINCT doc_id, h FROM cdc WHERE doc_id < 400000) o
+        |  LEFT JOIN (SELECT DISTINCT doc_id - 400000 AS doc_id, h
+        |             FROM cdc WHERE doc_id >= 400000) c
+        |    ON o.doc_id = c.doc_id AND o.h = c.h
+        |  GROUP BY o.doc_id),
+        |fs AS (
+        |  SELECT o.doc_id, COUNT(*) AS fixed_chunks,
+        |         CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fixed_shared
+        |  FROM (SELECT DISTINCT doc_id, h FROM fixed WHERE doc_id < 400000) o
+        |  LEFT JOIN (SELECT DISTINCT doc_id - 400000 AS doc_id, h
+        |             FROM fixed WHERE doc_id >= 400000) c
+        |    ON o.doc_id = c.doc_id AND o.h = c.h
+        |  GROUP BY o.doc_id)
+        |SELECT cs.doc_id, cdc_chunks, cdc_shared, fixed_chunks, fixed_shared
+        |FROM cs JOIN fs ON cs.doc_id = fs.doc_id""".stripMargin,
     "d14_fuzzy_match" ->
       """WITH names AS (SELECT lower(p_name) AS nm, MIN(p_partkey) AS pk
         |               FROM part GROUP BY 1),

@@ -92,4 +92,32 @@ object Shingles {
         }
       }.toDF(idCol, "pos", "sh")
   }
+
+  /** [[wordNGramsPos]] with a string group key carried through:
+    * (id, key, pos, sh). Carrying the key out of the generator lets
+    * downstream group by (key, sh) directly instead of re-joining the
+    * token-scale gram table back to the document-metadata table — at
+    * corpus scale that join is a second full shuffle of the biggest
+    * table in the plan. */
+  def wordNGramsPosKeyed(df: DataFrame, n: Int,
+                         idCol: String = "doc_id", keyCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(idCol).cast("long"), col(keyCol).cast("string"),
+        col(textCol).cast("string"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, key, text) =>
+          val ws = text.split(" ", -1)
+          if (ws.length < n) Iterator.empty
+          else (0 to ws.length - n).iterator.map { i =>
+            val sb = new java.lang.StringBuilder(ws(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+            (id, key, i.toLong, sb.toString)
+          }
+        }
+      }.toDF(idCol, keyCol, "pos", "sh")
+  }
 }

@@ -54,4 +54,46 @@ class DedupSpec extends AnyFunSuite {
     // span_tokens = 2 + 4 = 6); doc1 starts at token 2, doc2 at token 4
     assert(got == Set((1L, 2L, 6L), (2L, 4L, 6L)))
   }
+
+  test("stripBoilerplate removes >=minDf per-source chunks, keeps rarer and cross-source ones") {
+    import spark.implicits._
+    val footer = "subscribe to our newsletter today" // 5 tokens, 2 grams at n=4
+    // src A: footer in 3 docs -> boilerplate; the 2-doc "rare chunk one two"
+    // repeat is below minDf=3 and must survive; src B has the footer only
+    // once, so it must survive there (per-source scoping).
+    val docs = Seq(
+      (1L, "A", s"alpha beta $footer gamma"),
+      (2L, "A", s"$footer delta epsilon zeta eta"),
+      (3L, "A", s"theta $footer rare chunk one two"),
+      (4L, "A", s"iota kappa rare chunk one two lambda"),
+      (5L, "B", s"mu nu $footer xi")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.stripBoilerplate(docs, 4, 3)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, "alpha beta gamma")))
+    assert(got(2L) == ((4L, "delta epsilon zeta eta")))
+    assert(got(3L) == ((5L, "theta rare chunk one two")))
+    assert(got(4L) == ((7L, "iota kappa rare chunk one two lambda")))
+    assert(got(5L) == ((8L, s"mu nu $footer xi"))) // src B: df=1, kept
+  }
+
+  test("cdcChunks: prefix insertion preserves all boundaries past the edit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(211L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val text = Seq.fill(400)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = Seq((1L, text), (2L, s"zz yy $text")).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs).select("doc_id", "chunk")
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // every original chunk except the first (absorbed into the edited
+    // head chunk) must reappear verbatim in the prefixed copy
+    val missing = ch(1L) -- ch(2L)
+    assert(missing.size <= 1, s"CDC lost ${missing.size} chunks to a prefix edit")
+    assert(ch(1L).size > 10, "expected ~25 chunks from 400 words")
+    // reassembly sanity: chunks concatenate back to the document
+    val ordered = Dedup.cdcChunks(docs).filter($"doc_id" === 1L)
+      .orderBy("chunk_id").select("chunk").as[String].collect()
+    assert(ordered.mkString(" ") == text)
+  }
 }
