@@ -120,6 +120,41 @@ object Multimodal {
           }
         }
         .toDF("doc_id", "frame_idx", "frame_md5")
+    }),
+
+    // -- m6: perceptual-hash near-duplicate pairing ------------------------
+    // image near-dup at corpus scale (the web-image-dataset problem): a
+    // decode-side 60-bit signature, then EXACTLY the d11 machinery —
+    // 4x15-bit band join + popcount verify ([[Dedup.simhashPairs]],
+    // pigeonhole-complete for hamming<=3). The signature is a STUB pHash
+    // (bit i = parity of payload bytes at positions ≡ i mod 60): like a
+    // real DCT pHash it is locality-sensitive — a small payload edit
+    // flips only the bits of the touched blocks — so the banded pairing
+    // semantics are exercised for real; swap the stub for a codec+DCT in
+    // production, the plan is unchanged. The corpus plants a
+    // one-byte-edited copy of every payload; each is a hamming<=1 pair
+    // the bands must find.
+    "m6_phash_neardup" -> ((s, d) => {
+      import s.implicits._
+      val doc = documents(s, d)
+      val base = doc.select(col("doc_id"), col("text"))
+        .unionByName(doc.select((col("doc_id") + 400000).as("doc_id"),
+          concat(substring(col("text"), 1, 6), lit("q"),
+            expr("substring(text, 8)")).as("text")))
+      val sigs = base
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) =>
+          val par = new Array[Long](60)
+          var i = 0
+          while (i < p.length) { par(i % 60) += p(i) & 0xffL; i += 1 }
+          var sig = 0L
+          var b = 0
+          while (b < 60) { if ((par(b) & 1L) == 1L) sig |= 1L << b; b += 1 }
+          (id, sig)
+        })
+        .toDF("doc_id", "sig")
+      Dedup.simhashPairs(sigs)
     })
   )
 
@@ -160,6 +195,31 @@ object Multimodal {
         |      FROM b GROUP BY batch_id)
         |SELECT doc_id, b.batch_id, batch_items, padded_len, n_bytes,
         |  md5(rpad(text, CAST(padded_len AS INT), ' ')) AS enc_md5
-        |FROM b JOIN m USING (batch_id)""".stripMargin
+        |FROM b JOIN m USING (batch_id)""".stripMargin,
+    "m6_phash_neardup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id,
+        |         substring(text, 1, 6) || 'q' || substring(text, 8) AS text
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, (i - 1) % 60 AS b,
+        |         SUM(unicode(substring(text, i, 1))) AS sm
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        |        FROM base)
+        |  GROUP BY doc_id, (i - 1) % 60),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN sm % 2 = 1 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, sig, b, (sig >> (15*b)) & 32767 AS bv
+        |          FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |           x.sig AS sa, y.sig AS sb
+        |         FROM bands x JOIN bands y
+        |           ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
   )
 }
