@@ -246,6 +246,58 @@ object Similarity {
           (round(col("c"), 4) + lit(0.0)).as("score"))
     }),
 
+    // -- s10: product quantization + ADC scan ------------------------------
+    // the PQ memory path every large ANN deployment ends at: each corpus
+    // vector is stored as 4 sub-space centroid CODES (4 small ints)
+    // instead of 64 floats — 64x less candidate-scan IO at 100 TB; recall
+    // layers on via the s9 multiprobe pattern. Codebook: 16 centroids per
+    // subspace from the vec_id < 16 vectors; assignment is the lloyd
+    // max(struct) partial agg per (vector, subspace) (argmin L2 ==
+    // argmax 2x·c − c², the x² term being constant per group). Queries
+    // score against the RECONSTRUCTION (concat of coded centroids) —
+    // asymmetric distance computation, mathematically the per-subspace
+    // lookup-table sum but implemented as ONE fixed-order vec_dot loop:
+    // an unordered SUM over the 4 subspace partial dots would be
+    // shuffle-order-dependent in float, and engines must fold
+    // identically. Top-k mirrors s1's capped-query brute shape (the
+    // window partitions by q_id over an absolutely-capped query set).
+    "s10_pq_adc" -> ((s, d) => {
+      val all = vecs(s, d)
+      def subSlices(vcol: String): Column = explode(array((0 until 4).map(m =>
+        struct(lit(m).as("m"),
+          expr(s"slice($vcol, $m * (size($vcol) / 4) + 1, size($vcol) / 4)")
+            .as("xv"))): _*))
+      val cb = all.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), subSlices("v").as("e"))
+        .select(col("e.m").as("m"), col("cid"), col("e.xv").as("cv"))
+        .withColumn("cn2", dot(col("cv"), col("cv")))
+      val codes = all.select(col("vec_id"), subSlices("v").as("e"))
+        .select(col("vec_id"), col("e.m").as("m"), col("e.xv").as("xv"))
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("nd", lit(2) * dot(col("xv"), col("cv")) - col("cn2"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(max(struct(col("nd"), (-col("cid")).as("ncid"), col("cv"))).as("mm"))
+        .select(col("vec_id"), col("m"), col("mm.cv").as("cv"))
+      val recon = codes.groupBy("vec_id")
+        .agg(concat(
+          max(when(col("m") === 0, col("cv"))),
+          max(when(col("m") === 1, col("cv"))),
+          max(when(col("m") === 2, col("cv"))),
+          max(when(col("m") === 3, col("cv")))).as("rv"))
+        .withColumn("rn2", dot(col("rv"), col("rv")))
+      val q = all.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+      recon.join(broadcast(q), lit(true))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("c", dot(col("qv"), col("rv")) / sqrt(col("qn2") * col("rn2")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id").as("neighbor"),
+          col("rnk").cast("long").as("rnk"),
+          (round(col("c"), 4) + lit(0.0)).as("score"))
+    }),
+
     // -- SemDedup: cluster-then-in-cluster pairwise semantic dedup ---------
     // corpus augmented with exact copies (vec_id + 10000) the pass must
     // drop; cells from the same fixed coarse quantizer as s5 (copies share
@@ -393,6 +445,39 @@ object Similarity {
         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor) AS rnk
         |      FROM sc)
         |SELECT q_id, neighbor, rnk, round(c, 4) + 0 AS score FROM r WHERE rnk <= 3""".stripMargin,
+    "s10_pq_adc" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+        |subs AS (
+        |  SELECT vec_id, m,
+        |         v[(m * (len(v) // 4) + 1):((m + 1) * (len(v) // 4))] AS xv
+        |  FROM n CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS m) ms),
+        |cb AS (
+        |  SELECT m, vec_id AS cid, xv AS cv, list_dot_product(xv, xv) AS cn2
+        |  FROM subs WHERE vec_id < 16),
+        |codes AS (
+        |  SELECT vec_id, m, cv FROM (
+        |    SELECT s.vec_id, s.m, c.cv,
+        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+        |        ORDER BY 2 * list_dot_product(s.xv, c.cv) - c.cn2 DESC, c.cid) AS rn
+        |    FROM subs s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+        |recon AS (
+        |  SELECT c0.vec_id, c0.cv || c1.cv || c2.cv || c3.cv AS rv
+        |  FROM (SELECT vec_id, cv FROM codes WHERE m = 0) c0
+        |  JOIN (SELECT vec_id, cv FROM codes WHERE m = 1) c1 USING (vec_id)
+        |  JOIN (SELECT vec_id, cv FROM codes WHERE m = 2) c2 USING (vec_id)
+        |  JOIN (SELECT vec_id, cv FROM codes WHERE m = 3) c3 USING (vec_id)),
+        |r2 AS (SELECT vec_id, rv, list_dot_product(rv, rv) AS rn2 FROM recon),
+        |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n
+        |      WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |sc AS (SELECT q.q_id, r.vec_id AS neighbor,
+        |         list_dot_product(q.qv, r.rv) / sqrt(q.qn2 * r.rn2) AS c
+        |       FROM q CROSS JOIN r2 r WHERE r.vec_id <> q.q_id),
+        |rr AS (SELECT q_id, neighbor, c,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor) AS rnk
+        |      FROM sc)
+        |SELECT q_id, neighbor, rnk, round(c, 4) + 0 AS score
+        |FROM rr WHERE rnk <= 3""".stripMargin,
     "s9_ivf_multiprobe" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),

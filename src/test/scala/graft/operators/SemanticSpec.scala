@@ -70,4 +70,24 @@ class SemanticSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(0L, 1L))
   }
+
+  test("s10 PQ: codebook vectors reconstruct exactly — ADC scores an exact copy at 1.0") {
+    // vec_id < 16 vectors ARE the codebook, so their sub-vectors quantize
+    // to themselves and the reconstruction is bit-exact; an exact copy of
+    // vec 0 (vec_id 16) must therefore rank 1 for query 0 with rounded
+    // ADC cosine exactly 1.0.
+    val rnd = new scala.util.Random(401L)
+    def randVec() = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val base = (0 until 16).map(i => (i.toLong, randVec()))
+    val rows = base ++ Seq((16L, base(0)._2)) ++
+      (17 until 40).map(i => (i.toLong, randVec()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    rows.toDF("vec_id", "embedding").withColumn("label", lit("x"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("s10_pq_adc")(spark, dir)
+      .filter(col("q_id") === 0L).orderBy("rnk")
+      .select("neighbor", "score").as[(Long, Double)].collect()
+    assert(got.length == 3)
+    assert(got.head == ((16L, 1.0)), s"expected exact-copy rank 1, got ${got.toSeq}")
+  }
 }
