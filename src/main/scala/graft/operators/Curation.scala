@@ -163,6 +163,25 @@ object Curation {
         embeddings = Some(emb), semCentroidSet = Some(cents))
     }),
 
+    // -- the pipeline with a BOILERPLATE pre-stage ------------------------
+    // the RefinedWeb/C4 stage ORDER: per-source boilerplate removal
+    // (d15's engine) transforms text BEFORE every downstream verdict, so
+    // dedup/quality/decontamination judge the content, not the shared
+    // site chrome. Runs on the d15 synthetic-header corpus (both engines
+    // build it) so the stage bites at every sf; docs stripped to nothing
+    // drop out entirely — the curation report then simply has no row for
+    // them, as a real pipeline's would.
+    "c4_curate_bp" -> ((s, d) => {
+      val doc = documents(s, d)
+      val aug = doc.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), col("source"),
+          concat(lit("site header for "), col("source"), lit(" menu "),
+            col("text")).as("text"))
+      val cleaned = Dedup.stripBoilerplate(aug, 4, 3)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      curate(cleaned, doc.filter(col("doc_id") % 100 === 0))
+    }),
+
     // -- the pipeline with the CLASSIFIER gate live -----------------------
     // quality-model filtering (the x6 hashed linear scorer) composed as a
     // fifth verdict: cls_keep = score > 0. Exercises the stage the big
@@ -180,7 +199,33 @@ object Curation {
   // fragments, over the unaugmented train split; `sem = true` appends the
   // s7 semantic-dedup fragment (fixed seed centroids, corpus vectors only)
   // and folds sem_keep into keep.
-  private def curateOracle(sem: Boolean, cls: Boolean = false): String = {
+  private def curateOracle(sem: Boolean, cls: Boolean = false,
+                           bp: Boolean = false): String = {
+      // `bp = true` swaps the raw train split for its d15
+      // boilerplate-stripped form (synthetic-header corpus, word 4-grams
+      // in >= 3 docs of a source removed, survivors reassembled)
+      val trainCte =
+        if (!bp) "train AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),"
+        else
+          """baug AS (SELECT doc_id, source,
+            |           'site header for ' || source || ' menu ' || text AS text
+            |         FROM documents WHERE doc_id % 100 <> 0),
+            |btok AS (SELECT doc_id, source, i - 1 AS i, ws[i] AS w,
+            |           CASE WHEN i <= len(ws) - 3
+            |                THEN array_to_string(ws[i:i+3], ' ') END AS g
+            |         FROM (SELECT doc_id, source, string_split(text, ' ') AS ws,
+            |                      unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+            |               FROM baug)),
+            |bbp AS (SELECT source, g FROM btok WHERE g IS NOT NULL
+            |        GROUP BY source, g HAVING COUNT(DISTINCT doc_id) >= 3),
+            |bcov AS (SELECT DISTINCT t.doc_id, t.i + d.k AS ci
+            |         FROM btok t JOIN bbp b ON t.source = b.source AND t.g = b.g
+            |         CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) d),
+            |bkept AS (SELECT t.doc_id, t.i, t.w FROM btok t
+            |          LEFT JOIN bcov c ON t.doc_id = c.doc_id AND t.i = c.ci
+            |          WHERE c.doc_id IS NULL),
+            |train AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text
+            |          FROM bkept GROUP BY doc_id),""".stripMargin
       val clsCte =
         """clsk AS (SELECT doc_id,
           |    CASE WHEN CAST(SUM(w) AS BIGINT) > 0 THEN 1 ELSE 0 END AS ck
@@ -218,8 +263,8 @@ object Curation {
         else "1"
       val semJoin = if (sem) "\nLEFT JOIN semk ON semk.doc_id = t.doc_id" else ""
       val sw = stopwords.map(w => s"'$w'").mkString(", ")
-      """WITH RECURSIVE
-        |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
+      s"""WITH RECURSIVE
+        |$trainCte
         |test AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
         |ex AS (SELECT doc_id,
         |         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
@@ -289,6 +334,7 @@ object Curation {
   def oracles: Map[String, String] = Map(
     "c1_curate" -> curateOracle(sem = false),
     "c2_curate_sem" -> curateOracle(sem = true),
-    "c3_curate_cls" -> curateOracle(sem = false, cls = true)
+    "c3_curate_cls" -> curateOracle(sem = false, cls = true),
+    "c4_curate_bp" -> curateOracle(sem = false, bp = true)
   )
 }

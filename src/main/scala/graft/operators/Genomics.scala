@@ -136,6 +136,45 @@ object Genomics {
           round(col("gc").cast("double") / col("len"), 4).as("gc_frac"))
     }),
 
+    // -- g13: minimizer sketch -------------------------------------------
+    // the modern mapper/assembler staple (minimap2, SKESA): per read, each
+    // window of w consecutive canonical k-mers contributes its hash-
+    // minimal k-mer; the distinct-minimizer table (~2/(w+1) of all
+    // positions) replaces the full k-mer table for seeding/partitioning.
+    // Order key is md5 of the canonical k-mer so both engines rank
+    // identically; production swaps xxhash64 on the packed-Long key, same
+    // plan (the d13 rationale — only the SELECTED SET must be preserved).
+    // Scale: the min-over-window runs per read (ROWS frame, bounded by
+    // read length, parallel across reads); selected windows collapse by
+    // hash BEFORE the join that recovers the k-mer text, so the recovery
+    // join touches minimizers only. k=11, w=8 over the 64-base reads.
+    "g13_minimizers" -> ((s, d) => {
+      val k = 11; val w = 8
+      val seq = documents(s, d).select(col("doc_id"), dna64(col("doc_id")).as("s"))
+      val km = seq
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("s")) - (k - 1))).as("i"),
+          col("s"))
+        .select(col("doc_id"), col("i"),
+          (length(col("s")) - (k - 1)).as("np"),
+          least(expr(s"substring(s, i, $k)"),
+            reverse(translate(expr(s"substring(s, i, $k)"), "ACGT", "TGCA")))
+            .as("km"))
+        .withColumn("mh", md5(col("km")))
+      val nWin = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+      val sel = km
+        .withColumn("mmh", min(col("mh")).over(nWin))
+        .filter(col("i") <= col("np") - (w - 1))
+        .groupBy(col("doc_id"), col("mmh"))
+        .agg(count(lit(1)).as("n_win"))
+      val dict = km.select(col("mh"), col("km")).distinct()
+      sel.join(dict, sel("mmh") === dict("mh"))
+        .groupBy("km")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_win")).as("n_sel"))
+    }),
+
     // -- P7: forward sub-kmer split (prefix key, marker, extension base) ---
     "g7_subkmer_split" -> ((s, d) => {
       import s.implicits._
@@ -235,6 +274,28 @@ object Genomics {
          |  round(CAST(length(s) - length(translate(s, 'GC', '')) AS DOUBLE)
          |    / length(s), 4) AS gc_frac
          |FROM seq""".stripMargin,
+    "g13_minimizers" ->
+      s"""WITH seq AS (SELECT doc_id, $sqlDna64 AS s FROM documents),
+         |km AS (
+         |  SELECT doc_id, i, length(s) - 10 AS np,
+         |         least(substr(s, i, 11),
+         |               ${sqlRc("substr(s, i, 11)")}) AS km
+         |  FROM (SELECT doc_id, s,
+         |          unnest(generate_series(1, length(s) - 10)) AS i FROM seq)),
+         |h AS (SELECT doc_id, i, np, km, md5(km) AS mh FROM km),
+         |wmin AS (
+         |  SELECT doc_id, i, np,
+         |         MIN(mh) OVER (PARTITION BY doc_id ORDER BY i
+         |                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mmh
+         |  FROM h),
+         |sel AS (
+         |  SELECT doc_id, mmh, COUNT(*) AS n_win
+         |  FROM wmin WHERE i <= np - 7 GROUP BY doc_id, mmh),
+         |dict AS (SELECT DISTINCT mh, km FROM h)
+         |SELECT km, COUNT(DISTINCT s.doc_id) AS n_docs,
+         |       CAST(SUM(n_win) AS BIGINT) AS n_sel
+         |FROM sel s JOIN dict d ON s.mmh = d.mh
+         |GROUP BY km""".stripMargin,
     "g7_subkmer_split" ->
       (sqlKmerCounts(15) +
         """

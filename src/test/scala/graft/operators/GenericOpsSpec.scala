@@ -286,4 +286,18 @@ class GenericOpsSpec extends AnyFunSuite {
     assert(kept.map(_.length).max < p.length + 2 * k)
     assert(popped.map(_.length).max >= p.length + v1.length - 2 * k)
   }
+
+  test("g13 minimizers: every window selects exactly one, density near 2/(w+1)") {
+    import spark.implicits._
+    val got = Genomics.queries("g13_minimizers")(spark, "/root/testdata/sf0.001")
+      .select("km", "n_docs", "n_sel").as[(String, Long, Long)].collect()
+    // 500 docs x (54 kmer positions -> 47 windows of w=8): each window
+    // selects exactly one minimizer hash, so selections sum to 500*47
+    assert(got.map(_._3).sum == 500L * 47)
+    assert(got.forall(r => r._2 >= 1 && r._1.length == 11))
+    // expected distinct selected positions/doc ~ 2/(w+1) * 54 ≈ 12 of 54;
+    // globally the distinct-minimizer table must be well under the full
+    // 11-mer table (the sketch's point) but far from degenerate
+    assert(got.length > 2000 && got.length < 12000, s"got ${got.length}")
+  }
 }
