@@ -272,6 +272,28 @@ object Events {
           (col("n") * col("dcnt") - col("sn")) * (col("n") * col("dcnt") - col("sn")) >
             lit(9) * (col("dcnt") * col("qn") - col("sn") * col("sn")))
         .select(col("event_type"), col("dy"), col("n"))
+    }),
+
+    // -- e15: exponentially-decayed engagement score -----------------------
+    // the feature-store recency score (half-life weighting): each event
+    // contributes 2^-(age_weeks) of a unit. FP exp() sums are order-
+    // dependent, so the half-life is realized as exact DYADIC integers —
+    // weight = 1 << (12 - age_weeks) for ages up to 12 weeks, 0 beyond —
+    // making the per-user sum order-independent integer math (score/4096
+    // is the conventional float). "now" is max(ts) over the table — a
+    // broadcast scalar (the x4 pattern); scoring is one map-side-combined
+    // agg keyed on user_id. Nothing scales with anything but |events|.
+    "e15_decay_score" -> ((s, d) => {
+      val day = 86400L * 1000000L
+      val ev = events(s, d)
+        .select(col("user_id"), expr(s"unix_micros(ts) div ${day}L").as("dy"))
+      val now = ev.agg(max(col("dy")).as("now_dy"))
+      ev.crossJoin(broadcast(now))
+        .withColumn("agew", expr("(now_dy - dy) div 7"))
+        .withColumn("wgt", when(col("agew") <= 12,
+          expr("shiftleft(1L, cast(12 - agew as int))")).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("wgt")).as("score"), count(lit(1)).as("n_events"))
     })
   )
 
@@ -432,6 +454,15 @@ object Events {
         |FROM daily d JOIN stats s ON d.event_type = s.event_type
         |WHERE d.n * s.dcnt > s.sn
         |  AND (d.n * s.dcnt - s.sn) * (d.n * s.dcnt - s.sn)
-        |      > 9 * (s.dcnt * s.qn - s.sn * s.sn)""".stripMargin
+        |      > 9 * (s.dcnt * s.qn - s.sn * s.sn)""".stripMargin,
+    "e15_decay_score" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS dy FROM events),
+        |nw AS (SELECT MAX(dy) AS now_dy FROM ev),
+        |w AS (SELECT user_id, (now_dy - dy) // 7 AS agew FROM ev CROSS JOIN nw)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN agew <= 12 THEN CAST(1 AS BIGINT) << (12 - agew)
+        |                ELSE 0 END) AS BIGINT) AS score,
+        |  COUNT(*) AS n_events
+        |FROM w GROUP BY user_id""".stripMargin
   )
 }

@@ -175,6 +175,46 @@ object Genomics {
           sum(col("n_win")).as("n_sel"))
     }),
 
+    // -- g14: minimizer-seeded overlap candidates ------------------------
+    // minimap2's seeding stage (Li 2018 §2.1): two reads overlap iff they
+    // share minimizers, so overlap detection is an equality join on the
+    // sketch — never an all-pairs alignment. Reads are sliding windows
+    // (len 32, step 8) of each doc's 64-base sequence (the a1 convention),
+    // so genuine overlaps exist; rid = doc_id*8 + window index. Repeat
+    // masking: minimizers in >8 reads are dropped (minimap2's high-
+    // frequency filter), bounding every bucket at C(8,2) pairs — the d6
+    // rationale — so candidate generation is cartesian-free at any corpus
+    // size. Pairs sharing >=3 minimizers are the chaining candidates; on
+    // this corpus that recovers ALL 4-per-doc adjacent pairs (24-base
+    // overlap) with zero cross-doc false positives (spec).
+    "g14_minimizer_overlap" -> ((s, d) => {
+      val k = 11; val w = 4
+      val reads = documents(s, d)
+        .select(col("doc_id"), dna64(col("doc_id")).as("g"))
+        .select(col("doc_id"),
+          posexplode(expr("transform(sequence(1, 33, 8), i -> substring(g, i, 32))")))
+        .select((col("doc_id") * 8 + col("pos")).as("rid"), col("col").as("r"))
+      val km = reads
+        .select(col("rid"), explode(sequence(lit(1), lit(32 - k + 1))).as("i"), col("r"))
+        .select(col("rid"), col("i"),
+          md5(least(expr(s"substring(r, i, $k)"),
+            reverse(translate(expr(s"substring(r, i, $k)"), "ACGT", "TGCA")))).as("mh"))
+      val nWin = Window.partitionBy("rid").orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+      val sel = km
+        .withColumn("mmh", min(col("mh")).over(nWin))
+        .filter(col("i") <= lit(32 - k + 1 - (w - 1)))
+        .select(col("rid"), col("mmh")).distinct()
+      val rare = sel.groupBy("mmh").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 8)).select("mmh")
+      val fsel = sel.join(rare, "mmh")
+      fsel.select(col("mmh"), col("rid").as("ra"))
+        .join(fsel.select(col("mmh"), col("rid").as("rb")), "mmh")
+        .filter(col("ra") < col("rb"))
+        .groupBy("ra", "rb").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+    }),
+
     // -- P7: forward sub-kmer split (prefix key, marker, extension base) ---
     "g7_subkmer_split" -> ((s, d) => {
       import s.implicits._
@@ -296,6 +336,23 @@ object Genomics {
          |       CAST(SUM(n_win) AS BIGINT) AS n_sel
          |FROM sel s JOIN dict d ON s.mmh = d.mh
          |GROUP BY km""".stripMargin,
+    "g14_minimizer_overlap" ->
+      s"""WITH g AS (SELECT doc_id, $sqlDna64 AS s FROM documents),
+         |reads AS (SELECT doc_id * 8 + (st - 1) // 8 AS rid, substr(s, st, 32) AS r
+         |  FROM (SELECT doc_id, s, unnest(generate_series(1, 33, 8)) AS st FROM g)),
+         |h AS (SELECT rid, i,
+         |    md5(least(substr(r, i, 11), ${sqlRc("substr(r, i, 11)")})) AS mh
+         |  FROM (SELECT rid, r, unnest(generate_series(1, 22)) AS i FROM reads)),
+         |wmin AS (SELECT rid, i,
+         |    MIN(mh) OVER (PARTITION BY rid ORDER BY i
+         |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mmh
+         |  FROM h),
+         |sel AS (SELECT DISTINCT rid, mmh FROM wmin WHERE i <= 19),
+         |rare AS (SELECT mmh FROM sel GROUP BY mmh HAVING COUNT(*) BETWEEN 2 AND 8),
+         |fsel AS (SELECT s.rid, s.mmh FROM sel s JOIN rare USING (mmh))
+         |SELECT a.rid AS ra, b.rid AS rb, COUNT(*) AS n_shared
+         |FROM fsel a JOIN fsel b ON a.mmh = b.mmh AND a.rid < b.rid
+         |GROUP BY a.rid, b.rid HAVING COUNT(*) >= 3""".stripMargin,
     "g7_subkmer_split" ->
       (sqlKmerCounts(15) +
         """

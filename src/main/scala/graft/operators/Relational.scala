@@ -291,6 +291,26 @@ object Relational {
     // ROWS frame would count rows. Decimal-exact sums (the e1 pattern),
     // epoch-micro order key; the window partitions per customer (bounded
     // by one customer's history, never table-sized).
+    // -- rank-analytics battery: ntile / percent_rank / cume_dist ----------
+    // the remaining SQL:2003 window-rank functions (q7 covers row_number/
+    // rank). Partitioned by o_custkey — HIGH-cardinality, so every task
+    // sorts only one customer's orders (contrast q17's per-flag groups,
+    // which need the two-phase form). The orderBy appends o_orderkey so
+    // ties can't exist: ntile is row-position-dependent and percent_rank/
+    // cume_dist are peer-group-dependent, so a total order is what makes
+    // both engines bit-agree. The pr/cd doubles are (rank-1)/(n-1)-style
+    // divisions of identical ints — IEEE-identical across engines.
+    "q28_rank_analytics" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .select("o_orderkey", "o_custkey", "quartile", "pr", "cd")
+    }),
+
     "q26_range_frame" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("ts"))
         .rangeBetween(-90L * 86400L * 1000000L, 0L)
@@ -520,6 +540,13 @@ object Relational {
         |  SELECT c_name, c_acctbal FROM customer
         |  WHERE c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c""".stripMargin,
+    "q28_rank_analytics" ->
+      """SELECT o_orderkey, o_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q26_range_frame" ->
       """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS ts,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

@@ -514,6 +514,39 @@ object TextOps {
         .select(col("doc_id"), col("n_sh"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           expr("coalesce(n_hits, 0) * 10000 div n_sh").as("contam_bp"))
+    }),
+
+    // -- t28: DSIR-style target-domain importance votes --------------------
+    // Data Selection with Importance Resampling (Xie et al. 2023): score
+    // raw docs by how target-like their hashed-n-gram distribution is.
+    // Features are word bigrams hashed to 4096 buckets (the x3 md5
+    // convention); target = the held-out split, raw = the corpus. Instead
+    // of summing float log-likelihood ratios (whose order-dependent FP sum
+    // can't hash-match across engines), each bucket casts an integer VOTE:
+    // +1 if Laplace-smoothed p_target > p_raw, else -1, decided by exact
+    // DECIMAL(19,0) cross-multiplication — (ct+1)(Nr+4096) > (cr+1)(Nt+4096)
+    // is the same inequality as the LLR sign, exact to ~1e19 n-grams/side,
+    // i.e. past 100 TB. A doc's score is the sum of its features' votes —
+    // order-independent integer math. Scale: the bucket table is bounded
+    // at 4096 rows (broadcast), totals are a broadcast scalar, scoring is
+    // one map-side-combined agg over the corpus — embarrassingly parallel.
+    "t28_dsir_votes" -> ((s, d) => {
+      val big = Shingles.wordNGrams(documents(s, d).select(col("doc_id"), col("text")), 2)
+        .select(col("doc_id"), substring(md5(col("sh").cast("binary")), 1, 3).as("b"))
+      val isT = col("doc_id") % 100 === 0
+      val stats = big.groupBy("b").agg(
+        sum(when(isT, 1L).otherwise(0L)).as("ct"),
+        sum(when(isT, 0L).otherwise(1L)).as("cr"))
+      val tot = stats.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+      val votes = stats.crossJoin(broadcast(tot))
+        .select(col("b"),
+          when((col("ct") + 1).cast("decimal(19,0)") * (col("nr") + 4096).cast("decimal(19,0)")
+            > (col("cr") + 1).cast("decimal(19,0)") * (col("nt") + 4096).cast("decimal(19,0)"),
+            1L).otherwise(-1L).as("v"))
+      big.filter(col("doc_id") % 100 =!= 0)
+        .join(broadcast(votes), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("v")).as("dsir_votes"), count(lit(1)).as("n_feat"))
     })
   )
 
@@ -792,6 +825,26 @@ object TextOps {
         |         FROM tsh JOIN test USING (sh) GROUP BY doc_id)
         |SELECT t.doc_id, t.n_sh, coalesce(h.n_hits, 0) AS n_hits,
         |  coalesce(h.n_hits, 0) * 10000 // t.n_sh AS contam_bp
-        |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin
+        |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin,
+    "t28_dsir_votes" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |big AS (SELECT doc_id,
+        |          substring(md5(array_to_string(w[i:i+1], ' ')), 1, 3) AS b
+        |        FROM (SELECT doc_id, w,
+        |                unnest(generate_series(1, len(w) - 1)) AS i FROM w)),
+        |stats AS (SELECT b,
+        |    CAST(SUM(CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(SUM(CASE WHEN doc_id % 100 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM big GROUP BY b),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+        |               CAST(SUM(cr) AS BIGINT) AS nr FROM stats),
+        |votes AS (SELECT b,
+        |    CASE WHEN CAST(ct + 1 AS DECIMAL(19,0)) * CAST(nr + 4096 AS DECIMAL(19,0))
+        |            > CAST(cr + 1 AS DECIMAL(19,0)) * CAST(nt + 4096 AS DECIMAL(19,0))
+        |         THEN 1 ELSE -1 END AS v
+        |  FROM stats CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(v) AS BIGINT) AS dsir_votes, COUNT(*) AS n_feat
+        |FROM big JOIN votes USING (b)
+        |WHERE doc_id % 100 <> 0 GROUP BY doc_id""".stripMargin
   )
 }

@@ -300,4 +300,38 @@ class GenericOpsSpec extends AnyFunSuite {
     // 11-mer table (the sketch's point) but far from degenerate
     assert(got.length > 2000 && got.length < 12000, s"got ${got.length}")
   }
+
+  test("g14 overlap seeding: all adjacent read pairs, no cross-doc pairs") {
+    import spark.implicits._
+    val got = Genomics.queries("g14_minimizer_overlap")(spark, "/root/testdata/sf0.001")
+      .select("ra", "rb", "n_shared").as[(Long, Long, Long)].collect()
+    // 500 docs x 5 reads (step 8 over 64 bases): every adjacent pair
+    // (24-base overlap) must seed — 4 per doc — and no pair may span docs
+    val adjacent = got.filter(p => p._1 / 8 == p._2 / 8 && p._2 - p._1 == 1)
+    assert(adjacent.length == 500 * 4, s"adjacent ${adjacent.length}")
+    assert(got.forall(p => p._1 / 8 == p._2 / 8), "cross-doc false positive")
+    assert(got.forall(_._3 >= 3))
+  }
+
+  test("t28 DSIR votes: every train doc scored, one vote per bigram") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = TextOps.queries("t28_dsir_votes")(spark, sf)
+      .select("doc_id", "dsir_votes", "n_feat").as[(Long, Long, Long)].collect()
+    val nTrain = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 100 =!= 0).count()
+    assert(got.length == nTrain)
+    // |votes| <= n_feat (each bigram votes +/-1) and both signs occur
+    assert(got.forall(r => math.abs(r._2) <= r._3 && r._3 > 0))
+    assert(got.exists(_._2 > 0) || got.exists(_._2 < 0))
+  }
+
+  test("e15 decay score: dyadic weights bound the score, recent > stale") {
+    import spark.implicits._
+    val got = Events.queries("e15_decay_score")(spark, "/root/testdata/sf0.001")
+      .select("user_id", "score", "n_events").as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // every event weighs at most 2^12 and at least 0
+    assert(got.forall(r => r._2 >= 0 && r._2 <= 4096L * r._3))
+  }
 }
