@@ -294,6 +294,23 @@ object Events {
           expr("shiftleft(1L, cast(12 - agew as int))")).otherwise(0L))
         .groupBy("user_id")
         .agg(sum(col("wgt")).as("score"), count(lit(1)).as("n_events"))
+    }),
+
+    // -- e16: semi-structured props extraction -----------------------------
+    // every event pipeline carries a JSON properties blob; the engine must
+    // type it without a pre-scan. `from_json` with an explicit DDL schema
+    // parses each row exactly once into a typed struct (no inference scan
+    // over the corpus — the f8 rationale), then the agg is ordinary
+    // map-side-combined integer math. Malformed rows become NULL k and
+    // survive as such (PERMISSIVE), they don't kill the job.
+    "e16_json_props" -> ((s, d) => {
+      val k = from_json(col("props"), "k BIGINT",
+        Map.empty[String, String]).getField("k")
+      events(s, d).select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     })
   )
 
@@ -463,6 +480,12 @@ object Events {
         |  CAST(SUM(CASE WHEN agew <= 12 THEN CAST(1 AS BIGINT) << (12 - agew)
         |                ELSE 0 END) AS BIGINT) AS score,
         |  COUNT(*) AS n_events
-        |FROM w GROUP BY user_id""".stripMargin
+        |FROM w GROUP BY user_id""".stripMargin,
+    "e16_json_props" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  COUNT(DISTINCT k) AS n_k, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM e GROUP BY event_type""".stripMargin
   )
 }
