@@ -215,6 +215,35 @@ object Genomics {
         .filter(col("n_shared") >= 3)
     }),
 
+    // -- g15: PageRank over the overlap graph ------------------------------
+    // graph centrality on g14's read-overlap graph — the repeat-detection
+    // signal an assembler reads off its string graph (high-rank nodes =
+    // reads many others overlap, i.e. repeats/high-coverage loci). FP
+    // PageRank sums are order-dependent, so ranks are INTEGER-scaled
+    // (x1e4) with damping as exact rational arithmetic: r' = 1500 +
+    // (85 * sum(r div deg)) div 100 — both engines do the same truncating
+    // divisions on positive ints, so 3 unrolled iterations are engine-
+    // exact. Scale: each iteration is ONE hash shuffle of the edge table
+    // (join on src + groupBy dst), the classic distributed-PageRank shape;
+    // the candidate graph is localCheckpoint'd so iterations don't replay
+    // the sketch pipeline.
+    "g15_overlap_pagerank" -> ((s, d) => {
+      val pairs = queries("g14_minimizer_overlap")(s, d)
+      val edges = pairs.select(col("ra").as("src"), col("rb").as("dst"))
+        .union(pairs.select(col("rb").as("src"), col("ra").as("dst")))
+        .localCheckpoint()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      var r = deg.select(col("src").as("rid"), lit(10000L).as("r"))
+      for (_ <- 1 to 3) {
+        r = edges.join(r, col("src") === col("rid")).join(deg, "src")
+          .select(col("dst"), expr("r div deg").as("ct"))
+          .groupBy("dst").agg(sum(col("ct")).as("contrib"))
+          .select(col("dst").as("rid"),
+            expr("1500 + (85 * contrib) div 100").as("r"))
+      }
+      r.select(col("rid"), col("r").as("pr"))
+    }),
+
     // -- P7: forward sub-kmer split (prefix key, marker, extension base) ---
     "g7_subkmer_split" -> ((s, d) => {
       import s.implicits._
@@ -279,6 +308,26 @@ object Genomics {
     })
   )
 
+  /** Shared oracle CTE chain for g14/g15: minimizer-seeded overlap
+    * candidate pairs over sliding-window reads (ends with `pairs`). */
+  private lazy val sqlOverlapPairs =
+    s"""WITH g AS (SELECT doc_id, $sqlDna64 AS s FROM documents),
+       |reads AS (SELECT doc_id * 8 + (st - 1) // 8 AS rid, substr(s, st, 32) AS r
+       |  FROM (SELECT doc_id, s, unnest(generate_series(1, 33, 8)) AS st FROM g)),
+       |h AS (SELECT rid, i,
+       |    md5(least(substr(r, i, 11), ${sqlRc("substr(r, i, 11)")})) AS mh
+       |  FROM (SELECT rid, r, unnest(generate_series(1, 22)) AS i FROM reads)),
+       |wmin AS (SELECT rid, i,
+       |    MIN(mh) OVER (PARTITION BY rid ORDER BY i
+       |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mmh
+       |  FROM h),
+       |sel AS (SELECT DISTINCT rid, mmh FROM wmin WHERE i <= 19),
+       |rare AS (SELECT mmh FROM sel GROUP BY mmh HAVING COUNT(*) BETWEEN 2 AND 8),
+       |fsel AS (SELECT s.rid, s.mmh FROM sel s JOIN rare USING (mmh)),
+       |pairs AS (SELECT a.rid AS ra, b.rid AS rb, COUNT(*) AS n_shared
+       |  FROM fsel a JOIN fsel b ON a.mmh = b.mmh AND a.rid < b.rid
+       |  GROUP BY a.rid, b.rid HAVING COUNT(*) >= 3)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "g1_kmer_count" ->
       (sqlKmerCounts(15) + "\nSELECT kmer, c AS count FROM cnt"),
@@ -337,22 +386,26 @@ object Genomics {
          |FROM sel s JOIN dict d ON s.mmh = d.mh
          |GROUP BY km""".stripMargin,
     "g14_minimizer_overlap" ->
-      s"""WITH g AS (SELECT doc_id, $sqlDna64 AS s FROM documents),
-         |reads AS (SELECT doc_id * 8 + (st - 1) // 8 AS rid, substr(s, st, 32) AS r
-         |  FROM (SELECT doc_id, s, unnest(generate_series(1, 33, 8)) AS st FROM g)),
-         |h AS (SELECT rid, i,
-         |    md5(least(substr(r, i, 11), ${sqlRc("substr(r, i, 11)")})) AS mh
-         |  FROM (SELECT rid, r, unnest(generate_series(1, 22)) AS i FROM reads)),
-         |wmin AS (SELECT rid, i,
-         |    MIN(mh) OVER (PARTITION BY rid ORDER BY i
-         |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mmh
-         |  FROM h),
-         |sel AS (SELECT DISTINCT rid, mmh FROM wmin WHERE i <= 19),
-         |rare AS (SELECT mmh FROM sel GROUP BY mmh HAVING COUNT(*) BETWEEN 2 AND 8),
-         |fsel AS (SELECT s.rid, s.mmh FROM sel s JOIN rare USING (mmh))
-         |SELECT a.rid AS ra, b.rid AS rb, COUNT(*) AS n_shared
-         |FROM fsel a JOIN fsel b ON a.mmh = b.mmh AND a.rid < b.rid
-         |GROUP BY a.rid, b.rid HAVING COUNT(*) >= 3""".stripMargin,
+      (sqlOverlapPairs + "\nSELECT ra, rb, n_shared FROM pairs"),
+    "g15_overlap_pagerank" ->
+      (sqlOverlapPairs + """,
+         |edges AS (SELECT ra AS src, rb AS dst FROM pairs
+         |          UNION ALL SELECT rb, ra FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT src AS rid, CAST(10000 AS BIGINT) AS r FROM deg),
+         |i1 AS (SELECT e.dst AS rid,
+         |    1500 + (85 * CAST(SUM(r.r // d.deg) AS BIGINT)) // 100 AS r
+         |  FROM edges e JOIN r0 r ON e.src = r.rid JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |i2 AS (SELECT e.dst AS rid,
+         |    1500 + (85 * CAST(SUM(r.r // d.deg) AS BIGINT)) // 100 AS r
+         |  FROM edges e JOIN i1 r ON e.src = r.rid JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |i3 AS (SELECT e.dst AS rid,
+         |    1500 + (85 * CAST(SUM(r.r // d.deg) AS BIGINT)) // 100 AS r
+         |  FROM edges e JOIN i2 r ON e.src = r.rid JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)
+         |SELECT rid, r AS pr FROM i3""".stripMargin),
     "g7_subkmer_split" ->
       (sqlKmerCounts(15) +
         """

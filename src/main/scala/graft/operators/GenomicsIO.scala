@@ -54,6 +54,24 @@ object GenomicsIO {
           sum(col("n_chars")).as("total_chars"))
     }),
 
+    // -- f9: hive-partitioned sink -> partition-pruned scan ----------------
+    // the lakehouse layout: write documents partitioned by source, read
+    // back with a source predicate. The predicate resolves as PARTITION
+    // PRUNING (PartitionFilters on the scan, not a row filter): Spark
+    // lists only the matching directory — at 100 TB the difference
+    // between scanning one source and scanning the lake. ScaleSpec
+    // proves the pruning shape; here the pruned result itself passes
+    // through the oracle gate.
+    "f9_partition_roundtrip" -> ((s, d) => {
+      val tmp = s"${ioDir(d)}/part_docs"
+      documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").partitionBy("source").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("source") === "src7")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
     // -- contigs -> FASTA file (wrapped) -> parsed back ---------------------
     "f2_fasta_roundtrip" -> ((s, d) => {
       val tmp = s"${ioDir(d)}/fasta"
@@ -109,6 +127,9 @@ object GenomicsIO {
     "f8_json_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE n_chars > 0 GROUP BY lang""".stripMargin,
+    "f9_partition_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE source = 'src7' GROUP BY source""".stripMargin,
     "f2_fasta_roundtrip" ->
       """WITH c AS (
         |  SELECT translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT')

@@ -369,6 +369,43 @@ object Similarity {
           round(col("amax"), 6).as("amax"),
           concat_ws(",", col("q")).as("q"),
           round(dot(col("err"), col("err")) / lit(64.0), 10).as("mse"))
+    }),
+
+    // -- s11: ANN recall harness ------------------------------------------
+    // "measure, don't guess" applied to the ANN ladder itself: recall@3 of
+    // the IVF index (s5's exact plan) against the brute-force ground truth
+    // (s1's), per query. THE number an ANN deployment tunes nprobe/nlist
+    // against. Both sides run on the absolutely-capped query set, so the
+    // brute baseline stays a broadcast join constant in corpus size — at
+    // 100 TB this is exactly how recall is estimated: exhaustive truth on
+    // a fixed query sample, not on the corpus.
+    "s11_ann_recall" -> ((s, d) => {
+      val all = vecs(s, d)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+      val q = all.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+      val brute = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("c", dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id").as("neighbor"))
+      val cents = all.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      val assigned = assignCells(all, cents)
+      val qa = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("n2").as("qn2"), col("cell"))
+      val ivf = qa.join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("c", dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id").as("neighbor"))
+      val hits = brute.join(ivf, Seq("q_id", "neighbor"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      brute.groupBy("q_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_true"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("coalesce(n_hit, 0) * 10000 div n_true").as("recall_bp"))
     })
   )
 
@@ -554,6 +591,42 @@ object Similarity {
         |      FROM qq)
         |SELECT vec_id, round(amax, 6) AS amax, array_to_string(q, ',') AS q,
         |  round(list_dot_product(err, err) / 64.0, 10) AS mse
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    "s11_ann_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n
+        |      WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |bsc AS (SELECT q_id, vec_id AS neighbor,
+        |         list_dot_product(qv, v) / sqrt(qn2 * n2) AS c
+        |       FROM q, n WHERE vec_id <> q_id),
+        |brute AS (SELECT q_id, neighbor FROM (
+        |    SELECT q_id, neighbor,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor) AS rnk
+        |    FROM bsc) WHERE rnk <= 3),
+        |cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 32),
+        |assigned AS (
+        |  SELECT vec_id, v, n2, cid AS cell FROM (
+        |    SELECT n.vec_id, n.v, n.n2, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / sqrt(n.n2 * c.cn2) DESC, c.cid) AS arn
+        |    FROM n CROSS JOIN cents c) WHERE arn = 1),
+        |qa AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cell
+        |       FROM assigned WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |isc AS (SELECT qa.q_id, a.vec_id AS neighbor,
+        |         list_dot_product(qa.qv, a.v) / sqrt(qa.qn2 * a.n2) AS c
+        |       FROM qa JOIN assigned a ON qa.cell = a.cell AND a.vec_id <> qa.q_id),
+        |ivf AS (SELECT q_id, neighbor FROM (
+        |    SELECT q_id, neighbor,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor) AS rnk
+        |    FROM isc) WHERE rnk <= 3),
+        |hits AS (SELECT b.q_id, COUNT(*) AS n_hit
+        |         FROM brute b JOIN ivf i
+        |           ON b.q_id = i.q_id AND b.neighbor = i.neighbor
+        |         GROUP BY b.q_id),
+        |tot AS (SELECT q_id, COUNT(*) AS n_true FROM brute GROUP BY q_id)
+        |SELECT t.q_id, t.n_true, coalesce(h.n_hit, 0) AS n_hit,
+        |  coalesce(h.n_hit, 0) * 10000 // t.n_true AS recall_bp
+        |FROM tot t LEFT JOIN hits h ON t.q_id = h.q_id""".stripMargin
   )
 }

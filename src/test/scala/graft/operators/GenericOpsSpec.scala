@@ -334,4 +334,19 @@ class GenericOpsSpec extends AnyFunSuite {
     // every event weighs at most 2^12 and at least 0
     assert(got.forall(r => r._2 >= 0 && r._2 <= 4096L * r._3))
   }
+
+  test("g15 pagerank: every overlap-graph node ranked, floor respected") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val pr = Genomics.queries("g15_overlap_pagerank")(spark, sf)
+      .select("rid", "pr").as[(Long, Long)].collect()
+    val nodes = Genomics.queries("g14_minimizer_overlap")(spark, sf)
+      .select(col("ra").as("rid")).union(
+        Genomics.queries("g14_minimizer_overlap")(spark, sf).select(col("rb")))
+      .distinct().count()
+    assert(pr.length == nodes)
+    // damping floor: an all-leaked node still holds 1500; no rank explodes
+    // past the total mass bound
+    assert(pr.forall(r => r._2 >= 1500 && r._2 < 10000L * pr.length))
+  }
 }
