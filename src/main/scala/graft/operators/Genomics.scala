@@ -244,6 +244,22 @@ object Genomics {
       r.select(col("rid"), col("r").as("pr"))
     }),
 
+    // -- g16: overlap-graph component census -------------------------------
+    // the fragmentation report an assembler reads before scaffolding: how
+    // many connected pieces does the string graph have, and how big are
+    // they. Components via GraphOps.connectedComponents (hash-to-min,
+    // O(log n) shuffle rounds; gated single-task union-find last mile on
+    // small edge sets — the same engine d7's near-dup clusters are
+    // oracle-proven on); the census itself is two vocabulary-sized hash
+    // aggs over the node table, never the corpus.
+    "g16_component_census" -> ((s, d) => {
+      val pairs = queries("g14_minimizer_overlap")(s, d)
+      GraphOps.connectedComponents(
+          pairs.select(col("ra").as("x"), col("rb").as("y")))
+        .groupBy("component").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_comp"))
+    }),
+
     // -- P7: forward sub-kmer split (prefix key, marker, extension base) ---
     "g7_subkmer_split" -> ((s, d) => {
       import s.implicits._
@@ -406,6 +422,16 @@ object Genomics {
          |  FROM edges e JOIN i2 r ON e.src = r.rid JOIN deg d ON d.src = e.src
          |  GROUP BY e.dst)
          |SELECT rid, r AS pr FROM i3""".stripMargin),
+    "g16_component_census" ->
+      ("WITH RECURSIVE " + sqlOverlapPairs.stripPrefix("WITH ") + """,
+         |edges AS (SELECT ra AS x, rb AS y FROM pairs
+         |          UNION SELECT rb, ra FROM pairs),
+         |reach AS (SELECT x, y FROM edges
+         |          UNION
+         |          SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         |comp AS (SELECT x, least(x, MIN(y)) AS component FROM reach GROUP BY x),
+         |cs AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+         |SELECT csize, COUNT(*) AS n_comp FROM cs GROUP BY csize""".stripMargin),
     "g7_subkmer_split" ->
       (sqlKmerCounts(15) +
         """

@@ -406,6 +406,32 @@ object Similarity {
         .select(col("q_id"), col("n_true"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           expr("coalesce(n_hit, 0) * 10000 div n_true").as("recall_bp"))
+    }),
+
+    // -- s12: nearest-labeled-neighbor label propagation -------------------
+    // the FineWeb-Edu / quality-classifier labeling move: a small labeled
+    // seed set annotates the whole corpus by nearest-neighbor transfer.
+    // Seeds broadcast; each corpus vector picks its 1-NN seed with the
+    // lloyd-style `max(struct(c, -sid, slab))` partial aggregation — n
+    // pre-combined rows shuffle, nothing sorts (the s5/s7/s8 plan rule).
+    // Output is the label confusion matrix (true label is known here, so
+    // the query doubles as the transfer-accuracy harness); min/max cosine
+    // per cell instead of avg keeps the floats order-independent.
+    "s12_label_prop" -> ((s, d) => {
+      val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+      val all = vecs(s, d).join(lab, "vec_id")
+      val seeds = all.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("sid"), col("v").as("sv"),
+          col("n2").as("sn2"), col("label").as("slab"))
+      all.filter(col("vec_id") >= 100)
+        .join(broadcast(seeds), lit(true))
+        .withColumn("c", dot(col("v"), col("sv")) / sqrt(col("n2") * col("sn2")))
+        .groupBy("vec_id", "label")
+        .agg(max(struct(col("c"), (-col("sid")).as("nsid"), col("slab"))).as("m"))
+        .groupBy(col("label").as("true_label"), col("m.slab").as("pred_label"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("m.c")), 6).as("min_c"),
+          round(max(col("m.c")), 6).as("max_c"))
     })
   )
 
@@ -627,6 +653,21 @@ object Similarity {
         |tot AS (SELECT q_id, COUNT(*) AS n_true FROM brute GROUP BY q_id)
         |SELECT t.q_id, t.n_true, coalesce(h.n_hit, 0) AS n_hit,
         |  coalesce(h.n_hit, 0) * 10000 // t.n_true AS recall_bp
-        |FROM tot t LEFT JOIN hits h ON t.q_id = h.q_id""".stripMargin
+        |FROM tot t LEFT JOIN hits h ON t.q_id = h.q_id""".stripMargin,
+    "s12_label_prop" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |n AS (SELECT vec_id, v, label, list_dot_product(v, v) AS n2 FROM e),
+        |seeds AS (SELECT vec_id AS sid, v AS sv, n2 AS sn2, label AS slab
+        |          FROM n WHERE vec_id < 100),
+        |sc AS (SELECT c.vec_id, c.label, s.sid, s.slab,
+        |         list_dot_product(c.v, s.sv) / sqrt(c.n2 * s.sn2) AS c
+        |       FROM (SELECT * FROM n WHERE vec_id >= 100) c CROSS JOIN seeds s),
+        |best AS (SELECT vec_id, label, slab, c FROM (
+        |    SELECT vec_id, label, slab, c,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, sid) AS rnk
+        |    FROM sc) WHERE rnk = 1)
+        |SELECT label AS true_label, slab AS pred_label, COUNT(*) AS n,
+        |  round(MIN(c), 6) AS min_c, round(MAX(c), 6) AS max_c
+        |FROM best GROUP BY label, slab""".stripMargin
   )
 }

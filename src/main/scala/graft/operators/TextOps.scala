@@ -547,6 +547,40 @@ object TextOps {
         .join(broadcast(votes), "b")
         .groupBy("doc_id")
         .agg(sum(col("v")).as("dsir_votes"), count(lit(1)).as("n_feat"))
+    }),
+
+    // -- t29: Kneser-Ney continuation statistics ---------------------------
+    // the statistics a KN-smoothed n-gram LM trains on (KenLM over a web
+    // corpus is a classic 100 TB batch job): per word, the raw unigram
+    // count, the continuation counts N1+(·w) (distinct left contexts —
+    // the KN lower-order numerator) and N1+(w·) (distinct right contexts
+    // — the Witten-Bell context diversity), and the KN unigram
+    // probability N1+(·w)/|distinct bigrams| in basis points. Scale: the
+    // corpus-sized bigram stream collapses to the DISTINCT-bigram table
+    // first (one hash agg); both direction counts and the total then run
+    // over that vocabulary-bounded table, never the corpus; the total is
+    // a broadcast scalar and all arithmetic is integer.
+    "t29_kn_continuation" -> ((s, d) => {
+      val big = Shingles.wordNGrams(
+          documents(s, d).select(col("doc_id"), col("text")), 2)
+        .select(split(col("sh"), " ").getItem(0).as("a"),
+          split(col("sh"), " ").getItem(1).as("b"))
+        .distinct().localCheckpoint() // 3 consumers: n_prec, n_succ, total
+      val nPrec = big.groupBy(col("b").as("tok"))
+        .agg(count(lit(1)).as("n_prec"))
+      val nSucc = big.groupBy(col("a").as("tok"))
+        .agg(count(lit(1)).as("n_succ"))
+      val tot = big.agg(count(lit(1)).as("nb"))
+      documents(s, d).select(explode(ws).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 20)
+        .join(nPrec, Seq("tok"), "left")
+        .join(nSucc, Seq("tok"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("tok"), col("c"),
+          coalesce(col("n_prec"), lit(0L)).as("n_prec"),
+          coalesce(col("n_succ"), lit(0L)).as("n_succ"),
+          expr("coalesce(n_prec, 0) * 10000 div nb").as("kn_bp"))
     })
   )
 
@@ -845,6 +879,22 @@ object TextOps {
         |  FROM stats CROSS JOIN tot)
         |SELECT doc_id, CAST(SUM(v) AS BIGINT) AS dsir_votes, COUNT(*) AS n_feat
         |FROM big JOIN votes USING (b)
-        |WHERE doc_id % 100 <> 0 GROUP BY doc_id""".stripMargin
+        |WHERE doc_id % 100 <> 0 GROUP BY doc_id""".stripMargin,
+    "t29_kn_continuation" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |big AS (SELECT DISTINCT w[i] AS a, w[i+1] AS b
+        |        FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM w)),
+        |np AS (SELECT b AS tok, COUNT(*) AS n_prec FROM big GROUP BY b),
+        |ns AS (SELECT a AS tok, COUNT(*) AS n_succ FROM big GROUP BY a),
+        |tot AS (SELECT COUNT(*) AS nb FROM big),
+        |uni AS (SELECT tok, COUNT(*) AS c
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |        GROUP BY tok HAVING COUNT(*) >= 20)
+        |SELECT u.tok, u.c,
+        |  coalesce(np.n_prec, 0) AS n_prec,
+        |  coalesce(ns.n_succ, 0) AS n_succ,
+        |  coalesce(np.n_prec, 0) * 10000 // nb AS kn_bp
+        |FROM uni u LEFT JOIN np USING (tok) LEFT JOIN ns USING (tok)
+        |CROSS JOIN tot""".stripMargin
   )
 }
