@@ -66,10 +66,22 @@ object DomainRun {
         sum(length(col("contig"))).as("bases"),
         max(length(col("contig"))).as("longest")).as[(Long, Long, Int)].head()
     }
-    val lens = contigs.select(length(col("contig"))).as[Int].collect().sorted(Ordering[Int].reverse)
-    val total = lens.map(_.toLong).sum
-    var acc = 0L
-    val n50 = lens.find { l => acc += l; 2 * acc >= total }.getOrElse(0)
+    // N50 without collecting per-contig lengths to the driver: the
+    // distinct-length histogram is vocabulary-sized (bounded by the longest
+    // contig, not the contig count), so the descending running sum — and
+    // its single-partition window — runs over the histogram only. N50 =
+    // largest length whose cumulative (desc) base count reaches half.
+    val lenHist = contigs.select(length(col("contig")).cast("long").as("len"))
+      .groupBy("len").agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val totalBases = lenHist.agg(coalesce(sum(col("len") * col("cnt")), lit(0L)))
+      .as[Long].head()
+    val cumW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("len").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val n50 = lenHist
+      .withColumn("cum", sum(col("len") * col("cnt")).over(cumW))
+      .filter(col("cum") * 2 >= totalBases)
+      .agg(max(col("len"))).as[Option[Long]].head().getOrElse(0L)
     outFasta.foreach(p => Fastq.writeFasta(contigs, p))
     println(s"""{"reads":$nReads,"kmers":$nKmers,"k":$k,"min_cov":$minCov,""" +
       s""""preprocessed":$doPre,"corrected_reads":$nCorrected,""" +

@@ -54,7 +54,7 @@ object Main {
     "-mincontig", "-maxiter", "-clipf", "-clipe", "-minlength", "-reads",
     "-partition", "-partitionredu", "-overlap", "-rounds",
     "-bubble", "-gzip", "-single", "-inter", "-paired", "-exact-fastq", "-mercy",
-    "-merge", "-scramble")
+    "-merge", "-scramble", "-inputformat")
 
   /** Typo guard: an unrecognized -option is silently inert with positional
     * sliding parsing, which can quietly run a job with default settings —
@@ -149,6 +149,11 @@ object Main {
         }
         else if (fasta.nonEmpty)
           Fastq.readFasta(spark, fasta).select("seq").as[String]
+        else if (opt(args, "-inputformat", "").nonEmpty)
+          // splittable-codec seam (reference's .4mc path): lines come
+          // through the named FileInputFormat, then the heuristic filter
+          Fastq.filterSequenceLines(
+            Fastq.readLinesWithFormat(spark, fastq, opt(args, "-inputformat", "")))
         else if (args.contains("-exact-fastq")) Fastq.fastqSequences(spark, fastq)
         else Fastq.fastqSequencesHeuristic(spark, fastq)
       val clipped =

@@ -21,14 +21,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default; read nanos as long and rebuild a microsecond timestamp
-    * (floor — matches DuckDB's ns->us truncation). */
+  /** events.parquet has carried either TIMESTAMP(MICROS) (current testdata)
+    * or TIMESTAMP(NANOS) (older generations — Spark 4 refuses NANOS unless
+    * `nanosAsLong` is set, in which case `ts` reads back as LongType).
+    * Branch on the schema actually read so both generations work: a long
+    * `ts` is nanos and is floored to micros (matches DuckDB's ns->us
+    * truncation); a timestamp `ts` is used as-is. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw =
+      try table(s, d, "events")
+      catch {
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("NANOS") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: floor to micros and rebuild
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // engine sessions pin spark.sql.session.timeZone=UTC, so this cast
+        // is epoch-exact against DuckDB's naive timestamp read
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

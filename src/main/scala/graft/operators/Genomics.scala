@@ -194,22 +194,30 @@ object Genomics {
         .select(col("doc_id"),
           posexplode(expr("transform(sequence(1, 33, 8), i -> substring(g, i, 32))")))
         .select((col("doc_id") * 8 + col("pos")).as("rid"), col("col").as("r"))
-      val km = reads
-        .select(col("rid"), explode(sequence(lit(1), lit(32 - k + 1))).as("i"), col("r"))
-        .select(col("rid"), col("i"),
-          md5(least(expr(s"substring(r, i, $k)"),
-            reverse(translate(expr(s"substring(r, i, $k)"), "ACGT", "TGCA")))).as("mh"))
-      val nWin = Window.partitionBy("rid").orderBy("i")
-        .rowsBetween(Window.currentRow, w - 1)
-      val sel = km
-        .withColumn("mmh", min(col("mh")).over(nWin))
-        .filter(col("i") <= lit(32 - k + 1 - (w - 1)))
-        .select(col("rid"), col("mmh")).distinct()
-      val rare = sel.groupBy("mmh").agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 8)).select("mmh")
-      val fsel = sel.join(rare, "mmh")
-      fsel.select(col("mmh"), col("rid").as("ra"))
-        .join(fsel.select(col("mmh"), col("rid").as("rb")), "mmh")
+      // Minimizer selection happens entirely inside ONE codegen'd
+      // projection: hash every k-mer of the read into an array, take the
+      // w-window minima via slice+array_min, dedup per read with
+      // array_distinct. Selection ordering stays md5 (oracle parity), but
+      // nothing string-typed ever reaches a shuffle: the selected
+      // minimizer is immediately folded to an xxhash64 long, so the
+      // df-count / rare-join / self-join all shuffle 8-byte keys instead
+      // of 32-char hex. (vs the previous explode -> per-rid window sort ->
+      // global distinct formulation: three full shuffles of the exploded
+      // k-mer table removed.)
+      val nK = 32 - k + 1
+      val sel = reads
+        .select(col("rid"), expr(
+          s"""transform(sequence(1, $nK), i -> md5(least(substring(r, i, $k),
+             |reverse(translate(substring(r, i, $k), 'ACGT', 'TGCA')))))"""
+            .stripMargin.replace("\n", " ")).as("hs"))
+        .select(col("rid"), explode(expr(
+          s"array_distinct(transform(sequence(1, ${nK - (w - 1)}), j -> array_min(slice(hs, j, $w))))")).as("mmh"))
+        .select(col("rid"), xxhash64(col("mmh")).as("mk"))
+      val rare = sel.groupBy("mk").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 8)).select("mk")
+      val fsel = sel.join(rare, "mk")
+      fsel.select(col("mk"), col("rid").as("ra"))
+        .join(fsel.select(col("mk"), col("rid").as("rb")), "mk")
         .filter(col("ra") < col("rb"))
         .groupBy("ra", "rb").agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)
@@ -229,17 +237,24 @@ object Genomics {
     // the sketch pipeline.
     "g15_overlap_pagerank" -> ((s, d) => {
       val pairs = queries("g14_minimizer_overlap")(s, d)
-      val edges = pairs.select(col("ra").as("src"), col("rb").as("dst"))
+      // degree is folded INTO the checkpointed edge table, so each
+      // iteration is exactly one join + one hash agg on one materialized
+      // input; the rank table is localCheckpoint'd per round so iteration
+      // N's lineage doesn't replay iterations 1..N-1.
+      val e0 = pairs.select(col("ra").as("src"), col("rb").as("dst"))
         .union(pairs.select(col("rb").as("src"), col("ra").as("dst")))
+      val edges = e0
+        .join(e0.groupBy("src").agg(count(lit(1)).as("deg")), "src")
         .localCheckpoint()
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      var r = deg.select(col("src").as("rid"), lit(10000L).as("r"))
+      var r = edges.select(col("src").as("rid")).distinct()
+        .withColumn("r", lit(10000L)).localCheckpoint()
       for (_ <- 1 to 3) {
-        r = edges.join(r, col("src") === col("rid")).join(deg, "src")
+        r = edges.join(r, col("src") === col("rid"))
           .select(col("dst"), expr("r div deg").as("ct"))
           .groupBy("dst").agg(sum(col("ct")).as("contrib"))
           .select(col("dst").as("rid"),
             expr("1500 + (85 * contrib) div 100").as("r"))
+          .localCheckpoint()
       }
       r.select(col("rid"), col("r").as("pr"))
     }),

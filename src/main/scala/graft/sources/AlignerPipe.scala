@@ -25,10 +25,23 @@ object AlignerPipe {
   /** Align `reads` against `contigs` = `(id, seq)` with an external
     * aligner command (whitespace-split; `{ref}` -> shipped contig FASTA).
     * Returns parsed mapped SAM rows `(contig, pos, cigar, seq)`. */
+  /** Driver-side guard on the collected reference size (same pattern as
+    * Assembler's `localMaxBases` byte gate): the contig set is output-sized
+    * and ≪ reads, but it is the one unbounded collect in the engine — fail
+    * fast with a clear message instead of OOMing the driver on a 100× run.
+    * Tunable via env `GRAFT_ALIGNER_MAX_REF_BASES`. */
+  private def maxRefBases: Long =
+    sys.env.get("GRAFT_ALIGNER_MAX_REF_BASES").map(_.toLong).getOrElse(2000000000L)
+
   def alignReads(contigs: DataFrame, reads: Dataset[String],
                  cmdTemplate: Seq[String]): DataFrame = {
     val spark = contigs.sparkSession
     import spark.implicits._
+    val refBases = contigs.agg(coalesce(sum(length(col("seq"))), lit(0L)))
+      .as[Long].head()
+    require(refBases <= maxRefBases,
+      s"aligner reference is $refBases bases, over the driver-collect guard " +
+        s"of $maxRefBases; split the contig set or raise GRAFT_ALIGNER_MAX_REF_BASES")
     val name = s"graft_ref_${System.nanoTime}.fa"
     val refFa = java.nio.file.Files.createTempDirectory("graft_ref").resolve(name)
     val sb = new StringBuilder

@@ -25,6 +25,36 @@ object Fastq {
     spark.read.text(path).as[String]
   }
 
+  /** S2 hook: raw lines through a NAMED Hadoop `FileInputFormat` class
+    * (`-inputformat` on the CLI). The reference reads `.4mc`-compressed
+    * FASTQ through a custom splittable input format
+    * (`ReflexivDataFrameCounter.java:160-174`); the codec jar itself is
+    * third-party, so the engine exposes the seam instead of bundling it —
+    * any `FileInputFormat[LongWritable, Text]` on the classpath works
+    * (hadoop-4mc's `FourMcTextInputFormat`, a BGZF reader, ...).
+    *
+    * The 100 TB story for compressed FASTQ, in preference order:
+    *  1. splittable container via this hook (4mc / BGZF / zstd-seekable) —
+    *     one task per block, the only shape that scales;
+    *  2. many moderate `.gz` shards (the usual lane-split layout): each
+    *     file is one task, but thousands of files still parallelize;
+    *  3. a single giant `.gz` is a single task — re-shard it first.
+    */
+  def readLinesWithFormat(spark: SparkSession, path: String,
+                          inputFormatClass: String): Dataset[String] = {
+    import spark.implicits._
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.FileInputFormat
+    val cls = Class.forName(inputFormatClass, true,
+        Thread.currentThread.getContextClassLoader)
+      .asInstanceOf[Class[FileInputFormat[LongWritable, Text]]]
+    spark.sparkContext
+      .newAPIHadoopFile(path, cls, classOf[LongWritable], classOf[Text],
+        spark.sparkContext.hadoopConfiguration)
+      .map(_._2.toString)
+      .toDS()
+  }
+
   /** P1: exact FASTQ parser — keep line 2 of every 4-line record. Uses a
     * zipWithIndex pass for exact framing (one extra narrow job; order is
     * file order for text sources). */
@@ -39,13 +69,16 @@ object Fastq {
   /** P2: heuristic sequence-line filter — no indexing pass; drops header
     * (`@`/`+`) and quality lines by shape. Scale path for huge inputs
     * where the zipWithIndex job is undesirable. */
-  def fastqSequencesHeuristic(spark: SparkSession, path: String): Dataset[String] = {
-    import spark.implicits._
-    readLines(spark, path).filter { l =>
+  def fastqSequencesHeuristic(spark: SparkSession, path: String): Dataset[String] =
+    filterSequenceLines(readLines(spark, path))
+
+  /** The P2 shape filter on an arbitrary line stream (shared by the plain
+    * text path and the `-inputformat` splittable-codec path). */
+  def filterSequenceLines(lines: Dataset[String]): Dataset[String] =
+    lines.filter { l =>
       l.length > 20 && !l.startsWith("@") && !l.startsWith("+") &&
         Seq(0, 4, 9, 14, 19).forall(i => "ACGTN".indexOf(l.charAt(i)) >= 0)
     }
-  }
 
   /** P1-paired: two-file paired FASTQ -> (pair_id, mate1, mate2). Mates
     * pair positionally — record i of file 1 with record i of file 2 — via

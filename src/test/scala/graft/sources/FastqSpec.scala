@@ -23,6 +23,24 @@ class FastqSpec extends AnyFunSuite {
     assert(heur == reads.sorted)
   }
 
+  test("-inputformat hook: named FileInputFormat class reads the same lines") {
+    import spark.implicits._
+    val reads = Seq.tabulate(10)(i => ("ACGT" * 8) + "GTCA" * (i % 2 + 1))
+    val dir = tmpDir() + "/fq4mc"
+    Fastq.toFastqLines(reads.toDF("read")).coalesce(1)
+      .write.mode("overwrite").text(dir)
+    // the built-in TextInputFormat stands in for a splittable codec's
+    // format (hadoop-4mc etc.) — this proves the class-name seam itself
+    val viaHook = Fastq.filterSequenceLines(Fastq.readLinesWithFormat(
+      spark, dir, "org.apache.hadoop.mapreduce.lib.input.TextInputFormat"))
+      .collect().sorted.toSeq
+    assert(viaHook == reads.sorted)
+    val err = intercept[ClassNotFoundException] {
+      Fastq.readLinesWithFormat(spark, dir, "com.example.NoSuchFormat")
+    }
+    assert(err.getMessage.contains("NoSuchFormat"))
+  }
+
   test("read guards drop short/long/invalid reads") {
     import spark.implicits._
     val rs = Seq("ACGTACGTACGTACGTACGTACGT", "ACG", "N" + "A" * 700, "XACGTACGT")
