@@ -23,9 +23,10 @@ object Bench {
     // warm the parquet reader + codegen + typed-pipeline paths outside any
     // timing (the first query otherwise absorbs encoder/codegen JIT cost),
     // then pull every table's raw bytes through the page cache via
-    // binaryFile (no parquet decode — events has a TIMESTAMP(NANOS) column
-    // a full SELECT * cannot read). A cold documents/embeddings file once
-    // skewed a timed query 5x.
+    // binaryFile (no parquet decode needed for warming, and it is immune
+    // to schema quirks across testdata generations — events has variously
+    // shipped TIMESTAMP(NANOS) and timestamp[us]). A cold
+    // documents/embeddings file once skewed a timed query 5x.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>

@@ -177,8 +177,14 @@ object Curation {
         .select(col("doc_id"), col("source"),
           concat(lit("site header for "), col("source"), lit(" menu "),
             col("text")).as("text"))
+      // materialize the stripped corpus ONCE before the verdict fan-out:
+      // curate() reads its input from six independent branches, and
+      // without the checkpoint each re-runs the whole boilerplate-strip
+      // sub-DAG (its groupBys included). Same move a production pipeline
+      // makes — write the cleaned text, then curate the materialization.
       val cleaned = Dedup.stripBoilerplate(aug, 4, 3)
         .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint()
       curate(cleaned, doc.filter(col("doc_id") % 100 === 0))
     }),
 

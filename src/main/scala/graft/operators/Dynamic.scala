@@ -13,6 +13,14 @@ import graft.core.{KmerCodec, KmerIter}
   * `ReflexivDSKmerLeftAndRightSorting.java:105-243`,
   * `ReflexivDSDynamicKmerDedup.java:198-330`), re-expressed as anti-joins
   * and window functions instead of sorted-adjacency scans.
+  *
+  * Partition annealing: the reference hand-shrinks its partition count as
+  * the k-ladder climbs and the k-mer table contracts
+  * (`Pipelines.java:877-884,955-980` halves partitions per stage). This
+  * engine deliberately does NOT reproduce that schedule — stage outputs go
+  * through AQE coalescing (`spark.sql.adaptive.coalescePartitions`), which
+  * right-sizes post-shuffle partitions from runtime statistics at every k,
+  * and `-partitionredu N` remains the manual override for a fixed width.
   */
 object Dynamic {
   private val K1 = 11

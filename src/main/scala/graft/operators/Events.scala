@@ -29,6 +29,37 @@ object Events {
           sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
             .cast("double").as("total"))),
 
+    // -- es1: batch-stream parity through the correctness gate -------------
+    // the Structured Streaming hourly pipeline ([[EventStreams
+    // .hourlyTotals]]: readStream file source -> event-time window agg)
+    // run to completion with Trigger.AvailableNow in Complete mode lands
+    // exactly the batch e1 answer in a memory sink — so the STREAMING
+    // operator is proven against the same DuckDB oracle as e1, not just
+    // specs. The memory sink holds only the hour x event_type aggregate
+    // (tiny at any scale); a production run would writeStream to parquet.
+    "es1_stream_hourly" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.TimestampNTZType
+      val srcFile = java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath
+      // the file streaming source lists a DIRECTORY; testdata ships single
+      // parquet files, so link one into a scratch dir
+      val dir = java.nio.file.Files.createTempDirectory("graft_es1")
+      java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), srcFile)
+      val sch = s.read.parquet(srcFile.toString).schema
+      val raw = s.readStream.schema(sch).parquet(dir.toString)
+      val ev = if (raw.schema("ts").dataType == TimestampNTZType)
+        raw.withColumn("ts", col("ts").cast("timestamp")) else raw
+      val name = "es1_hourly_mem"
+      s.catalog.dropTempView(name)
+      val q = graft.streaming.EventStreams.hourlyTotals(ev)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(fmt(col("hour_ts")).as("hour"), col("event_type"),
+          col("n"), col("total"))
+    }),
+
     // -- 30-minute-gap sessionization (lag + running sum of gap flags) -----
     "e2_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -316,6 +347,12 @@ object Events {
 
   def oracles: Map[String, String] = Map(
     "e1_hourly_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // streaming pipeline, identical answer — same oracle as e1 by design
+    "es1_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total

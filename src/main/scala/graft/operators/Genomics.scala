@@ -194,16 +194,18 @@ object Genomics {
         .select(col("doc_id"),
           posexplode(expr("transform(sequence(1, 33, 8), i -> substring(g, i, 32))")))
         .select((col("doc_id") * 8 + col("pos")).as("rid"), col("col").as("r"))
-      // Minimizer selection happens entirely inside ONE codegen'd
+      // Minimizer selection happens entirely inside ONE narrow
       // projection: hash every k-mer of the read into an array, take the
       // w-window minima via slice+array_min, dedup per read with
-      // array_distinct. Selection ordering stays md5 (oracle parity), but
-      // nothing string-typed ever reaches a shuffle: the selected
-      // minimizer is immediately folded to an xxhash64 long, so the
-      // df-count / rare-join / self-join all shuffle 8-byte keys instead
-      // of 32-char hex. (vs the previous explode -> per-rid window sort ->
-      // global distinct formulation: three full shuffles of the exploded
-      // k-mer table removed.)
+      // array_distinct. (Array HOFs are CodegenFallback — interpreted —
+      // but the md5 evaluation dominates the lambda overhead, and the
+      // win is structural: the previous explode -> per-rid window sort ->
+      // global distinct formulation cost three full shuffles of the
+      // exploded k-mer table; this costs zero.) Selection ordering stays
+      // md5 (oracle parity), but nothing string-typed ever reaches a
+      // shuffle: the selected minimizer is immediately folded to an
+      // xxhash64 long, so the df-count / rare-join / self-join all
+      // shuffle 8-byte keys instead of 32-char hex.
       val nK = 32 - k + 1
       val sel = reads
         .select(col("rid"), expr(

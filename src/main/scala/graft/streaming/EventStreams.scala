@@ -54,6 +54,21 @@ object EventStreams {
         })
   }
 
+  /** Streaming mirror of the batch `e1_hourly_agg` query — identical
+    * grouping and arithmetic (decimal-summed `total`), expressed as an
+    * event-time window aggregation. Run in Complete mode it converges to
+    * exactly the batch answer on a bounded input, which is what the
+    * `es1_stream_hourly` parity query proves through the oracle gate. */
+  def hourlyTotals(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .cast("double").as("total"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("n"), col("total"))
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension (broadcast per microbatch — the standard lookup-join shape
     * for reference data at scale). */

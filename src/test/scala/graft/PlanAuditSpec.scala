@@ -115,6 +115,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("g14 minimizer selection is projection-local: no Window operator at all") {
+    // minimizers are chosen inside one narrow projection (array
+    // transform/slice/array_min) — the explode -> per-read window-sort ->
+    // distinct formulation this replaced cost three full shuffles of the
+    // exploded k-mer table. A Window reappearing here is a regression.
+    val w = SparkEntry.queries("g14_minimizer_overlap")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(w.isEmpty, s"g14 regained a window operator:\n${w.mkString("\n")}")
+  }
+
   test("semantic dedup: centroid assignment broadcasts, in-cell pass is equi-join") {
     for (q <- Seq("s7_semdedup", "s8_kmeans_step")) {
       val p = plan(q)
