@@ -42,11 +42,17 @@ object Events {
       import org.apache.spark.sql.types.TimestampNTZType
       val srcFile = java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath
       // the file streaming source lists a DIRECTORY; testdata ships single
-      // parquet files, so link one into a scratch dir
-      val dir = java.nio.file.Files.createTempDirectory("graft_es1")
-      java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), srcFile)
+      // parquet files, so link one into a scratch dir (a parquet dir —
+      // e.g. a ScaleReplay rewrite — streams as-is)
+      val streamDir =
+        if (java.nio.file.Files.isDirectory(srcFile)) srcFile.toString
+        else {
+          val dir = java.nio.file.Files.createTempDirectory("graft_es1")
+          java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), srcFile)
+          dir.toString
+        }
       val sch = s.read.parquet(srcFile.toString).schema
-      val raw = s.readStream.schema(sch).parquet(dir.toString)
+      val raw = s.readStream.schema(sch).parquet(streamDir)
       val ev = if (raw.schema("ts").dataType == TimestampNTZType)
         raw.withColumn("ts", col("ts").cast("timestamp")) else raw
       val name = "es1_hourly_mem"
