@@ -99,6 +99,8 @@ object Bench {
       }
     retime(2.0)
     retime(8.0) // a third sample for outliers both of whose samples hit a slow phase
+    retime(15.0) // and a fourth for the extreme tail (r6: p1 measured 21 s
+    // across three samples inside one slow phase vs 3.6 s steady-state)
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

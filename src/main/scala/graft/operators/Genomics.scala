@@ -151,25 +151,24 @@ object Genomics {
     "g13_minimizers" -> ((s, d) => {
       val k = 11; val w = 8
       val seq = documents(s, d).select(col("doc_id"), dna64(col("doc_id")).as("s"))
-      val km = seq
-        .select(col("doc_id"),
-          explode(sequence(lit(1), length(col("s")) - (k - 1))).as("i"),
-          col("s"))
-        .select(col("doc_id"), col("i"),
-          (length(col("s")) - (k - 1)).as("np"),
-          least(expr(s"substring(s, i, $k)"),
-            reverse(translate(expr(s"substring(s, i, $k)"), "ACGT", "TGCA")))
-            .as("km"))
-        .withColumn("mh", md5(col("km")))
-      val nWin = Window.partitionBy("doc_id").orderBy("i")
-        .rowsBetween(Window.currentRow, w - 1)
-      val sel = km
-        .withColumn("mmh", min(col("mh")).over(nWin))
-        .filter(col("i") <= col("np") - (w - 1))
-        .groupBy(col("doc_id"), col("mmh"))
+      // per-doc minimizer selection in ONE narrow projection (the g14
+      // move): canonical k-mers as an array, each lifted to an (mh, km)
+      // struct so array_min's lexicographic struct ordering selects by
+      // md5 (oracle parity) while the k-mer string RIDES ALONG — which
+      // also deletes the window formulation's hash->kmer dict join. The
+      // only shuffles left are the two aggregations, keyed by the 11-char
+      // k-mer, not 32-char md5 hex.
+      val sel = seq
+        .select(col("doc_id"), expr(
+          s"""transform(transform(sequence(1, length(s) - ${k - 1}),
+             |i -> least(substring(s, i, $k),
+             |reverse(translate(substring(s, i, $k), 'ACGT', 'TGCA')))),
+             |km -> named_struct('mh', md5(km), 'km', km))"""
+            .stripMargin.replace("\n", " ")).as("hs"))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(hs) - ${w - 1}), j -> array_min(slice(hs, j, $w)).km)")).as("km"))
+      sel.groupBy(col("doc_id"), col("km"))
         .agg(count(lit(1)).as("n_win"))
-      val dict = km.select(col("mh"), col("km")).distinct()
-      sel.join(dict, sel("mmh") === dict("mh"))
         .groupBy("km")
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           sum(col("n_win")).as("n_sel"))
