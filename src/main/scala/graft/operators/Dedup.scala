@@ -120,13 +120,18 @@ object Dedup {
       val sh = shingled(corpus(s, d)).localCheckpoint()
       // the distinct set table is ALSO materialized: it has 3 consumers
       // (sizes + both sides of the intersection join) and each would
-      // otherwise re-run the full-table distinct shuffle
-      val sets = sh.distinct().localCheckpoint()
+      // otherwise re-run the full-table distinct shuffle. Set membership
+      // is keyed by xxhash64(sh) LONGS — the distinct, set sizes, and the
+      // intersection join all shuffle 8-byte keys instead of n-gram
+      // strings (the g14 lesson; a 2^-64 collision could perturb one
+      // intersection count — negligible and deterministic).
+      val sets = sh.select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+        .distinct().localCheckpoint()
       val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
       val pairs = candidatePairsFrom(bands(signatures(sh)))
       val inter = pairs
-        .join(sets.select(col("doc_id").as("a"), col("sh")), "a")
-        .join(sets.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+        .join(sets.select(col("doc_id").as("a"), col("shk")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("shk")), Seq("b", "shk"))
         .groupBy("a", "b").agg(count(lit(1)).as("i"))
       inter
         .join(sizes.select(col("doc_id").as("a"), col("nsz").as("na")), "a")
@@ -160,19 +165,22 @@ object Dedup {
     "d6_ngram_jaccard" -> ((s, d) => {
       val sh = shingled(corpus(s, d)).localCheckpoint()
       // 5 consumers of the distinct set table (rare-df agg, both sides of
-      // the candidate self-join, sizes, intersection) — materialize once
-      val sets = sh.distinct().localCheckpoint()
-      val rare = sets.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 8)).select("sh")
-      val cand = sets.join(rare, "sh").localCheckpoint()
-      val pairs = cand.select(col("sh"), col("doc_id").as("a"))
-        .join(cand.select(col("sh").as("sh2"), col("doc_id").as("b")),
-          col("sh") === col("sh2") && col("a") < col("b"))
+      // the candidate self-join, sizes, intersection) — materialize once,
+      // keyed by xxhash64(sh) longs (see d4): every downstream shuffle
+      // moves 8-byte keys, never n-gram strings
+      val sets = sh.select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+        .distinct().localCheckpoint()
+      val rare = sets.groupBy("shk").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 8)).select("shk")
+      val cand = sets.join(rare, "shk").localCheckpoint()
+      val pairs = cand.select(col("shk"), col("doc_id").as("a"))
+        .join(cand.select(col("shk").as("shk2"), col("doc_id").as("b")),
+          col("shk") === col("shk2") && col("a") < col("b"))
         .select("a", "b").distinct()
       val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
       val inter = pairs
-        .join(sets.select(col("doc_id").as("a"), col("sh")), "a")
-        .join(sets.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+        .join(sets.select(col("doc_id").as("a"), col("shk")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("shk")), Seq("b", "shk"))
         .groupBy("a", "b").agg(count(lit(1)).as("i"))
       inter
         .join(sizes.select(col("doc_id").as("a"), col("nsz").as("na")), "a")
@@ -212,12 +220,14 @@ object Dedup {
     // no new candidate machinery, just the asymmetric verify on top.
     "d10_containment" -> ((s, d) => {
       val sh = shingled(corpus(s, d)).localCheckpoint()
-      val sets = sh.distinct().localCheckpoint()
+      // long-keyed set membership (see d4) — string shingles never shuffle
+      val sets = sh.select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+        .distinct().localCheckpoint()
       val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
       val pairs = candidatePairsFrom(bands(signatures(sh)))
       val inter = pairs
-        .join(sets.select(col("doc_id").as("a"), col("sh")), "a")
-        .join(sets.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+        .join(sets.select(col("doc_id").as("a"), col("shk")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("shk")), Seq("b", "shk"))
         .groupBy("a", "b").agg(count(lit(1)).as("i"))
       inter
         .join(sizes.select(col("doc_id").as("a"), col("nsz").as("na")), "a")
