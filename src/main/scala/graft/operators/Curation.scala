@@ -46,7 +46,11 @@ object Curation {
              semThreshold: Double = 0.999,
              semCentroidSet: Option[DataFrame] = None,
              classifierMin: Option[Long] = None): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"))
+    // materialize the (doc_id, text) projection once: six verdict branches
+    // consume it, and each would otherwise re-run the upstream lineage
+    // (a parquet text scan at best, a whole strip/augment sub-DAG at
+    // worst — c4 paid that before checkpointing its own input)
+    val base = docs.select(col("doc_id"), col("text")).localCheckpoint()
     val ws = split(col("text"), " ")
 
     // 1. exact dedup
