@@ -104,31 +104,48 @@ object Relational {
 
     // -- rollup (grouping sets) -------------------------------------------
     "q8_rollup" -> ((s, d) => {
-      lineitem(s, d)
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(D2)).cast("decimal(38,2)").cast("double").as("sum_qty"))
+      // two-phase rollup: collapse the fact table to the (flag, status)
+      // key vocabulary FIRST (one ordinary partial-agg shuffle), then
+      // ROLLUP over the ~25-row aggregate — the Expand row multiplication
+      // (x3 here, x4 for CUBE) runs over the vocabulary, never the fact
+      // table. At 100 TB that is the difference between expanding 25 rows
+      // and expanding every scanned row before the partial agg.
+      val pre = lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pn"), sum(col("l_quantity").cast(D2)).as("ps"))
+      pre.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("ps")).cast("decimal(38,2)").cast("double").as("sum_qty"))
     }),
 
     // -- cube: all grouping-set combinations in one pass -------------------
     // (rollup's sibling; Spark expands the sets and aggregates partially
     // map-side exactly as for a plain groupBy — no extra shuffle per set)
     "q19_cube" -> ((s, d) => {
-      lineitem(s, d)
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(D2)).cast("decimal(38,2)").cast("double").as("sum_qty"))
+      // two-phase (see q8): CUBE's x4 Expand runs over the pre-aggregated
+      // key vocabulary, not the fact table
+      val pre = lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pn"), sum(col("l_quantity").cast(D2)).as("ps"))
+      pre.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("ps")).cast("decimal(38,2)").cast("double").as("sum_qty"))
     }),
 
     // -- GROUPING SETS: arbitrary set combos (rollup/cube's general form) --
     // includes GROUPING() markers so the per-set provenance is explicit
     "q21_grouping_sets" -> ((s, d) => {
-      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      // two-phase (see q8): the grouping-sets Expand runs over the
+      // pre-aggregated key vocabulary; GROUPING() markers are unaffected
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pn"))
+        .createOrReplaceTempView("lineitem_pre_v")
       s.sql(
         """SELECT l_returnflag, l_linestatus,
           |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
-          |  COUNT(*) AS n
-          |FROM lineitem_v
+          |  SUM(pn) AS n
+          |FROM lineitem_pre_v
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
     }),
 
