@@ -269,9 +269,12 @@ object Dedup {
       // duplicate occurrences anyway, so a distinct() here would only add
       // a full extra shuffle of the gram table
       sh5(trainDocs)
-        .select(col("doc_id"), col("sh"), explode(windows(col("sh"))).as("p"))
+        // the gram string is only a grouping key from here on — hash it
+        // to a long so the per-gram shuffle moves 8-byte keys (see d4)
+        .select(col("doc_id"), xxhash64(col("sh")).as("shk"),
+          explode(windows(col("sh"))).as("p"))
         .join(broadcast(bloom), Seq("p"), "left")
-        .groupBy(col("doc_id"), col("sh"))
+        .groupBy(col("doc_id"), col("shk"))
         .agg(min(coalesce(col("hit"), lit(0))).as("all_set"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),

@@ -57,13 +57,20 @@ object Sketches {
     // equal unless a collision inflates all 4 cells identically in both
     // engines
     "x1_countmin_probe" -> ((s, d) => {
+      // ONE corpus-scale shuffle (token counts); the 4-row count-min cell
+      // explode and every later stage run over the distinct-token
+      // VOCABULARY — cell counts are sums of token counts, identically.
+      // (The previous form exploded 4 cells per corpus TOKEN before its
+      // aggregation.)
       val tok = documents(s, d).select(explode(ws).as("tok"))
-      val cells = tok.select(explode(array((0 until 4).map(r =>
-        struct(lit(r).as("r"), cmBucket(col("tok"), r).as("b"))): _*)).as("rb"))
+      val tokCounts = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val cells = tokCounts.select(col("n"),
+        explode(array((0 until 4).map(r =>
+          struct(lit(r).as("r"), cmBucket(col("tok"), r).as("b"))): _*)).as("rb"))
         .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-        .agg(count(lit(1)).as("c"))
-      val probes = tok.groupBy("tok").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 5)
+        .agg(sum(col("n")).as("c"))
+      val probes = tokCounts.filter(col("n") >= 5)
       val est = (0 until 4).map { r =>
         probes.select(col("tok"), col("n"), lit(r).as("r"),
           cmBucket(col("tok"), r).as("b"))
