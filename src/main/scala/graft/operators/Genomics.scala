@@ -216,7 +216,9 @@ object Genomics {
         .select(col("rid"), xxhash64(col("mmh")).as("mk"))
       val rare = sel.groupBy("mk").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 8)).select("mk")
-      val fsel = sel.join(rare, "mk")
+      // both sides of the self-join consume fsel — materialize once so
+      // the interpreted-HOF hashing projection runs a single time
+      val fsel = sel.join(rare, "mk").localCheckpoint()
       fsel.select(col("mk"), col("rid").as("ra"))
         .join(fsel.select(col("mk"), col("rid").as("rb")), "mk")
         .filter(col("ra") < col("rb"))
