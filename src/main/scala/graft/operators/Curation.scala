@@ -97,8 +97,12 @@ object Curation {
         // neither train the centroids nor drop a corpus doc that happens
         // to share its vector (the test split is evaluation data, not a
         // dedup peer) — hence the semi-join before lloyd/semDedup
+        // materialized: semDedup, the kept join, and the has-embedding
+        // join all consume it, and its lineage (an embeddings self-join
+        // upstream in c2) is not free; the table is embeddings-sized
         val vs = emb.select(col("doc_id").as("vec_id"), col("v"))
           .join(base.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+          .localCheckpoint()
         val cents = semCentroidSet.getOrElse(
           KMeans.lloyd(vs, semCentroids, iters = 2))
           .select(col("cid"), col("cv"))
