@@ -37,24 +37,15 @@ object Events {
     // operator is proven against the same DuckDB oracle as e1, not just
     // specs. The memory sink holds only the hour x event_type aggregate
     // (tiny at any scale); a production run would writeStream to parquet.
+    // The input is the cached time-bucketed [[graft.streaming.Replay]] dir
+    // (4 event-time-ordered microbatches), so the windowed state is
+    // genuinely built incrementally across batches.
     "es1_stream_hourly" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      import org.apache.spark.sql.types.TimestampNTZType
-      val srcFile = java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath
-      // the file streaming source lists a DIRECTORY; testdata ships single
-      // parquet files, so link one into a scratch dir (a parquet dir —
-      // e.g. a ScaleReplay rewrite — streams as-is)
-      val streamDir =
-        if (java.nio.file.Files.isDirectory(srcFile)) srcFile.toString
-        else {
-          val dir = java.nio.file.Files.createTempDirectory("graft_es1")
-          java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), srcFile)
-          dir.toString
-        }
-      val sch = s.read.parquet(srcFile.toString).schema
-      val raw = s.readStream.schema(sch).parquet(streamDir)
-      val ev = if (raw.schema("ts").dataType == TimestampNTZType)
-        raw.withColumn("ts", col("ts").cast("timestamp")) else raw
+      val streamDir = graft.streaming.Replay.eventsDir(s, d)
+      val sch = s.read.parquet(streamDir).schema
+      val ev = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
       val name = "es1_hourly_mem"
       s.catalog.dropTempView(name)
       val q = graft.streaming.EventStreams.hourlyTotals(ev)
@@ -64,6 +55,74 @@ object Events {
       s.table(name)
         .select(fmt(col("hour_ts")).as("hour"), col("event_type"),
           col("n"), col("total"))
+    }),
+
+    // -- es2: STATEFUL streaming sessionization through the oracle gate ----
+    // [[EventStreams.sessionize]] (flatMapGroupsWithState, Append mode) over
+    // the 4-batch event-time-ordered replay + a __flush sentinel batch that
+    // closes every user's last open session. Emitted ClosedSessions carry
+    // no ordinal, so a batch row_number per user (sessions of one user are
+    // time-disjoint, so startMs orders them exactly like e2's running
+    // gap-flag sum) rebuilds session_id — then the result must hash-match
+    // the SAME DuckDB oracle as batch e2. State crosses 4 real state-store
+    // commits, which is the seam a single-batch replay would never test.
+    "es2_stream_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val gapMs = 30L * 60 * 1000
+      val streamDir = graft.streaming.Replay.eventsDir(s, d, sentinelGapMs = gapMs)
+      val sch = s.read.parquet(streamDir).schema
+      val ev = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      val name = "es2_sessions_mem"
+      s.catalog.dropTempView(name)
+      val q = graft.streaming.EventStreams.sessionize(ev, gapMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val byStart = Window.partitionBy(col("userId")).orderBy(col("startMs"))
+      s.table(name)
+        .withColumn("session_id", row_number().over(byStart).cast("long"))
+        .select(col("userId").as("user_id"), col("session_id"),
+          col("nEvents").as("n_events"),
+          (col("endMs") - col("startMs")).as("dur_ms"),
+          fmt(timestamp_millis(col("startMs"))).as("start_ts"))
+    }),
+
+    // -- es3: STATEFUL streaming funnel through the oracle gate ------------
+    // [[EventStreams.funnelStream]] (mapGroupsWithState, Update mode) over
+    // the ordered replay; the memory sink accumulates one row per touched
+    // user per batch, and since funnel fields are set-once (-1 until
+    // reached) the per-user max over emitted rows IS the final state — no
+    // sentinel needed. Filtered to funnel entrants (first stage reached)
+    // and shaped to batch e10's columns, it must hash-match e10's oracle.
+    "es3_stream_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val streamDir = graft.streaming.Replay.eventsDir(s, d)
+      val sch = s.read.parquet(streamDir).schema
+      val ev = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      val name = "es3_funnel_mem"
+      s.catalog.dropTempView(name)
+      val q = graft.streaming.EventStreams.funnelStream(ev)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).groupBy(col("userId"))
+        .agg(max("vUs").as("v"), max("cUs").as("c"), max("pUs").as("p"))
+        .filter(col("v") >= 0)
+        .select(col("userId").as("user_id"), col("v").as("v_us"),
+          when(col("c") >= 0, col("c")).as("c_us"),
+          when(col("p") >= 0, col("p")).as("p_us"),
+          (lit(1) + when(col("c") >= 0, 1).otherwise(0) +
+            when(col("p") >= 0, 1).otherwise(0)).as("stage"))
     }),
 
     // -- 30-minute-gap sessionization (lag + running sum of gap flags) -----
@@ -351,7 +410,16 @@ object Events {
     })
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = {
+    val base = baseOracles
+    // the streaming twins must land EXACTLY the batch answer, so they share
+    // the batch oracles verbatim — same SQL string, same hash
+    base +
+      ("es2_stream_sessionize" -> base("e2_sessionize")) +
+      ("es3_stream_funnel" -> base("e10_funnel"))
+  }
+
+  private def baseOracles: Map[String, String] = Map(
     "e1_hourly_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |  COUNT(*) AS n,

@@ -151,6 +151,10 @@ object Genomics {
     "g13_minimizers" -> ((s, d) => {
       val k = 11; val w = 8
       val seq = documents(s, d).select(col("doc_id"), dna64(col("doc_id")).as("s"))
+        // guard: 2-arg sequence DESCENDS when stop < start, so an input
+        // shorter than k+w-1 would yield j=0 and slice(hs, 0, w) throws;
+        // dna64 is fixed-length today but the operator shouldn't rely on it
+        .filter(length(col("s")) >= k + w - 1)
       // per-doc minimizer selection in ONE narrow projection (the g14
       // move): canonical k-mers as an array, each lifted to an (mh, km)
       // struct so array_min's lexicographic struct ordering selects by
@@ -336,6 +340,7 @@ object Genomics {
       graft.functions.GraftFunctions.register(s)
       documents(s, d)
         .select(dna32(col("doc_id")).as("s"))
+        .filter(length(col("s")) >= 15) // sequence() descends below k-length
         .select(col("s"), explode(sequence(lit(1), length(col("s")) - 14)).as("i"))
         .selectExpr("canonical_kmer(substring(s, i, 15)) AS kmer")
         .groupBy("kmer").count()

@@ -176,6 +176,7 @@ object TextOps {
     // -- character trigram profile per language ----------------------------
     "t5_trigrams" -> ((s, d) =>
       documents(s, d)
+        .filter(length(col("text")) >= 3) // sequence() descends on shorter
         .select(col("lang"), col("text"),
           explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
         .select(col("lang"), expr("substring(text, i, 3)").as("g"))

@@ -120,6 +120,13 @@ object EventStreams {
   case class FunnelState(vUs: Long, cUs: Long, pUs: Long)
   case class FunnelRow(userId: Long, vUs: Long, cUs: Long, pUs: Long, stage: Int)
 
+  /** Exact epoch micros of a Timestamp. `getTime * 1000` silently floors
+    * to millisecond precision (testdata timestamps carry sub-ms micros,
+    * and the batch e10 compares in exact `unix_micros`); the nanos field
+    * holds the full fractional second. */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Streaming analogue of e10: the per-user view->click->purchase stage
     * machine as mapGroupsWithState (Update mode — each microbatch emits
     * the user's current funnel row). State is three epoch-micro longs per
@@ -153,8 +160,8 @@ object EventStreams {
                 (if (st.pUs >= 0) 1 else 0))
           } else {
             var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-            it.toSeq.sortBy(e => (e.ts.getTime, e.eventType)).foreach { e =>
-              val t = e.ts.getTime * 1000L // micros, matching e10's unix_micros
+            it.toSeq.sortBy(e => (tsMicros(e.ts), e.eventType)).foreach { e =>
+              val t = tsMicros(e.ts) // exact micros, matching e10's unix_micros
               e.eventType match {
                 case "view" if st.vUs < 0 => st = st.copy(vUs = t)
                 case "click" if st.vUs >= 0 && st.cUs < 0 && t > st.vUs =>
