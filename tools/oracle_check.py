@@ -36,6 +36,32 @@ def canon(df: pd.DataFrame):
     return cols, rows
 
 
+def t20_oracle(con, sf_dir):
+    """Deflate has no DuckDB SQL twin, so the t20 reference is computed
+    here with Python zlib — the SAME stream (zlib wrapper, level 6) as the
+    engine's java.util.zip.Deflater(6); byte-size parity between the two
+    implementations is pinned by CompressRatioSpec and was re-verified
+    empirically (identical sizes on repetitive/short/empty/long inputs)."""
+    import zlib
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").df()
+    rows = []
+    for doc_id, text in docs.itertuples(index=False, name=None):
+        raw = text.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        # mirror the engine's math.rint(x*10000)/10000 (round-half-even)
+        ratio = float(round(comp / max(len(raw), 1) * 10000)) / 10000
+        rows.append((doc_id, len(raw), comp, ratio,
+                     1 if ratio < 0.35 else 0))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "n_bytes", "n_compressed", "ratio", "repetitive"])
+
+
+# queries whose reference is not expressible in DuckDB SQL: computed in
+# Python instead, hash-compared exactly like the SQL oracles
+PY_ORACLES = {"t20_compress_ratio": t20_oracle}
+
+
 def main():
     out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
     con = duckdb.connect()
@@ -48,11 +74,14 @@ def main():
     for qdir in sorted(p for p in out_dir.iterdir() if p.is_dir()):
         name = qdir.name
         got = pd.read_parquet(qdir)
-        if name not in oracles:
+        if name not in oracles and name not in PY_ORACLES:
             print(f"{name}: NO-ORACLE rows={len(got)}")
             continue
         try:
-            exp = con.execute(oracles[name]).df()
+            if name in PY_ORACLES:
+                exp = PY_ORACLES[name](con, sf_dir)
+            else:
+                exp = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"{name}: ORACLE-ERROR {e}")
             n_fail += 1
