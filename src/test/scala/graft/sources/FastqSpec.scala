@@ -41,6 +41,54 @@ class FastqSpec extends AnyFunSuite {
     assert(err.getMessage.contains("NoSuchFormat"))
   }
 
+  test("splittable codec for real: one bzip2 FASTQ decodes across >1 input " +
+    "split with k-mer counts identical to the plain-text read") {
+    import spark.implicits._
+    // ~5.5 MB of FASTQ -> ~6 bzip2 blocks (900 KB uncompressed each), so a
+    // small split.maxsize forces MULTIPLE real input splits over ONE
+    // compressed file — the 100 TB compressed-ingest shape (one task per
+    // block), exercised with Hadoop's own splittable BZip2Codec rather
+    // than argued from the TextInputFormat plumbing alone.
+    val rnd = new scala.util.Random(42)
+    val reads = Seq.tabulate(40000)(_ =>
+      Array.fill(64)("ACGT"(rnd.nextInt(4))).mkString)
+    val fastq = reads.zipWithIndex.map { case (r, i) =>
+      s"@r$i\n$r\n+\n${"I" * 64}" }.mkString("\n") + "\n"
+    val dir = Files.createTempDirectory("graft_bz2")
+    val plainF = dir.resolve("reads.fastq")
+    Files.write(plainF, fastq.getBytes("UTF-8"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(hc)
+    val bz2F = dir.resolve("reads.fastq.bz2")
+    val out = codec.createOutputStream(Files.newOutputStream(bz2F))
+    out.write(fastq.getBytes("UTF-8")); out.close()
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val old = Option(hc.get(key))
+    hc.set(key, "131072")
+    try {
+      val lines = Fastq.readLinesWithFormat(spark, bz2F.toString,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat")
+      val perSplit = lines.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+        .collect().toMap
+      assert(perSplit.size > 1, s"expected >1 input split, got $perSplit")
+      assert(perSplit.count(_._2 > 0) > 1,
+        s"expected records decoded in >1 split (not one giant split + empties): $perSplit")
+      val viaBz2 = graft.operators.Genomics
+        .countCanonical(Fastq.filterSequenceLines(lines), 21)
+        .as[(Long, Long)].collect().toMap
+      val viaPlain = graft.operators.Genomics
+        .countCanonical(Fastq.fastqSequencesHeuristic(spark, plainF.toString), 21)
+        .as[(Long, Long)].collect().toMap
+      assert(viaBz2 == viaPlain)
+      assert(viaBz2.nonEmpty)
+    } finally old match {
+      case Some(v) => hc.set(key, v)
+      case None => hc.unset(key)
+    }
+  }
+
   test("read guards drop short/long/invalid reads") {
     import spark.implicits._
     val rs = Seq("ACGTACGTACGTACGTACGTACGT", "ACG", "N" + "A" * 700, "XACGTACGT")
