@@ -59,6 +59,42 @@ class PipelinesSpec extends AnyFunSuite {
     assert(third == first)
   }
 
+  test("kill-resume: dirty stage dirs (partial output, no _SUCCESS) are " +
+    "recomputed and the resumed pipeline is bit-identical to a clean run") {
+    import spark.implicits._
+    val genome = randGenome(800, seed = 99)
+    val reads = ((0 to 740 by 7) :+ 740).distinct.map(i => genome.substring(i, i + 60))
+    val kList = Seq(15, 21)
+    val cleanDir = Files.createTempDirectory("graft_clean").toString
+    val clean = Pipelines.dynamicAssembly(spark, reads.toDS(), kList, cleanDir)
+      .collect().toSet
+
+    // a run killed mid-FIRST-stage: the stage dir holds plausible-but-WRONG
+    // partial parquet and no _SUCCESS. If resume ever trusted the dirty dir
+    // the poison row would survive into the counts and change the result.
+    val work = Files.createTempDirectory("graft_dirty").toString
+    Seq(("AAAAAAAAAAAAAAA", 999L)).toDF("kmer", "count")
+      .write.parquet(s"$work/count_multik")
+    Files.delete(java.nio.file.Paths.get(s"$work/count_multik/_SUCCESS"))
+    val resumed = Pipelines.dynamicAssembly(spark, reads.toDS(), kList, work)
+      .collect().toSet
+    assert(resumed == clean)
+    assert(new StageRunner(spark, work).isComplete("count_multik"))
+
+    // a run killed mid-LATER-stage: corrupt contigs_k21 with garbage bytes
+    // a dying writer could leave behind (unreadable as parquet — if resume
+    // tried to read instead of recompute, this would throw, not pass)
+    val stageDir = java.nio.file.Paths.get(s"$work/contigs_k21")
+    Files.delete(stageDir.resolve("_SUCCESS"))
+    val part = Files.list(stageDir)
+      .filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+    Files.write(part, Array.fill[Byte](128)(0x7f))
+    val resumed2 = Pipelines.dynamicAssembly(spark, reads.toDS(), kList, work)
+      .collect().toSet
+    assert(resumed2 == clean)
+    assert(new StageRunner(spark, work).isComplete("contigs_k21"))
+  }
+
   test("assembler resumes mid-contraction from durable round checkpoints") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, udf}
