@@ -125,6 +125,55 @@ object Events {
             when(col("p") >= 0, 1).otherwise(0)).as("stage"))
     }),
 
+    // -- es4: streaming watermark dedup through the oracle gate ------------
+    // [[EventStreams.dedupStream]] (dropDuplicatesWithinWatermark on the
+    // content hash) over the arrival-ordered documents replay (synthetic
+    // ingestion ts; every 10th doc re-ingested in a LATER microbatch, so
+    // dedup state must survive real batch boundaries to drop them).
+    // Ordered arrival makes "first occurrence kept" = "min doc_id kept",
+    // so the emitted set must hash-match the batch min-doc_id dedup of
+    // the same injected stream. The replay span (seconds) sits far inside
+    // the 24 h watermark, so no state is evicted and the stream computes
+    // the EXACT dedup — the state-bound/completeness trade only starts
+    // past the horizon.
+    "es4_stream_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val streamDir = graft.streaming.Replay.documentsDir(s, d)
+      val sch = s.read.parquet(streamDir).schema
+      val docs = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      val name = "es4_dedup_mem"
+      s.catalog.dropTempView(name)
+      val q = graft.streaming.EventStreams
+        .dedupStream(docs, "ts", "text", watermark = "24 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).select(col("h"), col("doc_id").as("keeper"))
+    }),
+
+    // -- es5: streaming ingest curation through the oracle gate ------------
+    // [[EventStreams.curateStream]]: per-row quality gates (token count,
+    // stopword presence — same thresholds as the batch quality_ok verdict)
+    // + watermark-bounded exact dedup, over the same ordered documents
+    // replay. The oracle re-states the gates in DuckDB and keeps min
+    // doc_id per surviving content hash.
+    "es5_stream_curate" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val streamDir = graft.streaming.Replay.documentsDir(s, d)
+      val sch = s.read.parquet(streamDir).schema
+      val docs = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      val name = "es5_curate_mem"
+      s.catalog.dropTempView(name)
+      val q = graft.streaming.EventStreams
+        .curateStream(docs, "ts", watermark = "24 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).select(col("h"), col("doc_id").as("keeper"))
+    }),
+
     // -- 30-minute-gap sessionization (lag + running sum of gap flags) -----
     "e2_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -416,7 +465,29 @@ object Events {
     // the batch oracles verbatim — same SQL string, same hash
     base +
       ("es2_stream_sessionize" -> base("e2_sessionize")) +
-      ("es3_stream_funnel" -> base("e10_funnel"))
+      ("es3_stream_funnel" -> base("e10_funnel")) +
+      // streaming exact dedup under ordered replay (with every 10th doc
+      // re-ingested later at doc_id+1e6) == batch min-doc_id dedup
+      ("es4_stream_dedup" ->
+        """WITH st AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+          |SELECT md5(text) AS h, MIN(doc_id) AS keeper
+          |FROM st GROUP BY md5(text)""".stripMargin) +
+      // streaming ingest curation: quality gates + first-occurrence dedup
+      ("es5_stream_curate" ->
+        """WITH st AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+          |q AS (
+          |  SELECT doc_id, text FROM st
+          |  WHERE len(string_split(text, ' ')) BETWEEN 10 AND 2000
+          |    AND len(list_filter(string_split(text, ' '),
+          |          w -> w IN ('the', 'a', 'of', 'and', 'in', 'to'))) >= 1)
+          |SELECT md5(text) AS h, MIN(doc_id) AS keeper
+          |FROM q GROUP BY md5(text)""".stripMargin)
   }
 
   private def baseOracles: Map[String, String] = Map(

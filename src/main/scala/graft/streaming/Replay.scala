@@ -1,23 +1,23 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.attribute.FileTime
 import java.nio.file.{Files, Path, Paths}
 
-/** Event-time-ordered replay of the `events` table for proving the
-  * Structured Streaming operators against the SAME DuckDB oracles as their
-  * batch twins (es1/es2/es3).
+/** Ordered replay of testdata tables for proving the Structured Streaming
+  * operators against the SAME DuckDB oracles as their batch twins
+  * (es1–es5).
   *
   * The file streaming source delivers files oldest-modification-first, so
-  * materializing the table as N time-range-bucketed parquet files with
-  * strictly increasing mtimes + `maxFilesPerTrigger=1` replays the table as
-  * N event-time-ordered microbatches — the stateful operators
-  * (`flatMapGroupsWithState` sessionization, `mapGroupsWithState` funnel)
-  * then cross real batch boundaries with real state-store round-trips,
-  * which is where streaming bugs actually live (a single-batch replay
-  * would exercise none of the incremental path).
+  * materializing a table as N range-bucketed parquet files with strictly
+  * increasing mtimes + `maxFilesPerTrigger=1` replays it as N ordered
+  * microbatches — the stateful operators (`flatMapGroupsWithState`
+  * sessionization, `mapGroupsWithState` funnel, watermark dedup) then
+  * cross real batch boundaries with real state-store round-trips, which is
+  * where streaming bugs actually live (a single-batch replay would
+  * exercise none of the incremental path).
   *
   * For Append-mode sessionization the final open session per user would
   * otherwise stay in state forever; a last `__flush` sentinel file (one
@@ -25,12 +25,12 @@ import java.nio.file.{Files, Path, Paths}
   * sessions are never emitted (the stream ends), so the emitted set is
   * exactly the real sessions.
   *
-  * Bucketed files are written once per (sfDir, sentinel) and cached for
-  * the JVM lifetime (bench warm-up + retimes re-invoke the query several
-  * times); a shutdown hook deletes the scratch dirs.
+  * Bucketed files are written once per (table, sfDir, variant) and cached
+  * for the JVM lifetime (bench warm-up + retimes re-invoke the query
+  * several times); a shutdown hook deletes the scratch dirs.
   */
 object Replay {
-  private val cache = scala.collection.concurrent.TrieMap[(String, Long), String]()
+  private val cache = scala.collection.concurrent.TrieMap[String, String]()
   private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def deleteRecursively(p: Path): Unit =
@@ -46,6 +46,49 @@ object Replay {
           try deleteRecursively(Paths.get(d)) catch { case _: Throwable => () })))
     }
 
+  /** Write `df` (already carrying a long ordering column `ord`) as
+    * `buckets` range-partitioned single-file parquets with increasing
+    * mtimes, then optionally a final file from `tail`. One file per range
+    * so each microbatch is ONE map task — within-batch record order is
+    * file order, which keeps first-occurrence semantics deterministic. */
+  private def materialize(key: String, df: DataFrame, cols: Seq[String],
+                          buckets: Int, tail: Option[DataFrame]): String =
+    synchronized {
+      cache.get(key) match {
+        case Some(d) if Files.exists(Paths.get(d, "_replay_done")) => d
+        case _ =>
+          installHook()
+          val dir = Files.createTempDirectory("graft_replay_")
+          val bounds = df.agg(min("ord"), max("ord")).first()
+          val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
+          val width = (hi0 - lo0) / buckets + 1
+          val base = System.currentTimeMillis()
+          def emit(part: DataFrame, name: String, seq: Int): Unit = {
+            val tmp = dir.resolve(s"_tmp_$name")
+            part.write.mode("overwrite").parquet(tmp.toString)
+            val f = Files.list(tmp).filter(p =>
+              p.getFileName.toString.startsWith("part-") &&
+                p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+            val dst = dir.resolve(s"$name.parquet")
+            Files.move(f, dst)
+            Files.setLastModifiedTime(dst, FileTime.fromMillis(base + seq * 2000L))
+            deleteRecursively(tmp)
+          }
+          (0 until buckets).foreach { i =>
+            val lo = lo0 + i * width
+            // ONE partition sorted by ord: record order inside the file is
+            // replay order, so within-batch first-occurrence is well-defined
+            emit(df.filter(col("ord") >= lo && col("ord") < lo + width)
+              .repartition(1).sortWithinPartitions("ord")
+              .select(cols.map(col): _*), f"b$i%02d", i)
+          }
+          tail.foreach(t => emit(t.coalesce(1).select(cols.map(col): _*), "z_flush", buckets))
+          Files.createFile(dir.resolve("_replay_done"))
+          cache.put(key, dir.toString)
+          dir.toString
+      }
+    }
+
   /** The events-table column order every replay file carries. */
   private val EventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
@@ -54,50 +97,53 @@ object Replay {
     * one `__flush` event per user at max(ts) + gap + 2 ms. Returns the
     * directory to `readStream` from (with `maxFilesPerTrigger=1`). */
   def eventsDir(s: SparkSession, sfDir: String, buckets: Int = 4,
-                sentinelGapMs: Long = -1L): String = synchronized {
-    val key = (new java.io.File(sfDir).getCanonicalPath, sentinelGapMs)
+                sentinelGapMs: Long = -1L): String = {
+    val key = s"events:${new java.io.File(sfDir).getCanonicalPath}:$sentinelGapMs"
     cache.get(key) match {
       case Some(d) if Files.exists(Paths.get(d, "_replay_done")) => d
       case _ =>
-        installHook()
-        val dir = Files.createTempDirectory("graft_replay_")
         // normalized read (handles the NANOS/NTZ testdata generations) —
-        // the replayed files are Spark-written TimestampType, so the
-        // streaming side never touches the schema-generation seam
+        // replay files are Spark-written TimestampType, so the streaming
+        // side never touches the schema-generation seam
         val ev = graft.Tables.events(s, sfDir)
-          .select(EventCols.map(col): _*)
-          .withColumn("tus", unix_micros(col("ts")))
-        val bounds = ev.agg(min("tus"), max("tus")).first()
-        val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
-        val width = (hi0 - lo0) / buckets + 1
-        val base = System.currentTimeMillis()
-        def emit(df: org.apache.spark.sql.DataFrame, name: String, seq: Int): Unit = {
-          val tmp = dir.resolve(s"_tmp_$name")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = Files.list(tmp).filter(p =>
-            p.getFileName.toString.startsWith("part-") &&
-              p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-          val dst = dir.resolve(s"$name.parquet")
-          Files.move(part, dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(base + seq * 2000L))
-          deleteRecursively(tmp)
-        }
-        (0 until buckets).foreach { i =>
-          val lo = lo0 + i * width
-          emit(ev.filter(col("tus") >= lo && col("tus") < lo + width)
-            .select(EventCols.map(col): _*), f"b$i%02d", i)
-        }
-        if (sentinelGapMs >= 0) {
-          val flushTs = timestamp_micros(lit(hi0 / 1000 * 1000 + (sentinelGapMs + 2) * 1000))
-          emit(ev.select("user_id").distinct()
-            .select(lit(-1L).as("event_id"), flushTs.as("ts"), col("user_id"),
-              lit("__flush").as("event_type"), lit(0.0).as("value"),
-              lit(null).cast("string").as("props")),
-            "z_flush", buckets)
-        }
-        Files.createFile(dir.resolve("_replay_done"))
-        cache.put(key, dir.toString)
-        dir.toString
+          .withColumn("ord", unix_micros(col("ts")))
+        val tail =
+          if (sentinelGapMs < 0) None
+          else {
+            val hi = ev.agg(max("ord")).first().getLong(0)
+            val flushTs = timestamp_micros(lit(hi / 1000 * 1000 + (sentinelGapMs + 2) * 1000))
+            Some(ev.select("user_id").distinct()
+              .select(lit(-1L).as("event_id"), flushTs.as("ts"), col("user_id"),
+                lit("__flush").as("event_type"), lit(0.0).as("value"),
+                lit(null).cast("string").as("props")))
+          }
+        materialize(key, ev, EventCols, buckets, tail)
+    }
+  }
+
+  /** Materialize `sfDir`'s documents as `buckets` arrival-ordered parquet
+    * files with a synthetic ingestion timestamp (`ts` = fixed epoch +
+    * arrival ms), so "first occurrence" under ordered replay is exactly
+    * "min doc_id" — the batch dedup convention the d-family oracles use.
+    *
+    * The corpus has no exact-duplicate texts, so the stream re-ingests
+    * every 10th document (doc_id + 1,000,000) AFTER the full corpus —
+    * the duplicates land in later microbatches than their originals,
+    * forcing the dedup state to actually work across batch boundaries.
+    * The es4/es5 oracles re-state the same injection in SQL. */
+  def documentsDir(s: SparkSession, sfDir: String, buckets: Int = 4): String = {
+    val key = s"documents:${new java.io.File(sfDir).getCanonicalPath}"
+    cache.get(key) match {
+      case Some(d) if Files.exists(Paths.get(d, "_replay_done")) => d
+      case _ =>
+        val docs = graft.Tables.documents(s, sfDir)
+        val hi = docs.agg(max("doc_id")).first().getLong(0)
+        val dups = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val all = docs.withColumn("ord", col("doc_id"))
+          .unionByName(dups.withColumn("ord", col("doc_id") - 1000000L + hi + 1))
+          .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("ord")))
+        materialize(key, all, "ts" +: docs.columns.toSeq, buckets, None)
     }
   }
 }
