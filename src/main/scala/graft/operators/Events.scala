@@ -174,6 +174,88 @@ object Events {
       s.table(name).select(col("h"), col("doc_id").as("keeper"))
     }),
 
+    // -- es6: streaming k-mer counter through the oracle gate --------------
+    // [[EventStreams.kmerCountStream]] (the `counter` pipeline as an
+    // Update/Complete-mode hash aggregation: state = one row per distinct
+    // k-mer, exactly the batch shuffle key space) over the plain ordered
+    // documents replay; run to completion it must land the batch g1
+    // answer, so it shares g1's DuckDB oracle. The typed flatMap
+    // (KmerIter over packed longs) crosses real microbatch boundaries —
+    // counts accumulate in the state store, not in one shuffle.
+    "es6_stream_kmer_count" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val streamDir = graft.streaming.Replay.documentsDir(s, d, injectDups = false)
+      val sch = s.read.parquet(streamDir).schema
+      val reads = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .select(Genomics.dna32(col("doc_id")).cast("string")).as[String]
+      val name = "es6_kmer_mem"
+      s.catalog.dropTempView(name)
+      val q = graft.streaming.EventStreams.kmerCountStream(reads, 15)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Genomics.decodeCounts(s.table(name), 15)
+    }),
+
+    // -- es7: running per-user stats through the oracle gate ---------------
+    // [[EventStreams.runningUserStats]] (mapGroupsWithState, Update mode)
+    // over the 4-batch ordered replay; each batch emits the user's
+    // cumulative row, nEvents is monotone, so max-by-nEvents over the
+    // memory sink is the final state. Cents→double at the end reproduces
+    // e1's decimal(18,2) summing convention exactly, so the result must
+    // hash-match a plain batch GROUP BY user_id in DuckDB.
+    "es7_stream_user_stats" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val streamDir = graft.streaming.Replay.eventsDir(s, d)
+      val sch = s.read.parquet(streamDir).schema
+      val ev = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      val name = "es7_ustats_mem"
+      s.catalog.dropTempView(name)
+      val q = graft.streaming.EventStreams.runningUserStats(ev)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).groupBy(col("userId"))
+        .agg(max(struct(col("nEvents"), col("totalCents"))).as("m"))
+        .select(col("userId").as("user_id"), col("m.nEvents").as("n_events"),
+          (col("m.totalCents") / 100.0).as("total"))
+    }),
+
+    // -- es8: stream-static enrichment join through the oracle gate --------
+    // [[EventStreams.enrich]]: the event stream left-joins a BROADCAST
+    // static customer dimension per microbatch (the standard reference-
+    // data lookup shape — stateless, no stream-stream state), then a
+    // Complete-mode aggregation rolls the enriched stream up by market
+    // segment. Must hash-match the same join+rollup in DuckDB.
+    "es8_stream_enrich" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val streamDir = graft.streaming.Replay.eventsDir(s, d)
+      val sch = s.read.parquet(streamDir).schema
+      val ev = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .select(col("user_id").as("userId"), col("event_type"), col("value"))
+      val dim = customer(s, d)
+        .select(col("c_custkey").as("userId"), col("c_mktsegment"))
+      val name = "es8_enrich_mem"
+      s.catalog.dropTempView(name)
+      val q = graft.streaming.EventStreams.enrich(ev, dim)
+        .groupBy(coalesce(col("c_mktsegment"), lit("<none>")).as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("double").as("total"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // -- 30-minute-gap sessionization (lag + running sum of gap flags) -----
     "e2_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -487,7 +569,22 @@ object Events {
           |    AND len(list_filter(string_split(text, ' '),
           |          w -> w IN ('the', 'a', 'of', 'and', 'in', 'to'))) >= 1)
           |SELECT md5(text) AS h, MIN(doc_id) AS keeper
-          |FROM q GROUP BY md5(text)""".stripMargin)
+          |FROM q GROUP BY md5(text)""".stripMargin) +
+      // streaming k-mer counter == batch g1 (same oracle, same hash)
+      ("es6_stream_kmer_count" -> Genomics.oracles("g1_kmer_count")) +
+      // running user stats fixpoint == plain batch GROUP BY (e1's
+      // decimal(18,2) summing convention)
+      ("es7_stream_user_stats" ->
+        """SELECT user_id, COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM events GROUP BY user_id""".stripMargin) +
+      // stream-static broadcast enrich + rollup == the same batch join
+      ("es8_stream_enrich" ->
+        """SELECT coalesce(c_mktsegment, '<none>') AS segment,
+          |  COUNT(*) AS n,
+          |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
+          |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+          |GROUP BY 1""".stripMargin)
   }
 
   private def baseOracles: Map[String, String] = Map(

@@ -14,7 +14,15 @@ object EventStreams {
   case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
   case class SessState(start: Long, last: Long, n: Long)
   case class ClosedSession(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
-  case class UserStats(userId: Long, nEvents: Long, total: Double)
+  /** Running totals carry CENTS as a long, not a double: long addition is
+    * associative and commutative, so the accumulated state is identical
+    * under any microbatch partitioning or within-batch arrival order —
+    * double accumulation would drift with the order the shuffle happens
+    * to deliver (and could never hash-match a decimal-summing oracle).
+    * Per-event rounding mirrors Spark's double→decimal(18,2) cast
+    * (BigDecimal.valueOf + HALF_UP), the same convention e1's batch
+    * aggregation uses. */
+  case class UserStats(userId: Long, nEvents: Long, totalCents: Long)
 
   /** Streaming analogue of e1: event-time tumbling window with watermark
     * (late data beyond 1 hour is dropped, state is evicted). */
@@ -180,17 +188,25 @@ object EventStreams {
         })
   }
 
-  /** Running per-user aggregates via mapGroupsWithState (Update mode). */
+  /** Per-event cents under the exact double→decimal(18,2) convention. */
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
+  /** Running per-user aggregates via mapGroupsWithState (Update mode).
+    * Emits the user's cumulative row each microbatch; nEvents is
+    * monotone, so the final state is the max-nEvents row per user. */
   def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.userId)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
         (uid: Long, it: Iterator[Event], state: GroupState[UserStats]) => {
-          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
-          val batch = it.toSeq
-          val next = UserStats(uid, prev.nEvents + batch.size,
-            prev.total + batch.map(_.value).sum)
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0L))
+          var n = 0L; var c = 0L
+          it.foreach { e => n += 1; c += cents(e.value) }
+          val next = UserStats(uid, prev.nEvents + n, prev.totalCents + c)
           state.update(next)
           next
         })

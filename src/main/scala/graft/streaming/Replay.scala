@@ -130,20 +130,30 @@ object Replay {
     * every 10th document (doc_id + 1,000,000) AFTER the full corpus —
     * the duplicates land in later microbatches than their originals,
     * forcing the dedup state to actually work across batch boundaries.
-    * The es4/es5 oracles re-state the same injection in SQL. */
-  def documentsDir(s: SparkSession, sfDir: String, buckets: Int = 4): String = {
-    val key = s"documents:${new java.io.File(sfDir).getCanonicalPath}"
+    * The es4/es5 oracles re-state the same injection in SQL.
+    *
+    * `injectDups = false` replays the corpus verbatim (still ordered and
+    * bucketed) — the input for streaming operators whose batch twin runs
+    * over the unmodified table (es6's k-mer counter vs g1). */
+  def documentsDir(s: SparkSession, sfDir: String, buckets: Int = 4,
+                   injectDups: Boolean = true): String = {
+    val key = s"documents:${new java.io.File(sfDir).getCanonicalPath}:$injectDups"
     cache.get(key) match {
       case Some(d) if Files.exists(Paths.get(d, "_replay_done")) => d
       case _ =>
         val docs = graft.Tables.documents(s, sfDir)
-        val hi = docs.agg(max("doc_id")).first().getLong(0)
-        val dups = docs.filter(col("doc_id") % 10 === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
-        val all = docs.withColumn("ord", col("doc_id"))
-          .unionByName(dups.withColumn("ord", col("doc_id") - 1000000L + hi + 1))
-          .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("ord")))
-        materialize(key, all, "ts" +: docs.columns.toSeq, buckets, None)
+        val base = docs.withColumn("ord", col("doc_id"))
+        val all =
+          if (!injectDups) base
+          else {
+            val hi = docs.agg(max("doc_id")).first().getLong(0)
+            val dups = docs.filter(col("doc_id") % 10 === 0)
+              .withColumn("doc_id", col("doc_id") + 1000000L)
+            base.unionByName(dups.withColumn("ord", col("doc_id") - 1000000L + hi + 1))
+          }
+        materialize(key,
+          all.withColumn("ts", timestamp_millis(lit(1700000000000L) + col("ord"))),
+          "ts" +: docs.columns.toSeq, buckets, None)
     }
   }
 }

@@ -45,8 +45,8 @@ class EventStreamsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val last = spark.table("ustats").as[UserStats].collect()
         .groupBy(_.userId).map { case (u, rows) => u -> rows.maxBy(_.nEvents) }
-      assert(last(1L) == UserStats(1L, 3, 10.0))
-      assert(last(2L) == UserStats(2L, 1, 7.0))
+      assert(last(1L) == UserStats(1L, 3, 1000L)) // 10.00 in cents
+      assert(last(2L) == UserStats(2L, 1, 700L))
     } finally q.stop()
   }
 
