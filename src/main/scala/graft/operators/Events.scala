@@ -20,6 +20,25 @@ object Events {
   private def fmt(c: org.apache.spark.sql.Column) =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Run a streaming query with an explicitly-sized state store.
+    *
+    * The number of state-store partitions is pinned from
+    * `spark.sql.shuffle.partitions` at stream start and then frozen into
+    * the checkpoint — AQE explicitly cannot coalesce stateful streaming
+    * exchanges, so unlike batch, this knob is part of the OPERATOR's
+    * deployment and must be sized to the stream's key space and
+    * throughput, not left at the session-wide batch default. The es*
+    * parity replays are bounded few-batch streams where per-task overhead
+    * (state-store open/commit per partition per microbatch) dominates, so
+    * they run at 8; a production deployment sizes it to sustained
+    * events/sec the same way. Restores the session default afterwards. */
+  private def withStreamPartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- hourly tumbling aggregation ---------------------------------------
     "e1_hourly_agg" -> ((s, d) =>
@@ -48,10 +67,12 @@ object Events {
         .option("maxFilesPerTrigger", "1").parquet(streamDir)
       val name = "es1_hourly_mem"
       s.catalog.dropTempView(name)
-      val q = graft.streaming.EventStreams.hourlyTotals(ev)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams.hourlyTotals(ev)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
         .select(fmt(col("hour_ts")).as("hour"), col("event_type"),
           col("n"), col("total"))
@@ -79,10 +100,12 @@ object Events {
         .as[graft.streaming.EventStreams.Event]
       val name = "es2_sessions_mem"
       s.catalog.dropTempView(name)
-      val q = graft.streaming.EventStreams.sessionize(ev, gapMs)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams.sessionize(ev, gapMs)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val byStart = Window.partitionBy(col("userId")).orderBy(col("startMs"))
       s.table(name)
         .withColumn("session_id", row_number().over(byStart).cast("long"))
@@ -111,10 +134,12 @@ object Events {
         .as[graft.streaming.EventStreams.Event]
       val name = "es3_funnel_mem"
       s.catalog.dropTempView(name)
-      val q = graft.streaming.EventStreams.funnelStream(ev)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams.funnelStream(ev)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).groupBy(col("userId"))
         .agg(max("vUs").as("v"), max("cUs").as("c"), max("pUs").as("p"))
         .filter(col("v") >= 0)
@@ -144,11 +169,13 @@ object Events {
         .option("maxFilesPerTrigger", "1").parquet(streamDir)
       val name = "es4_dedup_mem"
       s.catalog.dropTempView(name)
-      val q = graft.streaming.EventStreams
-        .dedupStream(docs, "ts", "text", watermark = "24 hours")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams
+          .dedupStream(docs, "ts", "text", watermark = "24 hours")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).select(col("h"), col("doc_id").as("keeper"))
     }),
 
@@ -166,11 +193,13 @@ object Events {
         .option("maxFilesPerTrigger", "1").parquet(streamDir)
       val name = "es5_curate_mem"
       s.catalog.dropTempView(name)
-      val q = graft.streaming.EventStreams
-        .curateStream(docs, "ts", watermark = "24 hours")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams
+          .curateStream(docs, "ts", watermark = "24 hours")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).select(col("h"), col("doc_id").as("keeper"))
     }),
 
@@ -192,10 +221,12 @@ object Events {
         .select(Genomics.dna32(col("doc_id")).cast("string")).as[String]
       val name = "es6_kmer_mem"
       s.catalog.dropTempView(name)
-      val q = graft.streaming.EventStreams.kmerCountStream(reads, 15)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams.kmerCountStream(reads, 15)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       Genomics.decodeCounts(s.table(name), 15)
     }),
 
@@ -218,10 +249,12 @@ object Events {
         .as[graft.streaming.EventStreams.Event]
       val name = "es7_ustats_mem"
       s.catalog.dropTempView(name)
-      val q = graft.streaming.EventStreams.runningUserStats(ev)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams.runningUserStats(ev)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).groupBy(col("userId"))
         .agg(max(struct(col("nEvents"), col("totalCents"))).as("m"))
         .select(col("userId").as("user_id"), col("m.nEvents").as("n_events"),
@@ -245,14 +278,16 @@ object Events {
         .select(col("c_custkey").as("userId"), col("c_mktsegment"))
       val name = "es8_enrich_mem"
       s.catalog.dropTempView(name)
-      val q = graft.streaming.EventStreams.enrich(ev, dim)
-        .groupBy(coalesce(col("c_mktsegment"), lit("<none>")).as("segment"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
-            .cast("double").as("total"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams.enrich(ev, dim)
+          .groupBy(coalesce(col("c_mktsegment"), lit("<none>")).as("segment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+              .cast("double").as("total"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
     }),
 
