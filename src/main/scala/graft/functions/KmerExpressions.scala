@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ExpectsInputTypes, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.core.KmerCodec
 
@@ -53,6 +54,163 @@ object KmerFns {
   def unpack(v: Long, k: Int): UTF8String =
     if (k < 1 || k > 31 || v < 0) UTF8String.EMPTY_UTF8
     else UTF8String.fromString(KmerCodec.decodeLong(v, k))
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Unsigned lexicographic compare of two equal-length byte arrays —
+    * identical ordering to comparing their lowercase-hex encodings. */
+  private def uCmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
+  /** One-pass (k,w)-minimizer sketch: md5-hex window minima over the
+    * CANONICAL k-mers of `s`, distinct, as an array of 32-char hex
+    * strings. Bit-for-bit the same set as the declarative chain
+    * `array_distinct(transform(windows, j -> array_min(slice(
+    *    transform(kmers, i -> md5(least(kmer, revcomp(kmer)))), j, w))))`
+    * (md5 of ASCII == md5 of UTF8 here; hex-string order == unsigned
+    * digest-byte order, so minima are selected on raw digests and only
+    * the <= n-w+1 winners are hex-encoded). Reads shorter than k+w-1
+    * have no full window -> empty array, the same guard the HOF form
+    * needed explicitly. */
+  def minimizerMd5(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length - k + 1
+    if (k < 1 || w < 1 || n < w) return new GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    // canonical k-mer -> md5 digest per position, one reused char buffer
+    val digests = new Array[Array[Byte]](n)
+    val fwd = new Array[Char](k)
+    val rc = new Array[Char](k)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      var useRc = false
+      var decided = false
+      while (j < k) {
+        val c = str.charAt(i + j)
+        fwd(j) = c
+        val m = c match {
+          case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
+          case other => other // translate() leaves non-ACGT unchanged
+        }
+        rc(k - 1 - j) = m
+        j += 1
+      }
+      // least(fwd, reverse(complement)) by direct char compare
+      j = 0
+      while (j < k && !decided) {
+        if (fwd(j) != rc(j)) { useRc = rc(j) < fwd(j); decided = true }
+        j += 1
+      }
+      val canon = if (useRc) rc else fwd
+      j = 0
+      while (j < k) { md.update(canon(j).toByte); j += 1 }
+      digests(i) = md.digest() // digest() resets the instance
+      i += 1
+    }
+    // window minima on raw digests; distinct via linear probe over the
+    // (tiny, <= n-w+1) winner list
+    val out = new java.util.ArrayList[Any](n - w + 1)
+    val seen = new java.util.ArrayList[Array[Byte]](n - w + 1)
+    var jw = 0
+    while (jw <= n - w) {
+      var min = digests(jw)
+      var t = jw + 1
+      while (t < jw + w) {
+        if (uCmp(digests(t), min) < 0) min = digests(t)
+        t += 1
+      }
+      var dup = false
+      var si = 0
+      while (si < seen.size() && !dup) {
+        if (uCmp(seen.get(si), min) == 0) dup = true
+        si += 1
+      }
+      if (!dup) {
+        seen.add(min)
+        val hex = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hex(2 * b) = HexChars((min(b) >> 4) & 0xf)
+          hex(2 * b + 1) = HexChars(min(b) & 0xf)
+          b += 1
+        }
+        out.add(UTF8String.fromString(new String(hex)))
+      }
+      jw += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Per-window minimizer SELECTION (g13's shape): one entry per window
+    * j = 0..n-w, the canonical k-mer whose (md5, kmer) struct is minimal
+    * in that window — bit-for-bit the rows of the declarative
+    * `transform(windows, j -> array_min(slice(structs, j, w)).km)` chain
+    * (struct order: md5 hex first, k-mer text as tie-break), including
+    * duplicates, so downstream per-window counts are unchanged. */
+  def minimizerWindows(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length - k + 1
+    if (k < 1 || w < 1 || n < w) return new GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    val digests = new Array[Array[Byte]](n)
+    val canons = new Array[String](n)
+    val fwd = new Array[Char](k)
+    val rc = new Array[Char](k)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < k) {
+        val c = str.charAt(i + j)
+        fwd(j) = c
+        val m = c match {
+          case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
+          case other => other
+        }
+        rc(k - 1 - j) = m
+        j += 1
+      }
+      var useRc = false
+      var decided = false
+      j = 0
+      while (j < k && !decided) {
+        if (fwd(j) != rc(j)) { useRc = rc(j) < fwd(j); decided = true }
+        j += 1
+      }
+      canons(i) = new String(if (useRc) rc else fwd)
+      j = 0
+      val canon = canons(i)
+      while (j < k) { md.update(canon.charAt(j).toByte); j += 1 }
+      digests(i) = md.digest()
+      i += 1
+    }
+    val out = new Array[Any](n - w + 1)
+    var jw = 0
+    while (jw <= n - w) {
+      var min = jw
+      var t = jw + 1
+      while (t < jw + w) {
+        val c = uCmp(digests(t), digests(min))
+        if (c < 0 || (c == 0 && canons(t).compareTo(canons(min)) < 0)) min = t
+        t += 1
+      }
+      out(jw) = UTF8String.fromString(canons(min))
+      jw += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `canonical_kmer(str)` — native Catalyst expression with codegen: stays
@@ -109,6 +267,44 @@ case class KmerUnpack(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** `minimizer_md5(read, k, w)` -> array of distinct md5-hex (k,w)-window
+  * minimizers (the minimap2 seeding sketch, Li 2018 §2.1). One codegen'd
+  * kernel call per read replaces the interpreted HOF chain
+  * transform(md5)→slice→array_min→array_distinct, whose per-k-mer
+  * substring/translate/reverse/least allocations dominated the g14
+  * sketch stage (array lambdas are CodegenFallback). Selection order is
+  * still md5 (oracle parity — see the g13/g14 oracles). */
+case class MinimizerMd5(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minimizer_md5"
+  protected override def nullSafeEval(s: Any, k: Any, w: Any): Any =
+    KmerFns.minimizerMd5(s.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, k, w) => s"graft.functions.KmerFns.minimizerMd5($s, $k, $w)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): MinimizerMd5 =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `minimizer_windows(read, k, w)` -> the selected canonical k-mer per
+  * window (one entry per window, duplicates preserved — g13's shape; see
+  * [[KmerFns.minimizerWindows]]). */
+case class MinimizerWindows(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minimizer_windows"
+  protected override def nullSafeEval(s: Any, k: Any, w: Any): Any =
+    KmerFns.minimizerWindows(s.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, k, w) => s"graft.functions.KmerFns.minimizerWindows($s, $k, $w)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): MinimizerWindows =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Catalyst optimizer rule: algebraic identities of the k-mer domain.
   * `canonical(rc(x)) == canonical(x)` and `canonical` is idempotent —
   * both hold for invalid input too (every side degenerates to the ""
@@ -134,6 +330,8 @@ object GraftFunctions {
     "revcomp" -> (args => ReverseComplement(args.head)),
     "kmer_pack" -> (args => KmerPack(args.head)),
     "kmer_unpack" -> (args => KmerUnpack(args(0), args(1))),
+    "minimizer_md5" -> (args => MinimizerMd5(args(0), args(1), args(2))),
+    "minimizer_windows" -> (args => MinimizerWindows(args(0), args(1), args(2))),
     "rolling_hash" -> (args => RollingHash(args.head)),
     "vec_dot" -> (args => VecDot(args(0), args(1))),
     "simhash60" -> (args => SimHash60Agg(args.head)))

@@ -149,28 +149,22 @@ object Genomics {
     // hash BEFORE the join that recovers the k-mer text, so the recovery
     // join touches minimizers only. k=11, w=8 over the 64-base reads.
     "g13_minimizers" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val k = 11; val w = 8
       val seq = documents(s, d).select(col("doc_id"), dna64(col("doc_id")).as("s"))
-        // guard: 2-arg sequence DESCENDS when stop < start, so an input
-        // shorter than k+w-1 would yield j=0 and slice(hs, 0, w) throws;
-        // dna64 is fixed-length today but the operator shouldn't rely on it
-        .filter(length(col("s")) >= k + w - 1)
-      // per-doc minimizer selection in ONE narrow projection (the g14
-      // move): canonical k-mers as an array, each lifted to an (mh, km)
-      // struct so array_min's lexicographic struct ordering selects by
-      // md5 (oracle parity) while the k-mer string RIDES ALONG — which
-      // also deletes the window formulation's hash->kmer dict join. The
-      // only shuffles left are the two aggregations, keyed by the 11-char
-      // k-mer, not 32-char md5 hex.
+      // per-doc minimizer selection in ONE narrow CODEGEN'D projection:
+      // [[graft.functions.MinimizerWindows]] computes canonical k-mers,
+      // md5 ranking (oracle parity) and per-window selection in a single
+      // native kernel call per read — the previous declarative
+      // transform(md5-struct)→slice→array_min chain was CodegenFallback
+      // (interpreted per-element lambdas + per-k-mer substring/translate/
+      // reverse allocations) and dominated the stage. Short inputs yield
+      // an empty array (the old explicit length guard, now in-kernel).
+      // The only shuffles left are the two aggregations, keyed by the
+      // 11-char k-mer, not 32-char md5 hex.
       val sel = seq
-        .select(col("doc_id"), expr(
-          s"""transform(transform(sequence(1, length(s) - ${k - 1}),
-             |i -> least(substring(s, i, $k),
-             |reverse(translate(substring(s, i, $k), 'ACGT', 'TGCA')))),
-             |km -> named_struct('mh', md5(km), 'km', km))"""
-            .stripMargin.replace("\n", " ")).as("hs"))
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(hs) - ${w - 1}), j -> array_min(slice(hs, j, $w)).km)")).as("km"))
+        .select(col("doc_id"),
+          explode(expr(s"minimizer_windows(s, $k, $w)")).as("km"))
       sel.groupBy(col("doc_id"), col("km"))
         .agg(count(lit(1)).as("n_win"))
         .groupBy("km")
@@ -191,32 +185,29 @@ object Genomics {
     // this corpus that recovers ALL 4-per-doc adjacent pairs (24-base
     // overlap) with zero cross-doc false positives (spec).
     "g14_minimizer_overlap" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val k = 11; val w = 4
       val reads = documents(s, d)
         .select(col("doc_id"), dna64(col("doc_id")).as("g"))
         .select(col("doc_id"),
           posexplode(expr("transform(sequence(1, 33, 8), i -> substring(g, i, 32))")))
         .select((col("doc_id") * 8 + col("pos")).as("rid"), col("col").as("r"))
-      // Minimizer selection happens entirely inside ONE narrow
-      // projection: hash every k-mer of the read into an array, take the
-      // w-window minima via slice+array_min, dedup per read with
-      // array_distinct. (Array HOFs are CodegenFallback — interpreted —
-      // but the md5 evaluation dominates the lambda overhead, and the
-      // win is structural: the previous explode -> per-rid window sort ->
-      // global distinct formulation cost three full shuffles of the
-      // exploded k-mer table; this costs zero.) Selection ordering stays
-      // md5 (oracle parity), but nothing string-typed ever reaches a
-      // shuffle: the selected minimizer is immediately folded to an
-      // xxhash64 long, so the df-count / rare-join / self-join all
-      // shuffle 8-byte keys instead of 32-char hex.
-      val nK = 32 - k + 1
+      // Minimizer selection happens entirely inside ONE narrow CODEGEN'D
+      // projection: [[graft.functions.MinimizerMd5]] computes canonical
+      // k-mers, md5 hashes, w-window minima and the per-read distinct in
+      // a single native kernel call (minima are selected on raw digest
+      // bytes — the same order as hex strings — and only winners are
+      // hex-encoded). The previous declarative transform(md5)→slice→
+      // array_min→array_distinct chain was CodegenFallback: interpreted
+      // lambdas plus per-k-mer substring/translate/reverse/least
+      // allocations dominated the sketch stage that g15/g16 also pay.
+      // Selection ordering stays md5 (oracle parity), but nothing
+      // string-typed ever reaches a shuffle: the selected minimizer is
+      // immediately folded to an xxhash64 long, so the df-count /
+      // rare-join / self-join all shuffle 8-byte keys instead of 32-char
+      // hex.
       val sel = reads
-        .select(col("rid"), expr(
-          s"""transform(sequence(1, $nK), i -> md5(least(substring(r, i, $k),
-             |reverse(translate(substring(r, i, $k), 'ACGT', 'TGCA')))))"""
-            .stripMargin.replace("\n", " ")).as("hs"))
-        .select(col("rid"), explode(expr(
-          s"array_distinct(transform(sequence(1, ${nK - (w - 1)}), j -> array_min(slice(hs, j, $w))))")).as("mmh"))
+        .select(col("rid"), explode(expr(s"minimizer_md5(r, $k, $w)")).as("mmh"))
         .select(col("rid"), xxhash64(col("mmh")).as("mk"))
       val rare = sel.groupBy("mk").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 8)).select("mk")

@@ -40,6 +40,42 @@ class KmerExpressionsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), s"expected codegen'd project in:\n$plan")
   }
 
+  test("minimizer kernels == declarative HOF chain (fuzz incl. short + non-ACGT)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = new scala.util.Random(77)
+    // lengths straddle the k+w-1 window threshold; 'N' exercises the
+    // translate()-leaves-unknown-chars-alone path the HOF form has
+    val strs = (1 to 60).map { i =>
+      val n = r.nextInt(40) + 5
+      val alpha = if (i % 5 == 0) "ACGTN" else "ACGT"
+      Array.fill(n)(alpha(r.nextInt(alpha.length))).mkString
+    }
+    for ((k, w) <- Seq((11, 4), (11, 8), (5, 3))) {
+      val df = strs.toDF("s").select(
+        org.apache.spark.sql.functions.expr(s"minimizer_md5(s, $k, $w)").as("native"),
+        org.apache.spark.sql.functions.expr(
+          s"""CASE WHEN length(s) >= ${k + w - 1} THEN array_distinct(
+             |transform(sequence(1, length(s) - ${k + w - 2}), j -> array_min(slice(
+             |transform(sequence(1, length(s) - ${k - 1}), i -> md5(least(substring(s, i, $k),
+             |reverse(translate(substring(s, i, $k), 'ACGT', 'TGCA'))))), j, $w))))
+             |ELSE array() END""".stripMargin.replace("\n", " ")).as("hof"),
+        org.apache.spark.sql.functions.expr(s"minimizer_windows(s, $k, $w)").as("nativeW"),
+        org.apache.spark.sql.functions.expr(
+          s"""CASE WHEN length(s) >= ${k + w - 1} THEN
+             |transform(sequence(1, length(s) - ${k + w - 2}), j -> array_min(slice(
+             |transform(transform(sequence(1, length(s) - ${k - 1}),
+             |i -> least(substring(s, i, $k),
+             |reverse(translate(substring(s, i, $k), 'ACGT', 'TGCA')))),
+             |km -> named_struct('mh', md5(km), 'km', km)), j, $w)).km)
+             |ELSE array() END""".stripMargin.replace("\n", " ")).as("hofW"))
+      df.collect().foreach { row =>
+        assert(row.getSeq[String](0) == row.getSeq[String](1), s"minimizer_md5 k=$k w=$w")
+        assert(row.getSeq[String](2) == row.getSeq[String](3), s"minimizer_windows k=$k w=$w")
+      }
+    }
+  }
+
   test("KmerAlgebra optimizer rule collapses canonical(revcomp(x))") {
     GraftFunctions.register(spark)
     val df = spark.range(16)
