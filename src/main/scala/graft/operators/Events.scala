@@ -291,6 +291,50 @@ object Events {
       s.table(name)
     }),
 
+    // -- es9: STREAM-STREAM interval join through the oracle gate ----------
+    // [[EventStreams.clickAttribution]]: two independent readStream
+    // sources over the same ordered replay (clicks / purchases slices),
+    // watermarked on both sides, inner-joined on user with the purchase
+    // bounded to 30 min after the click. This is the one Structured
+    // Streaming join class es1-es8 didn't cover (stateful BUFFERED join:
+    // both sides hold state, eviction is derived from the watermark +
+    // range condition — where stream-stream join bugs actually live).
+    // The 2-DAY window is sized against the replay (30-day stream in 4
+    // microbatches): matches genuinely cross microbatch boundaries — a
+    // batch-N click pairs with a batch-N+1 purchase through the buffered
+    // state (verified: 11 of 192 pairs cross at sf0.001, 172 of 1695 at
+    // sf0.01) — a 30-min window would make every match intra-batch and
+    // leave the state path untested. The emitted set on the bounded
+    // replay must hash-match the batch DuckDB interval join.
+    "es9_stream_stream_join" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val streamDir = graft.streaming.Replay.eventsDir(s, d)
+      val sch = s.read.parquet(streamDir).schema
+      def src() = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      // watermark (3 d) > join window (2 d): in-window partners are
+      // never evicted before they can match (see clickAttribution's doc)
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+        .withWatermark("cts", "3 days")
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("pts"))
+        .withWatermark("pts", "3 days")
+      val name = "es9_ssjoin_mem"
+      s.catalog.dropTempView(name)
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams
+          .clickAttribution(clicks, purchases, 2L * 86400 * 1000)
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            expr("(unix_micros(pts) - unix_micros(cts)) div 1000").as("gap_ms"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
+    }),
+
     // -- 30-minute-gap sessionization (lag + running sum of gap flags) -----
     "e2_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -613,6 +657,17 @@ object Events {
         """SELECT user_id, COUNT(*) AS n_events,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM events GROUP BY user_id""".stripMargin) +
+      // stream-stream interval join on a bounded ordered replay == the
+      // batch interval join (micros-exact bounds, 2-day window)
+      ("es9_stream_stream_join" ->
+        """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+          |  c.user_id, (epoch_us(p.ts) - epoch_us(c.ts)) // 1000 AS gap_ms
+          |FROM events c JOIN events p
+          |  ON c.user_id = p.user_id
+          | AND c.event_type = 'click' AND p.event_type = 'purchase'
+          | AND epoch_us(p.ts) >= epoch_us(c.ts)
+          | AND epoch_us(p.ts) <= epoch_us(c.ts)
+          |       + CAST(2 AS BIGINT) * 86400 * 1000000""".stripMargin) +
       // stream-static broadcast enrich + rollup == the same batch join
       ("es8_stream_enrich" ->
         """SELECT coalesce(c_mktsegment, '<none>') AS segment,

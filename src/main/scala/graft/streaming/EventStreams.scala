@@ -83,6 +83,28 @@ object EventStreams {
   def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("userId"), "left")
 
+  /** STREAM-STREAM inner join (the remaining Structured Streaming join
+    * class after es8's stream-static broadcast): attribute each purchase
+    * to every click by the same user within `windowMs` before it. Both
+    * sides carry event-time watermarks and the join condition bounds
+    * purchase time to [click, click + window], so Spark derives exact
+    * state-retention: a buffered click is evicted once the purchase-side
+    * watermark passes click + window — state scales with the in-window
+    * event rate, never the stream length (THE requirement at 100 TB/day).
+    * Inner-join matches emit as soon as both sides arrive (Append mode);
+    * on a bounded ordered replay the emitted set is exactly the batch
+    * interval-join answer, which is what the es9 oracle proves.
+    *
+    * Expects `clicks(click_id, user_id, cts)` / `purchases(purchase_id,
+    * p_user, pts)` ALREADY watermarked by the caller (watermark must be
+    * >= windowMs or in-window matches could be evicted early). */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       windowMs: Long): DataFrame =
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr(s"interval ${windowMs / 1000} seconds"))
+
   /** Streaming exact dedup for an ingestion pipeline: keep the first
     * occurrence of each content hash; the watermark bounds the dedup
     * state (duplicates arriving later than the watermark may pass, which

@@ -97,6 +97,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("clickAttribution matches across microbatches via buffered state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Timestamp)]
+    val purchIn = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = clicksIn.toDF().toDF("click_id", "user_id", "cts")
+      .withWatermark("cts", "1 hour")
+    val purchases = purchIn.toDF().toDF("purchase_id", "p_user", "pts")
+      .withWatermark("pts", "1 hour")
+    val q = EventStreams.clickAttribution(clicks, purchases, 30 * 60000L)
+      .select(col("click_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      // batch 1: two clicks + one same-batch purchase for user 2
+      clicksIn.addData((100L, 1L, ts(0)), (200L, 2L, ts(0)))
+      purchIn.addData((900L, 2L, ts(5)))
+      q.processAllAvailable()
+      assert(spark.table("attrib").as[(Long, Long)].collect().toSet ==
+        Set((200L, 900L))) // intra-batch match emitted immediately
+      // batch 2: user 1's purchase arrives a batch LATER but in-window —
+      // it must pair with the click BUFFERED in the join state store;
+      // a second purchase outside the 30-min window must not match
+      purchIn.addData((901L, 1L, ts(20)), (902L, 1L, ts(45)))
+      q.processAllAvailable()
+      assert(spark.table("attrib").as[(Long, Long)].collect().toSet ==
+        Set((200L, 900L), (100L, 901L)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each microbatch against the dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
