@@ -55,6 +55,19 @@ object KmerFns {
     if (k < 1 || k > 31 || v < 0) UTF8String.EMPTY_UTF8
     else UTF8String.fromString(KmerCodec.decodeLong(v, k))
 
+  /** Canonical 2-bit pack in ONE scan: min(pack(s), pack(revcomp(s))) ==
+    * pack(least(s, revcomp(s))) because MSB-first packing with A<C<G<T
+    * code order makes packed-Long comparison identical to lexicographic
+    * string comparison at equal k. -1 sentinel for invalid bases or
+    * out-of-contract length (matching [[pack]]). */
+  def canonPack(s: UTF8String): Long = {
+    val str = s.toString
+    val k = str.length
+    if (k < 1 || k > 31) return -1L
+    val v = KmerCodec.encodeLong(str, 0, k)
+    if (v < 0) -1L else KmerCodec.canonicalLong(v, k)
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -267,6 +280,23 @@ case class KmerUnpack(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** `canon_pack(str)` -> packed canonical k-mer Long in one scan — the
+  * fused form of `kmer_pack(canonical_kmer(str))` without the revcomp
+  * string allocation (see [[KmerFns.canonPack]]); -1 sentinel when
+  * invalid. Used as an equi-join KEY: injective on canonical k-mers at
+  * fixed k, so set membership matches the string-domain form exactly. */
+case class CanonPack(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "canon_pack"
+  protected override def nullSafeEval(input: Any): Any =
+    KmerFns.canonPack(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.KmerFns.canonPack($c)")
+  override protected def withNewChildInternal(newChild: Expression): CanonPack =
+    copy(child = newChild)
+}
+
 /** `minimizer_md5(read, k, w)` -> array of distinct md5-hex (k,w)-window
   * minimizers (the minimap2 seeding sketch, Li 2018 §2.1). One codegen'd
   * kernel call per read replaces the interpreted HOF chain
@@ -330,6 +360,7 @@ object GraftFunctions {
     "revcomp" -> (args => ReverseComplement(args.head)),
     "kmer_pack" -> (args => KmerPack(args.head)),
     "kmer_unpack" -> (args => KmerUnpack(args(0), args(1))),
+    "canon_pack" -> (args => CanonPack(args.head)),
     "minimizer_md5" -> (args => MinimizerMd5(args(0), args(1), args(2))),
     "minimizer_windows" -> (args => MinimizerWindows(args(0), args(1), args(2))),
     "rolling_hash" -> (args => RollingHash(args.head)),

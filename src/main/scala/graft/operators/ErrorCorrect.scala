@@ -75,6 +75,18 @@ object ErrorCorrect {
   private def kmKey(n: String, k: Int): Column =
     if (k <= 31) expr(s"kmer_pack($n)") else col(n)
 
+  /** Fused k-mer join key at position `i` (1-based) of string column
+    * `src`: for k <= 31 the codegen'd `canon_pack` packs the canonical
+    * k-mer in ONE scan — no revcomp/least string allocations per k-mer
+    * (this runs once per (read, position) and once per (candidate,
+    * altered position): the hottest expressions in the corrector).
+    * Injective on canonical k-mers at fixed k, so every join/anti-join
+    * membership below is unchanged vs the string form the DuckDB oracle
+    * computes. String-domain fallback beyond the packable width. */
+  private def fusedKey(src: String, k: Int): Column =
+    if (k <= 31) expr(s"canon_pack(substring($src, i, $k))")
+    else canon(col(src).substr(col("i"), lit(k)))
+
   /** The solid-k-mer spectrum of a read set: `(skv)` keyed canonical
     * k-mers (see [[kmKey]]) with count >= `minSolid`. */
   def solidSpectrum(reads: DataFrame, k: Int, minSolid: Long): DataFrame = {
@@ -82,8 +94,7 @@ object ErrorCorrect {
     reads.filter(length(col("read")) >= k)
       .select(col("read"),
         explode(sequence(lit(1), length(col("read")) - (k - 1))).as("i"))
-      .select(canon(col("read").substr(col("i"), lit(k))).as("km"))
-      .select(kmKey("km", k).as("skv"))
+      .select(fusedKey("read", k).as("skv"))
       .groupBy("skv").agg(count(lit(1)).as("sc"))
       .filter(col("sc") >= minSolid)
       .select("skv")
@@ -103,8 +114,8 @@ object ErrorCorrect {
       .filter(length(col("read")) >= k)
       .select(col("read_id"), col("read"),
         explode(sequence(lit(1), length(col("read")) - (k - 1))).as("i"))
-      .withColumn("km", canon(col("read").substr(col("i"), lit(k))))
-      .join(solid, kmKey("km", k) === col("skv"), "left_anti")
+      .withColumn("km", fusedKey("read", k))
+      .join(solid, col("km") === col("skv"), "left_anti")
       .groupBy("read_id", "read")
       .agg(collect_list(col("i")).as("bad"))
     // AQE sizes post-shuffle partitions by SHUFFLE bytes, but the
@@ -146,8 +157,8 @@ object ErrorCorrect {
       .select(col("read_id"), col("p"), col("b"), col("oc"), col("cand"),
         explode(sequence(greatest(lit(1), col("p") - (k - 1)),
           least(col("p"), length(col("cand")) - (k - 1)))).as("i"))
-      .withColumn("km", canon(col("cand").substr(col("i"), lit(k))))
-      .join(solid, kmKey("km", k) === col("skv"), "left")
+      .withColumn("km", fusedKey("cand", k))
+      .join(solid, col("km") === col("skv"), "left")
       .groupBy("read_id", "p", "b", "oc")
       .agg(sum(when(col("skv").isNotNull, 1).otherwise(0)).as("c"))
       .withColumn("delta", col("c") - col("oc"))

@@ -18,6 +18,18 @@ class KmerExpressionsSpec extends AnyFunSuite {
     assert(KmerPack(u("ACGT")).eval() == 0x1bL)
     assert(KmerUnpack(Literal(0x1bL), Literal(4)).eval() == UTF8String.fromString("ACGT"))
     assert(KmerPack(u("A" * 32)).eval() == -1L)
+    // canon_pack == kmer_pack(canonical_kmer(s)), incl. sentinels
+    assert(CanonPack(u("TTT")).eval() == KmerPack(u("AAA")).eval())
+    assert(CanonPack(u("ACG")).eval() == KmerPack(u("ACG")).eval())
+    assert(CanonPack(u("ACGN")).eval() == -1L)
+    assert(CanonPack(u("A" * 32)).eval() == -1L)
+    val rnd = new scala.util.Random(9)
+    (1 to 200).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(31) + 1)("ACGT"(rnd.nextInt(4))).mkString
+      assert(CanonPack(u(s)).eval() ==
+        KmerPack(Literal(CanonicalKmer(u(s)).eval(),
+          org.apache.spark.sql.types.StringType)).eval(), s)
+    }
   }
 
   test("registered SQL functions run inside WholeStageCodegen") {
