@@ -59,13 +59,27 @@ object KmerFns {
     * pack(least(s, revcomp(s))) because MSB-first packing with A<C<G<T
     * code order makes packed-Long comparison identical to lexicographic
     * string comparison at equal k. -1 sentinel for invalid bases or
-    * out-of-contract length (matching [[pack]]). */
+    * out-of-contract length (matching [[pack]]).
+    *
+    * The one-scan form is only taken for uppercase-ACGT input: the
+    * contract is exact equality with `pack(canonical(s))`, and those two
+    * composed functions do NOT case-fold the comparison (canonical
+    * compares the raw string against its uppercase revcomp) while
+    * KmerCodec.encodeLong accepts lowercase — so soft-masked (lowercase)
+    * bases take the composed slow path instead of silently producing a
+    * case-folded key the string-domain form would never produce. */
   def canonPack(s: UTF8String): Long = {
     val str = s.toString
     val k = str.length
     if (k < 1 || k > 31) return -1L
-    val v = KmerCodec.encodeLong(str, 0, k)
-    if (v < 0) -1L else KmerCodec.canonicalLong(v, k)
+    var i = 0
+    while (i < k) {
+      val c = str.charAt(i)
+      if (c != 'A' && c != 'C' && c != 'G' && c != 'T')
+        return pack(canonical(s)) // mixed-case / invalid: exact composed semantics
+      i += 1
+    }
+    KmerCodec.canonicalLong(KmerCodec.encodeLong(str, 0, k), k)
   }
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
@@ -87,6 +101,49 @@ object KmerFns {
     0
   }
 
+  /** Shared per-position kernel for both minimizer forms: fill
+    * `digests(i)` with the md5 of the canonical k-mer at position i for
+    * every i in [0, n); when `canons` is non-null also record the
+    * canonical k-mer text. Complement handling matches
+    * translate('ACGT','TGCA'): non-uppercase-ACGT chars pass through
+    * unchanged (and hash as their low byte — md5 of ASCII == md5 of
+    * UTF-8 for the inputs this kernel sees). */
+  private def fillCanonDigests(str: String, k: Int, n: Int,
+                               digests: Array[Array[Byte]],
+                               canons: Array[String]): Unit = {
+    val md = md5Local.get()
+    val fwd = new Array[Char](k)
+    val rc = new Array[Char](k)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < k) {
+        val c = str.charAt(i + j)
+        fwd(j) = c
+        val m = c match {
+          case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
+          case other => other
+        }
+        rc(k - 1 - j) = m
+        j += 1
+      }
+      // least(fwd, reverse(complement)) by direct char compare
+      var useRc = false
+      var decided = false
+      j = 0
+      while (j < k && !decided) {
+        if (fwd(j) != rc(j)) { useRc = rc(j) < fwd(j); decided = true }
+        j += 1
+      }
+      val canon = if (useRc) rc else fwd
+      j = 0
+      while (j < k) { md.update(canon(j).toByte); j += 1 }
+      digests(i) = md.digest() // digest() resets the instance
+      if (canons != null) canons(i) = new String(canon)
+      i += 1
+    }
+  }
+
   /** One-pass (k,w)-minimizer sketch: md5-hex window minima over the
     * CANONICAL k-mers of `s`, distinct, as an array of 32-char hex
     * strings. Bit-for-bit the same set as the declarative chain
@@ -101,38 +158,8 @@ object KmerFns {
     val str = s.toString
     val n = str.length - k + 1
     if (k < 1 || w < 1 || n < w) return new GenericArrayData(Array.empty[Any])
-    val md = md5Local.get()
-    // canonical k-mer -> md5 digest per position, one reused char buffer
     val digests = new Array[Array[Byte]](n)
-    val fwd = new Array[Char](k)
-    val rc = new Array[Char](k)
-    var i = 0
-    while (i < n) {
-      var j = 0
-      var useRc = false
-      var decided = false
-      while (j < k) {
-        val c = str.charAt(i + j)
-        fwd(j) = c
-        val m = c match {
-          case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
-          case other => other // translate() leaves non-ACGT unchanged
-        }
-        rc(k - 1 - j) = m
-        j += 1
-      }
-      // least(fwd, reverse(complement)) by direct char compare
-      j = 0
-      while (j < k && !decided) {
-        if (fwd(j) != rc(j)) { useRc = rc(j) < fwd(j); decided = true }
-        j += 1
-      }
-      val canon = if (useRc) rc else fwd
-      j = 0
-      while (j < k) { md.update(canon(j).toByte); j += 1 }
-      digests(i) = md.digest() // digest() resets the instance
-      i += 1
-    }
+    fillCanonDigests(str, k, n, digests, null) // texts not needed here
     // window minima on raw digests; distinct via linear probe over the
     // (tiny, <= n-w+1) winner list
     val out = new java.util.ArrayList[Any](n - w + 1)
@@ -177,38 +204,9 @@ object KmerFns {
     val str = s.toString
     val n = str.length - k + 1
     if (k < 1 || w < 1 || n < w) return new GenericArrayData(Array.empty[Any])
-    val md = md5Local.get()
     val digests = new Array[Array[Byte]](n)
     val canons = new Array[String](n)
-    val fwd = new Array[Char](k)
-    val rc = new Array[Char](k)
-    var i = 0
-    while (i < n) {
-      var j = 0
-      while (j < k) {
-        val c = str.charAt(i + j)
-        fwd(j) = c
-        val m = c match {
-          case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
-          case other => other
-        }
-        rc(k - 1 - j) = m
-        j += 1
-      }
-      var useRc = false
-      var decided = false
-      j = 0
-      while (j < k && !decided) {
-        if (fwd(j) != rc(j)) { useRc = rc(j) < fwd(j); decided = true }
-        j += 1
-      }
-      canons(i) = new String(if (useRc) rc else fwd)
-      j = 0
-      val canon = canons(i)
-      while (j < k) { md.update(canon.charAt(j).toByte); j += 1 }
-      digests(i) = md.digest()
-      i += 1
-    }
+    fillCanonDigests(str, k, n, digests, canons)
     val out = new Array[Any](n - w + 1)
     var jw = 0
     while (jw <= n - w) {

@@ -46,8 +46,9 @@ import graft.Tables._
   * Everything is string-domain `least(s, revcomp(s))` canonicalization —
   * identical semantics in DuckDB (`least`/`reverse`/`translate`), which is
   * what makes the p1 oracle exact; for k <= 31 the join KEYS are the 2-bit
-  * packed longs of those canonical strings (injective, so set membership
-  * is unchanged — see [[kmKey]]) and plain strings beyond. All joins are
+  * packed longs of those canonical strings, computed in one fused scan
+  * (injective, so set membership is unchanged — see [[fusedKey]]) and
+  * plain strings beyond. All joins are
   * equality joins on the k-mer key; the candidate explosion is linear in
   * read length — no all-pairs anywhere.
   */
@@ -66,15 +67,6 @@ object ErrorCorrect {
   // shorter than k are filtered before the sequence (Spark's sequence
   // DESCENDS for b < a).
 
-  /** Join key for a canonical k-mer string column named `n`: the 2-bit
-    * packed Long (codegen'd `kmer_pack`, injective for k <= 31) so the
-    * spectrum joins shuffle 8-byte longs, not k-char strings; plain string
-    * passthrough for k > 31. Canonicalization happens in the STRING domain
-    * on both sides before packing, so the packed solid SET is exactly the
-    * packed image of the string solid set — scores are unchanged. */
-  private def kmKey(n: String, k: Int): Column =
-    if (k <= 31) expr(s"kmer_pack($n)") else col(n)
-
   /** Fused k-mer join key at position `i` (1-based) of string column
     * `src`: for k <= 31 the codegen'd `canon_pack` packs the canonical
     * k-mer in ONE scan — no revcomp/least string allocations per k-mer
@@ -88,7 +80,7 @@ object ErrorCorrect {
     else canon(col(src).substr(col("i"), lit(k)))
 
   /** The solid-k-mer spectrum of a read set: `(skv)` keyed canonical
-    * k-mers (see [[kmKey]]) with count >= `minSolid`. */
+    * k-mers (see [[fusedKey]]) with count >= `minSolid`. */
   def solidSpectrum(reads: DataFrame, k: Int, minSolid: Long): DataFrame = {
     graft.functions.GraftFunctions.register(reads.sparkSession)
     reads.filter(length(col("read")) >= k)

@@ -103,7 +103,7 @@ object EventStreams {
     clicks.join(purchases,
       col("user_id") === col("p_user") &&
         col("pts") >= col("cts") &&
-        col("pts") <= col("cts") + expr(s"interval ${windowMs / 1000} seconds"))
+        col("pts") <= col("cts") + expr(s"interval $windowMs milliseconds"))
 
   /** Streaming exact dedup for an ingestion pipeline: keep the first
     * occurrence of each content hash; the watermark bounds the dedup

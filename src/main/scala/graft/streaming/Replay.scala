@@ -35,8 +35,10 @@ object Replay {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => { Files.deleteIfExists(f); () })
+      finally walk.close()
     }
 
   private def installHook(): Unit =
@@ -48,11 +50,14 @@ object Replay {
 
   /** Write `df` (already carrying a long ordering column `ord`) as
     * `buckets` range-partitioned single-file parquets with increasing
-    * mtimes, then optionally a final file from `tail`. One file per range
-    * so each microbatch is ONE map task — within-batch record order is
-    * file order, which keeps first-occurrence semantics deterministic. */
+    * mtimes, then optionally a final file built from the max ord by
+    * `tail` (given the bounds so callers don't re-aggregate the table).
+    * One file per range so each microbatch is ONE map task — within-batch
+    * record order is file order, which keeps first-occurrence semantics
+    * deterministic. An empty source yields one empty bucket file (a valid
+    * zero-row replay), not an NPE on the null bounds. */
   private def materialize(key: String, df: DataFrame, cols: Seq[String],
-                          buckets: Int, tail: Option[DataFrame]): String =
+                          buckets: Int, tail: Option[Long => DataFrame]): String =
     synchronized {
       cache.get(key) match {
         case Some(d) if Files.exists(Paths.get(d, "_replay_done")) => d
@@ -60,21 +65,25 @@ object Replay {
           installHook()
           val dir = Files.createTempDirectory("graft_replay_")
           val bounds = df.agg(min("ord"), max("ord")).first()
-          val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1))
+          val empty = bounds.isNullAt(0)
+          val (lo0, hi0) = if (empty) (0L, 0L) else (bounds.getLong(0), bounds.getLong(1))
           val width = (hi0 - lo0) / buckets + 1
           val base = System.currentTimeMillis()
           def emit(part: DataFrame, name: String, seq: Int): Unit = {
             val tmp = dir.resolve(s"_tmp_$name")
             part.write.mode("overwrite").parquet(tmp.toString)
-            val f = Files.list(tmp).filter(p =>
+            val ls = Files.list(tmp)
+            val f = try ls.filter(p =>
               p.getFileName.toString.startsWith("part-") &&
                 p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+            finally ls.close()
             val dst = dir.resolve(s"$name.parquet")
             Files.move(f, dst)
             Files.setLastModifiedTime(dst, FileTime.fromMillis(base + seq * 2000L))
             deleteRecursively(tmp)
           }
-          (0 until buckets).foreach { i =>
+          val effBuckets = if (empty) 1 else buckets
+          (0 until effBuckets).foreach { i =>
             val lo = lo0 + i * width
             // ONE partition sorted by ord: record order inside the file is
             // replay order, so within-batch first-occurrence is well-defined
@@ -82,7 +91,9 @@ object Replay {
               .repartition(1).sortWithinPartitions("ord")
               .select(cols.map(col): _*), f"b$i%02d", i)
           }
-          tail.foreach(t => emit(t.coalesce(1).select(cols.map(col): _*), "z_flush", buckets))
+          if (!empty)
+            tail.foreach(t => emit(t(hi0).coalesce(1).select(cols.map(col): _*),
+              "z_flush", buckets))
           Files.createFile(dir.resolve("_replay_done"))
           cache.put(key, dir.toString)
           dir.toString
@@ -98,7 +109,8 @@ object Replay {
     * directory to `readStream` from (with `maxFilesPerTrigger=1`). */
   def eventsDir(s: SparkSession, sfDir: String, buckets: Int = 4,
                 sentinelGapMs: Long = -1L): String = {
-    val key = s"events:${new java.io.File(sfDir).getCanonicalPath}:$sentinelGapMs"
+    val key =
+      s"events:${new java.io.File(sfDir).getCanonicalPath}:$buckets:$sentinelGapMs"
     cache.get(key) match {
       case Some(d) if Files.exists(Paths.get(d, "_replay_done")) => d
       case _ =>
@@ -107,16 +119,17 @@ object Replay {
         // side never touches the schema-generation seam
         val ev = graft.Tables.events(s, sfDir)
           .withColumn("ord", unix_micros(col("ts")))
+        // the flush file is built from materialize's own max(ord), so the
+        // events table is aggregated exactly once
         val tail =
           if (sentinelGapMs < 0) None
-          else {
-            val hi = ev.agg(max("ord")).first().getLong(0)
+          else Some((hi: Long) => {
             val flushTs = timestamp_micros(lit(hi / 1000 * 1000 + (sentinelGapMs + 2) * 1000))
-            Some(ev.select("user_id").distinct()
+            ev.select("user_id").distinct()
               .select(lit(-1L).as("event_id"), flushTs.as("ts"), col("user_id"),
                 lit("__flush").as("event_type"), lit(0.0).as("value"),
-                lit(null).cast("string").as("props")))
-          }
+                lit(null).cast("string").as("props"))
+          })
         materialize(key, ev, EventCols, buckets, tail)
     }
   }
@@ -137,7 +150,8 @@ object Replay {
     * over the unmodified table (es6's k-mer counter vs g1). */
   def documentsDir(s: SparkSession, sfDir: String, buckets: Int = 4,
                    injectDups: Boolean = true): String = {
-    val key = s"documents:${new java.io.File(sfDir).getCanonicalPath}:$injectDups"
+    val key =
+      s"documents:${new java.io.File(sfDir).getCanonicalPath}:$buckets:$injectDups"
     cache.get(key) match {
       case Some(d) if Files.exists(Paths.get(d, "_replay_done")) => d
       case _ =>
@@ -146,10 +160,14 @@ object Replay {
         val all =
           if (!injectDups) base
           else {
-            val hi = docs.agg(max("doc_id")).first().getLong(0)
-            val dups = docs.filter(col("doc_id") % 10 === 0)
-              .withColumn("doc_id", col("doc_id") + 1000000L)
-            base.unionByName(dups.withColumn("ord", col("doc_id") - 1000000L + hi + 1))
+            val hiRow = docs.agg(max("doc_id")).first()
+            if (hiRow.isNullAt(0)) base // empty corpus: nothing to re-ingest
+            else {
+              val hi = hiRow.getLong(0)
+              val dups = docs.filter(col("doc_id") % 10 === 0)
+                .withColumn("doc_id", col("doc_id") + 1000000L)
+              base.unionByName(dups.withColumn("ord", col("doc_id") - 1000000L + hi + 1))
+            }
           }
         materialize(key,
           all.withColumn("ts", timestamp_millis(lit(1700000000000L) + col("ord"))),

@@ -30,6 +30,16 @@ class KmerExpressionsSpec extends AnyFunSuite {
         KmerPack(Literal(CanonicalKmer(u(s)).eval(),
           org.apache.spark.sql.types.StringType)).eval(), s)
     }
+    // soft-masked (lowercase) and mixed-case input must match the composed
+    // form too: canonical_kmer compares the RAW string against its
+    // uppercase revcomp (no case folding), so canon_pack may not shortcut
+    // through the case-folding packer there
+    (1 to 200).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(31) + 1)("ACGTacgt"(rnd.nextInt(8))).mkString
+      assert(CanonPack(u(s)).eval() ==
+        KmerPack(Literal(CanonicalKmer(u(s)).eval(),
+          org.apache.spark.sql.types.StringType)).eval(), s)
+    }
   }
 
   test("registered SQL functions run inside WholeStageCodegen") {

@@ -38,13 +38,17 @@ class CheckpointResumeSpec extends AnyFunSuite {
       .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("doc_id")))
       .select("ts", "doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-    val part = Files.list(scratch).filter(p =>
+    val ls = Files.list(scratch)
+    val part = try ls.filter(p =>
       p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    finally ls.close()
     Files.move(part, dir.resolve(s"$name.parquet"))
     Files.setLastModifiedTime(dir.resolve(s"$name.parquet"),
       java.nio.file.attribute.FileTime.fromMillis(mtime))
-    Files.walk(scratch).sorted(java.util.Comparator.reverseOrder())
+    val walk = Files.walk(scratch)
+    try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(f => { Files.deleteIfExists(f); () })
+    finally walk.close()
   }
 
   test("checkpointed dedup stream resumes exactly-once after a stop") {
