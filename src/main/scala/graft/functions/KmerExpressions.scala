@@ -363,6 +363,7 @@ object GraftFunctions {
     "minimizer_windows" -> (args => MinimizerWindows(args(0), args(1), args(2))),
     "rolling_hash" -> (args => RollingHash(args.head)),
     "vec_dot" -> (args => VecDot(args(0), args(1))),
+    "int8_quant" -> (args => Int8Quant(args.head)),
     "simhash60" -> (args => SimHash60Agg(args.head)))
 
   def register(spark: SparkSession): Unit = {

@@ -75,3 +75,69 @@ case class VecDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** Static kernel + expression for `int8_quant(v)` — see [[Int8Quant]]. */
+object VecFns {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** One-pass symmetric int8 quantization of a float vector: amax =
+    * max(max_i |x_i|, 1e-12); q_i = round(x_i * 127 / amax) (HALF_UP via
+    * BigDecimal — Spark's `round` semantics, NOT Math.round, which
+    * differs on negative .5); sse = sum of squared reconstruction errors
+    * x_i - q_i*amax/127 accumulated left-to-right. Bit-identical to the
+    * declarative transform/zip_with chain it replaces (which ran as
+    * CodegenFallback: four interpreted lambdas + four intermediate
+    * arrays per row), assuming NaN-free input (dense embeddings). */
+  def int8Quant(arr: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val n = arr.numElements()
+    var amax = 1e-12
+    var i = 0
+    while (i < n) {
+      val x = math.abs(arr.getFloat(i).toDouble)
+      if (x > amax) amax = x
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(n * 4)
+    var sse = 0.0
+    i = 0
+    while (i < n) {
+      val x = arr.getFloat(i).toDouble
+      val q = java.math.BigDecimal.valueOf(x * 127.0 / amax)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      if (i > 0) sb.append(',')
+      sb.append(q)
+      val e = x - q.toDouble * amax / 127.0
+      sse += e * e
+      i += 1
+    }
+    new GenericInternalRow(
+      Array[Any](amax, UTF8String.fromString(sb.toString), sse))
+  }
+}
+
+/** `int8_quant(v: array<float>)` -> struct(amax, q, sse): the s6
+  * symmetric per-vector quantization as ONE codegen'd kernel call per
+  * row (see [[VecFns.int8Quant]]) instead of the interpreted
+  * transform/zip_with chain. */
+case class Int8Quant(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"int8_quant requires array<float>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("amax", DoubleType, nullable = false),
+    StructField("q", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("sse", DoubleType, nullable = false)))
+  override def prettyName: String = "int8_quant"
+  protected override def nullSafeEval(input: Any): Any =
+    VecFns.int8Quant(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecFns.int8Quant($c)")
+  override protected def withNewChildInternal(newChild: Expression): Int8Quant =
+    copy(child = newChild)
+}

@@ -16,10 +16,10 @@ import graft.Tables._
   * same plan shape).
   *
   * Near-dup pairs are scarce in the synthetic corpus, so the corpus is
-  * augmented with a truncated copy of every document (doc_id + 100000,
-  * last 3 words dropped) — each original/truncated pair is a true
-  * near-dup the LSH must find; both engines build the same augmented
-  * corpus, so the oracle stays exact.
+  * augmented with a truncated copy of every document (doc_id offset past
+  * the live id range, last 3 words dropped) — each original/truncated
+  * pair is a true near-dup the LSH must find; both engines build the
+  * same augmented corpus, so the oracle stays exact.
   */
 object Dedup {
   private val NumHashes = 8
@@ -29,19 +29,61 @@ object Dedup {
 
   private def words: Column = split(col("text"), " ")
 
-  /** documents + truncated near-dup copies. */
+  /** documents + truncated near-dup copies, copies offset PAST the live
+    * doc_id range: max(doc_id)+1 computed in-plan (1-row broadcast),
+    * floored at the historical 100000 so current corpora keep their ids.
+    * A fixed offset alone collides with real doc_ids once the corpus
+    * outgrows it, silently binding two different texts to one id while
+    * the oracle (which states the same GREATEST(MAX+1, 100000)) stays
+    * green — the planted-near-dup ground truth must hold at EVERY sf. */
   private def corpus(s: SparkSession, d: String): DataFrame = {
     val doc = documents(s, d)
+    val off = broadcast(doc.agg(
+      greatest(max(col("doc_id")) + 1, lit(100000L)).as("aug_off")))
     val truncated =
       concat_ws(" ", slice(words, lit(1), greatest(size(words) - 3, lit(1))))
     doc.select(col("doc_id"), col("text"))
-      .union(doc.select((col("doc_id") + 100000).as("doc_id"), truncated.as("text")))
+      .union(doc.crossJoin(off)
+        .select((col("doc_id") + col("aug_off")).as("doc_id"),
+          truncated.as("text")))
   }
 
   /** Word 3-shingles, one row each: (doc_id, sh) — via the JIT-compiled
     * [[Shingles.wordNGrams]] generator (the HOF-explode form ran
     * interpreted; see Shingles' doc). */
   private def shingled(c: DataFrame): DataFrame = Shingles.wordNGrams(c, 3)
+
+  /** xxhash64-keyed DISTINCT set table of a shingle frame. Always
+    * materialized: it has 3-5 consumers in every verify (sizes + both
+    * sides of the intersection join) and each would otherwise re-run the
+    * full-table distinct shuffle. Long keys mean the distinct, sizes and
+    * intersection joins all shuffle 8-byte keys, never n-gram strings
+    * (the g14 lesson; a 2^-64 collision could perturb one intersection
+    * count — negligible and deterministic). */
+  private def setsOf(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+      .distinct().localCheckpoint()
+
+  /** The shared exact-verification tail of d4/d6/d10: per-pair
+    * intersection counts + set sizes over `sets`, scored by
+    * `score(i, na, nb)` (rounded to 4 decimals as `scoreName`) and
+    * thresholded at `minScore`. ONE definition so the three verifies
+    * cannot drift; the oracle twin is sqlVerifyCtes/sqlVerifySelect. */
+  private def verifyPairs(sets: DataFrame, pairs: DataFrame,
+                          scoreName: String, minScore: Double)
+                         (score: (Column, Column, Column) => Column): DataFrame = {
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
+    val inter = pairs
+      .join(sets.select(col("doc_id").as("a"), col("shk")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shk")), Seq("b", "shk"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("nsz").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("nsz").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(score(col("i").cast("double"), col("na"), col("nb")), 4).as(scoreName))
+      .filter(col(scoreName) >= minScore)
+  }
 
   /** MinHash signatures from an exploded shingle table: (doc_id, h0..h7),
     * one map-side-combined shuffle of 8 fixed 8-char mins per doc. The 8
@@ -118,27 +160,8 @@ object Dedup {
       // sizes, and the intersection join (4 consumers — without it the
       // explode+md5 chain re-runs per consumer)
       val sh = shingled(corpus(s, d)).localCheckpoint()
-      // the distinct set table is ALSO materialized: it has 3 consumers
-      // (sizes + both sides of the intersection join) and each would
-      // otherwise re-run the full-table distinct shuffle. Set membership
-      // is keyed by xxhash64(sh) LONGS — the distinct, set sizes, and the
-      // intersection join all shuffle 8-byte keys instead of n-gram
-      // strings (the g14 lesson; a 2^-64 collision could perturb one
-      // intersection count — negligible and deterministic).
-      val sets = sh.select(col("doc_id"), xxhash64(col("sh")).as("shk"))
-        .distinct().localCheckpoint()
-      val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
-      val pairs = candidatePairsFrom(bands(signatures(sh)))
-      val inter = pairs
-        .join(sets.select(col("doc_id").as("a"), col("shk")), "a")
-        .join(sets.select(col("doc_id").as("b"), col("shk")), Seq("b", "shk"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("a"), col("nsz").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("nsz").as("nb")), "b")
-        .select(col("a"), col("b"),
-          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+      verifyPairs(setsOf(sh), candidatePairsFrom(bands(signatures(sh))),
+        "jaccard", 0.5)((i, na, nb) => i / (na + nb - i))
     }),
 
     // -- near-dup clusters: connected components over LSH pairs ------------
@@ -164,12 +187,7 @@ object Dedup {
     // generate candidates. Exact Jaccard verifies candidates, as in d4.
     "d6_ngram_jaccard" -> ((s, d) => {
       val sh = shingled(corpus(s, d)).localCheckpoint()
-      // 5 consumers of the distinct set table (rare-df agg, both sides of
-      // the candidate self-join, sizes, intersection) — materialize once,
-      // keyed by xxhash64(sh) longs (see d4): every downstream shuffle
-      // moves 8-byte keys, never n-gram strings
-      val sets = sh.select(col("doc_id"), xxhash64(col("sh")).as("shk"))
-        .distinct().localCheckpoint()
+      val sets = setsOf(sh)
       val rare = sets.groupBy("shk").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 8)).select("shk")
       val cand = sets.join(rare, "shk").localCheckpoint()
@@ -177,17 +195,7 @@ object Dedup {
         .join(cand.select(col("shk").as("shk2"), col("doc_id").as("b")),
           col("shk") === col("shk2") && col("a") < col("b"))
         .select("a", "b").distinct()
-      val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
-      val inter = pairs
-        .join(sets.select(col("doc_id").as("a"), col("shk")), "a")
-        .join(sets.select(col("doc_id").as("b"), col("shk")), Seq("b", "shk"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("a"), col("nsz").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("nsz").as("nb")), "b")
-        .select(col("a"), col("b"),
-          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+      verifyPairs(sets, pairs, "jaccard", 0.5)((i, na, nb) => i / (na + nb - i))
     }),
 
     // -- sub-document (chunk-level) exact dedup: boilerplate strip ---------
@@ -220,22 +228,8 @@ object Dedup {
     // no new candidate machinery, just the asymmetric verify on top.
     "d10_containment" -> ((s, d) => {
       val sh = shingled(corpus(s, d)).localCheckpoint()
-      // long-keyed set membership (see d4) — string shingles never shuffle
-      val sets = sh.select(col("doc_id"), xxhash64(col("sh")).as("shk"))
-        .distinct().localCheckpoint()
-      val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("nsz"))
-      val pairs = candidatePairsFrom(bands(signatures(sh)))
-      val inter = pairs
-        .join(sets.select(col("doc_id").as("a"), col("shk")), "a")
-        .join(sets.select(col("doc_id").as("b"), col("shk")), Seq("b", "shk"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("a"), col("nsz").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("nsz").as("nb")), "b")
-        .select(col("a"), col("b"),
-          round(col("i").cast("double") / least(col("na"), col("nb")), 4)
-            .as("containment"))
-        .filter(col("containment") >= 0.9)
+      verifyPairs(setsOf(sh), candidatePairsFrom(bands(signatures(sh))),
+        "containment", 0.9)((i, na, nb) => i / least(na, nb))
     }),
 
     // -- bloom-filter decontamination --------------------------------------
@@ -253,11 +247,16 @@ object Dedup {
       val wsd = split(col("text"), " ")
       def sh5(df: DataFrame): DataFrame = Shingles.wordNGrams(df, 5)
       val doc = documents(s, d)
+      // planted train-side copies go past the live id range (floored at
+      // the historical 300000 — same collision rationale as corpus())
+      val off = broadcast(doc.agg(
+        greatest(max(col("doc_id")) + 1, lit(300000L)).as("aug_off")))
       val testDocs = doc.filter(col("doc_id") % 100 === 0)
       val trainDocs = doc.filter(col("doc_id") % 100 =!= 0)
         .select(col("doc_id"), col("text"))
-        .union(testDocs.select((col("doc_id") + 300000).as("doc_id"),
-          concat_ws(" ", slice(wsd, lit(1), greatest(size(wsd) - 2, lit(1)))).as("text")))
+        .union(testDocs.crossJoin(off)
+          .select((col("doc_id") + col("aug_off")).as("doc_id"),
+            concat_ws(" ", slice(wsd, lit(1), greatest(size(wsd) - 2, lit(1)))).as("text")))
       def windows(c: Column): Column = array(
         substring(md5(c.cast("binary")), 1, 4),
         substring(md5(c.cast("binary")), 5, 4),
@@ -394,16 +393,23 @@ object Dedup {
     // fixed ~none).
     "d16_cdc_chunks" -> ((s, d) => {
       val doc = documents(s, d).select(col("doc_id"), col("text"))
-      val base = doc.unionByName(doc.select(
-        (col("doc_id") + 400000).as("doc_id"),
+      // copy offset = past-end (floored at the historical 400000); the
+      // same 1-row broadcast partitions the chunk tables back into
+      // original vs copy, so the split stays exact at every corpus size
+      val off = broadcast(doc.agg(
+        greatest(max(col("doc_id")) + 1, lit(400000L)).as("aug_off")))
+      val base = doc.unionByName(doc.crossJoin(off).select(
+        (col("doc_id") + col("aug_off")).as("doc_id"),
         concat(lit("inserted preamble before everything "), col("text")).as("text")))
       val cdc = cdcChunks(base).select("doc_id", "h")
       val fixed = Shingles.wordChunks(base, 16)
         .select(col("doc_id"), md5(col("chunk").cast("binary")).as("h"))
       def stats(chunks: DataFrame, pref: String): DataFrame = {
-        val o = chunks.filter(col("doc_id") < 400000).distinct()
-        val cpy = chunks.filter(col("doc_id") >= 400000)
-          .select((col("doc_id") - 400000).as("doc_id"), col("h")).distinct()
+        val withOff = chunks.crossJoin(off)
+        val o = withOff.filter(col("doc_id") < col("aug_off"))
+          .select("doc_id", "h").distinct()
+        val cpy = withOff.filter(col("doc_id") >= col("aug_off"))
+          .select((col("doc_id") - col("aug_off")).as("doc_id"), col("h")).distinct()
         o.join(cpy.withColumn("hit", lit(1L)), Seq("doc_id", "h"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as(s"${pref}_chunks"),
@@ -423,12 +429,17 @@ object Dedup {
     // row count, so repeated names can't inflate any bucket. A noisy twin
     // of every name (first char -> 'x') plants true matches at every sf.
     "d14_fuzzy_match" -> ((s, d) => {
-      val names = part(s, d)
+      val pt = part(s, d)
+      // noisy-twin keys go past the live partkey range (floored at the
+      // historical 1000000 — same collision rationale as corpus())
+      val off = broadcast(pt.agg(
+        greatest(max(col("p_partkey")) + 1, lit(1000000L)).as("aug_off")))
+      val names = pt
         .groupBy(lower(col("p_name")).as("nm"))
         .agg(min(col("p_partkey")).as("pk"))
-      val noisy = names.select(
+      val noisy = names.crossJoin(off).select(
         concat(lit("x"), expr("substring(nm, 2)")).as("nm"),
-        (col("pk") + 1000000).as("pk"))
+        (col("pk") + col("aug_off")).as("pk"))
       val all = names.union(noisy)
       val keys = all
         .select(col("pk"), col("nm"),
@@ -442,9 +453,12 @@ object Dedup {
         .select(col("x.pk").as("a"), col("y.pk").as("b"),
           col("x.nm").as("nm_a"), col("y.nm").as("nm_b"))
         .distinct()
-      cand.filter(levenshtein(col("nm_a"), col("nm_b")) <= 1)
-        .select(col("a"), col("b"), col("nm_a"), col("nm_b"),
-          levenshtein(col("nm_a"), col("nm_b")).cast("long").as("dist"))
+      // compute the O(len²) edit distance ONCE per candidate — a filter
+      // followed by a separate projection would evaluate it twice (no
+      // cross-operator subexpression elimination)
+      cand.withColumn("dist", levenshtein(col("nm_a"), col("nm_b")).cast("long"))
+        .filter(col("dist") <= 1)
+        .select(col("a"), col("b"), col("nm_a"), col("nm_b"), col("dist"))
     })
   )
 
@@ -567,7 +581,8 @@ object Dedup {
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id,
+      |  SELECT doc_id + (SELECT GREATEST(MAX(doc_id) + 1, 100000) FROM documents)
+      |    AS doc_id,
       |         array_to_string(ws[1:greatest(len(ws)-3, 1)], ' ') AS text
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       |)""".stripMargin
@@ -604,6 +619,29 @@ object Dedup {
   private def withAll(extra: String*) =
     "WITH " + (Seq(sqlCorpus, sqlShingles, sqlSig, sqlBand, sqlPairs) ++ extra).mkString(",\n")
 
+  /** Oracle twin of [[verifyPairs]]: the shared sets/sizes/inter CTEs
+    * (over the string shingles — DuckDB needs no hashed key) plus the
+    * scored final SELECT, parameterized exactly like the Spark helper. */
+  private val sqlVerifyCtes = Seq(
+    "sets AS (SELECT DISTINCT doc_id, sh FROM sh)",
+    "sizes AS (SELECT doc_id, COUNT(*) AS nsz FROM sets GROUP BY doc_id)",
+    """inter AS (
+      |  SELECT p.a, p.b, COUNT(*) AS i
+      |  FROM pairs p
+      |  JOIN sets sa ON sa.doc_id = p.a
+      |  JOIN sets sb ON sb.doc_id = p.b AND sa.sh = sb.sh
+      |  GROUP BY p.a, p.b)""".stripMargin)
+
+  private def sqlVerifySelect(scoreExpr: String, scoreName: String,
+                              minScore: String) =
+    s"""
+       |SELECT i.a, i.b,
+       |  round($scoreExpr, 4) AS $scoreName
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.a
+       |JOIN sizes zb ON zb.doc_id = i.b
+       |WHERE round($scoreExpr, 4) >= $minScore""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, COUNT(*) AS n
@@ -613,39 +651,13 @@ object Dedup {
     "d3_lsh_pairs" ->
       (withAll() + "\nSELECT a, b FROM pairs"),
     "d4_jaccard_verify" ->
-      (withAll(
-        "sets AS (SELECT DISTINCT doc_id, sh FROM sh)",
-        "sizes AS (SELECT doc_id, COUNT(*) AS nsz FROM sets GROUP BY doc_id)",
-        """inter AS (
-          |  SELECT p.a, p.b, COUNT(*) AS i
-          |  FROM pairs p
-          |  JOIN sets sa ON sa.doc_id = p.a
-          |  JOIN sets sb ON sb.doc_id = p.b AND sa.sh = sb.sh
-          |  GROUP BY p.a, p.b)""".stripMargin) +
-        """
-          |SELECT i.a, i.b,
-          |  round(CAST(i.i AS DOUBLE) / (za.nsz + zb.nsz - i.i), 4) AS jaccard
-          |FROM inter i
-          |JOIN sizes za ON za.doc_id = i.a
-          |JOIN sizes zb ON zb.doc_id = i.b
-          |WHERE round(CAST(i.i AS DOUBLE) / (za.nsz + zb.nsz - i.i), 4) >= 0.5""".stripMargin),
+      (withAll(sqlVerifyCtes: _*) +
+        sqlVerifySelect("CAST(i.i AS DOUBLE) / (za.nsz + zb.nsz - i.i)",
+          "jaccard", "0.5")),
     "d10_containment" ->
-      (withAll(
-        "sets AS (SELECT DISTINCT doc_id, sh FROM sh)",
-        "sizes AS (SELECT doc_id, COUNT(*) AS nsz FROM sets GROUP BY doc_id)",
-        """inter AS (
-          |  SELECT p.a, p.b, COUNT(*) AS i
-          |  FROM pairs p
-          |  JOIN sets sa ON sa.doc_id = p.a
-          |  JOIN sets sb ON sb.doc_id = p.b AND sa.sh = sb.sh
-          |  GROUP BY p.a, p.b)""".stripMargin) +
-        """
-          |SELECT i.a, i.b,
-          |  round(CAST(i.i AS DOUBLE) / least(za.nsz, zb.nsz), 4) AS containment
-          |FROM inter i
-          |JOIN sizes za ON za.doc_id = i.a
-          |JOIN sizes zb ON zb.doc_id = i.b
-          |WHERE round(CAST(i.i AS DOUBLE) / least(za.nsz, zb.nsz), 4) >= 0.9""".stripMargin),
+      (withAll(sqlVerifyCtes: _*) +
+        sqlVerifySelect("CAST(i.i AS DOUBLE) / least(za.nsz, zb.nsz)",
+          "containment", "0.9")),
     "d7_dedup_clusters" ->
       ("WITH RECURSIVE " +
         (Seq(sqlCorpus, sqlShingles, sqlSig, sqlBand, sqlPairs,
@@ -702,7 +714,9 @@ object Dedup {
         |  UNION ALL SELECT substr(md5(sh), 9, 4) FROM test)),
         |train AS (SELECT doc_id, w FROM w WHERE doc_id % 100 <> 0
         |          UNION ALL
-        |          SELECT doc_id + 300000, w[1:greatest(len(w) - 2, 1)]
+        |          SELECT doc_id + (SELECT GREATEST(MAX(doc_id) + 1, 300000)
+        |                           FROM documents),
+        |                 w[1:greatest(len(w) - 2, 1)]
         |          FROM w WHERE doc_id % 100 = 0),
         |tsh AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
         |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
@@ -820,10 +834,12 @@ object Dedup {
         |       string_agg(w, ' ' ORDER BY i) AS clean_text
         |FROM kept GROUP BY doc_id""".stripMargin,
     "d16_cdc_chunks" ->
-      """WITH base AS (
+      """WITH off AS (
+        |  SELECT GREATEST(MAX(doc_id) + 1, 400000) AS o FROM documents),
+        |base AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 400000 AS doc_id,
+        |  SELECT doc_id + (SELECT o FROM off) AS doc_id,
         |         'inserted preamble before everything ' || text AS text
         |  FROM documents),
         |tok AS (
@@ -853,17 +869,17 @@ object Dedup {
         |cs AS (
         |  SELECT o.doc_id, COUNT(*) AS cdc_chunks,
         |         CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS cdc_shared
-        |  FROM (SELECT DISTINCT doc_id, h FROM cdc WHERE doc_id < 400000) o
-        |  LEFT JOIN (SELECT DISTINCT doc_id - 400000 AS doc_id, h
-        |             FROM cdc WHERE doc_id >= 400000) c
+        |  FROM (SELECT DISTINCT doc_id, h FROM cdc WHERE doc_id < (SELECT o FROM off)) o
+        |  LEFT JOIN (SELECT DISTINCT doc_id - (SELECT o FROM off) AS doc_id, h
+        |             FROM cdc WHERE doc_id >= (SELECT o FROM off)) c
         |    ON o.doc_id = c.doc_id AND o.h = c.h
         |  GROUP BY o.doc_id),
         |fs AS (
         |  SELECT o.doc_id, COUNT(*) AS fixed_chunks,
         |         CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fixed_shared
-        |  FROM (SELECT DISTINCT doc_id, h FROM fixed WHERE doc_id < 400000) o
-        |  LEFT JOIN (SELECT DISTINCT doc_id - 400000 AS doc_id, h
-        |             FROM fixed WHERE doc_id >= 400000) c
+        |  FROM (SELECT DISTINCT doc_id, h FROM fixed WHERE doc_id < (SELECT o FROM off)) o
+        |  LEFT JOIN (SELECT DISTINCT doc_id - (SELECT o FROM off) AS doc_id, h
+        |             FROM fixed WHERE doc_id >= (SELECT o FROM off)) c
         |    ON o.doc_id = c.doc_id AND o.h = c.h
         |  GROUP BY o.doc_id)
         |SELECT cs.doc_id, cdc_chunks, cdc_shared, fixed_chunks, fixed_shared
@@ -873,7 +889,9 @@ object Dedup {
         |               FROM part GROUP BY 1),
         |al AS (SELECT nm, pk FROM names
         |       UNION ALL
-        |       SELECT 'x' || substr(nm, 2) AS nm, pk + 1000000 AS pk FROM names),
+        |       SELECT 'x' || substr(nm, 2) AS nm,
+       |              pk + (SELECT GREATEST(MAX(p_partkey) + 1, 1000000) FROM part) AS pk
+       |       FROM names),
         |k AS (SELECT pk, nm,
         |        CASE WHEN i = 0 THEN nm
         |             ELSE substr(nm, 1, i - 1) || substr(nm, i + 1) END AS blk

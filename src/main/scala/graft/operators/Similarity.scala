@@ -91,6 +91,65 @@ object Similarity {
       .select(col("vec_id"), col("m.v").as("v"), col("m.n2").as("n2"),
         (-col("m.ncid")).as("cell"))
 
+  /** The absolutely-capped query set (vec_id % 50 == 0, < 5000 — at most
+    * 100 queries no matter how large the corpus grows) as
+    * (q_id, qv, qn2[, extra passthrough cols]). ONE definition shared by
+    * every query-driven plan (s1/s5/s9/s11) so the cap cannot drift. */
+  private def querySet(all: DataFrame, extra: String*): DataFrame =
+    all.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+      .select(Seq(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2")) ++ extra.map(col): _*)
+
+  /** The fixed-size deterministic coarse quantizer (first 32 vec_ids — an
+    * absolute cap) as (cid, cv, cn2). Shared by s5/s8/s9/s11. */
+  private def seedCentroids(all: DataFrame): DataFrame =
+    all.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+
+  /** Brute-force cosine top-k of the capped query set against the full
+    * corpus: broadcast nested loop of fixed width (never a shuffle
+    * cartesian). Returns (q_id, neighbor, rnk, c) with c unrounded —
+    * the ground-truth plan s1 emits and s11 measures recall against. */
+  private def bruteTopK(all: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+    all.join(broadcast(querySet(all)), col("vec_id") =!= col("q_id"))
+      .withColumn("c", dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("rnk"), col("c"))
+  }
+
+  /** IVF top-k (nprobe = 1): assign corpus + queries to the seed coarse
+    * quantizer, search only the query's own cell. Returns
+    * (q_id, neighbor, rnk, c) — the exact plan s5 emits and s11 measures,
+    * by construction the same code path. */
+  private def ivfTopK(all: DataFrame, k: Int): DataFrame = {
+    val assigned = assignCells(all, seedCentroids(all))
+    val q = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+    q.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
+      .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("rnk"), col("c"))
+  }
+
+  /** Corpus augmented with an exact copy of every vector, copies offset
+    * PAST the live id range: max(vec_id)+1 computed in-plan (1-row
+    * broadcast), floored at 10000 so small corpora keep their historical
+    * ids. A fixed +10000 alone collides with real vec_ids once the corpus
+    * exceeds 10k vectors, silently corrupting the planted ground truth —
+    * the oracle SQL states the same GREATEST(MAX+1, 10000) offset. */
+  private def augmentedCopies(base: DataFrame): DataFrame = {
+    val off = broadcast(base.agg(
+      greatest(max(col("vec_id")) + 1, lit(10000L)).as("aug_off")))
+    base.unionByName(
+      base.crossJoin(off)
+        .select((col("vec_id") + col("aug_off")).as("vec_id") +:
+          base.columns.filter(_ != "vec_id").map(col): _*))
+  }
+
   /** 8-bit sign bucket over the first 8 dimensions (raw float sign tests —
     * deterministic across engines, no FP arithmetic). */
   private def bucketOf(emb: Column): Column =
@@ -121,7 +180,11 @@ object Similarity {
       .withColumn("n2", dot(col("v"), col("v")))
     val cents = centroids.select(col("cid"), col("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
-    val assigned = assignCells(vs, cents)
+    // the n×C assignment feeds BOTH sides of the in-cell self-join AND the
+    // final anti-join — materialize once (the repo's standard 2-4-consumer
+    // checkpoint rule) instead of re-running the broadcast nested loop +
+    // aggregation up to three times
+    val assigned = assignCells(vs, cents).localCheckpoint()
     val r = assigned.select(col("cell").as("cell2"), col("vec_id").as("b"),
       col("v").as("v2"), col("n2").as("m2"))
     val dropped = assigned.join(r,
@@ -137,18 +200,10 @@ object Similarity {
     // -- brute-force cosine top-5 for the query set (vec_id % 50 == 0,
     // absolutely capped at vec_id < 5000 so the broadcast stays <=100
     // queries no matter how large the corpus grows) -------------------------
-    "s1_knn_brute" -> ((s, d) => {
-      val all = vecs(s, d)
-      val q = all.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
-      val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .withColumn("c", dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("vec_id").as("neighbor"), col("rnk").cast("long").as("rnk"),
-          (round(col("c"), 4) + lit(0.0)).as("score"))
-    }),
+    "s1_knn_brute" -> ((s, d) =>
+      bruteTopK(vecs(s, d), 5)
+        .select(col("q_id"), col("neighbor"), col("rnk").cast("long").as("rnk"),
+          (round(col("c"), 4) + lit(0.0)).as("score"))),
 
     // -- banded-LSH ANN: candidates from ANY of `Bands` sign-hash tables,
     // deduped before scoring; cosine + top-3 over candidates only ----------
@@ -172,12 +227,12 @@ object Similarity {
     }),
 
     // -- embedding-cosine near-dup: bucketed pairs above threshold ---------
-    // corpus augmented with exact copies (vec_id + 10000) the near-dup
-    // pass must find; bucket equi-join keeps it cartesian-free
+    // corpus augmented with exact copies (past-end id offset, see
+    // [[augmentedCopies]]) the near-dup pass must find; bucket equi-join
+    // keeps it cartesian-free
     "s4_embedding_neardup" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val base = embeddings(s, d)
-      val aug = base.union(base.withColumn("vec_id", col("vec_id") + 10000))
+      val aug = augmentedCopies(embeddings(s, d))
         .select(col("vec_id"), col("embedding").as("v"),
           bucketOf(col("embedding")).as("bkt"))
         .withColumn("n2", dot(col("v"), col("v")))
@@ -194,23 +249,10 @@ object Similarity {
     // absolute cap, so the broadcast and the n×C assignment stay linear in
     // n); every vector is assigned to its nearest centroid (argmax cosine,
     // centroid-id tie-break), queries search only their own cell (nprobe=1)
-    "s5_ivf_ann" -> ((s, d) => {
-      val all = vecs(s, d)
-      val cents = all.filter(col("vec_id") < 32)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-      val assigned = assignCells(all, cents)
-      val q = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("n2").as("qn2"), col("cell"))
-      val wTop = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
-      q.join(assigned, Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("c", dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= 3)
-        .select(col("q_id"), col("vec_id").as("neighbor"), col("rnk").cast("long").as("rnk"),
-          (round(col("c"), 4) + lit(0.0)).as("score"))
-    }),
+    "s5_ivf_ann" -> ((s, d) =>
+      ivfTopK(vecs(s, d), 3)
+        .select(col("q_id"), col("neighbor"), col("rnk").cast("long").as("rnk"),
+          (round(col("c"), 4) + lit(0.0)).as("score"))),
 
     // -- IVF with multi-probe (nprobe = 2) ---------------------------------
     // the recall knob every IVF deployment turns: a query near a cell
@@ -224,12 +266,10 @@ object Similarity {
     // produce a duplicate (query, neighbor) row.
     "s9_ivf_multiprobe" -> ((s, d) => {
       val all = vecs(s, d)
-      val cents = all.filter(col("vec_id") < 32)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      val cents = seedCentroids(all)
       val assigned = assignCells(all, cents)
       val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qc").desc, col("cid"))
-      val probes = all.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+      val probes = querySet(all)
         .join(broadcast(cents), lit(true))
         .withColumn("qc", dot(col("qv"), col("cv")) / sqrt(col("qn2") * col("cn2")))
         .withColumn("pr", row_number().over(wProbe))
@@ -299,15 +339,14 @@ object Similarity {
     }),
 
     // -- SemDedup: cluster-then-in-cluster pairwise semantic dedup ---------
-    // corpus augmented with exact copies (vec_id + 10000) the pass must
+    // corpus augmented with exact copies (past-end id offset, see
+    // [[augmentedCopies]]) the pass must
     // drop; cells from the same fixed coarse quantizer as s5 (copies share
     // their original's cell — identical vector, identical argmax + tie-
     // break), in-cell pairwise cosine >= 0.999 drops the larger vec_id
     "s7_semdedup" -> ((s, d) => {
-      val base = embeddings(s, d)
-      val aug = base.select(col("vec_id"), col("embedding").as("v"))
-        .union(base.select((col("vec_id") + 10000).as("vec_id"),
-          col("embedding").as("v")))
+      val aug = augmentedCopies(embeddings(s, d))
+        .select(col("vec_id"), col("embedding").as("v"))
       val cents = aug.filter(col("vec_id") < 32)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       semDedup(aug, cents, 0.999)
@@ -349,26 +388,23 @@ object Similarity {
     // -- symmetric per-vector int8 quantization ----------------------------
     // the standard 4x index-shrink for ANN at scale: scale = 127/max|x|,
     // q_i = round(x_i * scale); emits the quantized vector plus the
-    // reconstruction MSE so curation can gate on quantization loss. Pure
-    // per-row array math — codegen'd, no shuffle, no UDF. The quantized
-    // vector travels as a comma-joined string: the driver's oracle gate
-    // sorts result columns with pandas, which cannot order raw arrays
-    // (CORRECTNESS_r03's only failure was exactly that crash).
+    // reconstruction MSE so curation can gate on quantization loss. ONE
+    // codegen'd kernel call per row ([[graft.functions.Int8Quant]]) — the
+    // former transform/zip_with chain ran as CodegenFallback (interpreted
+    // lambdas + four intermediate arrays per row), the exact pattern this
+    // module removed from every other hot path; the kernel is spec-pinned
+    // bit-identical to it. The quantized vector travels as a comma-joined
+    // string: the driver's oracle gate sorts result columns with pandas,
+    // which cannot order raw arrays (CORRECTNESS_r03's only failure was
+    // exactly that crash).
     "s6_int8_quant" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       embeddings(s, d)
+        .select(col("vec_id"), expr("int8_quant(embedding)").as("e"))
         .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("amax",
-          greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12)))
-        .withColumn("q", transform(col("v"),
-          x => round(x * lit(127.0) / col("amax")).cast("long")))
-        .withColumn("err", zip_with(col("v"), col("q"),
-          (x, qq) => x - qq.cast("double") * col("amax") / lit(127.0)))
-        .select(col("vec_id"),
-          round(col("amax"), 6).as("amax"),
-          concat_ws(",", col("q")).as("q"),
-          round(dot(col("err"), col("err")) / lit(64.0), 10).as("mse"))
+          round(col("e.amax"), 6).as("amax"),
+          col("e.q").as("q"),
+          round(col("e.sse") / lit(64.0), 10).as("mse"))
     }),
 
     // -- s11: ANN recall harness ------------------------------------------
@@ -381,24 +417,12 @@ object Similarity {
     // a fixed query sample, not on the corpus.
     "s11_ann_recall" -> ((s, d) => {
       val all = vecs(s, d)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
-      val q = all.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
-      val brute = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .withColumn("c", dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
-        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
-        .select(col("q_id"), col("vec_id").as("neighbor"))
-      val cents = all.filter(col("vec_id") < 32)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-      val assigned = assignCells(all, cents)
-      val qa = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("n2").as("qn2"), col("cell"))
-      val ivf = qa.join(assigned, Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("c", dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
-        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
-        .select(col("q_id"), col("vec_id").as("neighbor"))
+      // recall of s5's EXACT plan vs s1's EXACT plan — by construction,
+      // not by copy: both sides call the same shared helpers the shipped
+      // queries are built from, so a future change to either plan changes
+      // this measurement with it
+      val brute = bruteTopK(all, 3).select(col("q_id"), col("neighbor"))
+      val ivf = ivfTopK(all, 3).select(col("q_id"), col("neighbor"))
       val hits = brute.join(ivf, Seq("q_id", "neighbor"))
         .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
       brute.groupBy("q_id").agg(count(lit(1)).as("n_true"))
@@ -482,7 +506,8 @@ object Similarity {
       s"""WITH aug AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 10000, embedding FROM embeddings),
+         |  SELECT vec_id + (SELECT GREATEST(MAX(vec_id) + 1, 10000) FROM embeddings),
+         |         embedding FROM embeddings),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v, $sqlBucket AS bkt FROM aug),
          |n AS (SELECT vec_id, v, bkt, list_dot_product(v, v) AS n2 FROM e),
          |sc AS (SELECT a.vec_id AS a, b.vec_id AS b,
@@ -574,7 +599,9 @@ object Similarity {
     "s7_semdedup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |aug AS (SELECT vec_id, v FROM e
-        |        UNION ALL SELECT vec_id + 10000, v FROM e),
+        |        UNION ALL
+        |        SELECT vec_id + (SELECT GREATEST(MAX(vec_id) + 1, 10000) FROM e), v
+        |        FROM e),
         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM aug),
         |cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 32),
         |assigned AS (

@@ -76,7 +76,7 @@ object Sketches {
           cmBucket(col("tok"), r).as("b"))
           .join(cells, Seq("r", "b"))
           .select(col("tok"), col("n"), col("c"))
-      }.reduce(_ unionAll _)
+      }.reduce(_ union _)
       est.groupBy("tok", "n").agg(min(col("c")).as("est"))
     }),
 

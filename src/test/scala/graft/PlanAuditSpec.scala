@@ -130,15 +130,20 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("semantic dedup: centroid assignment broadcasts, in-cell pass is equi-join") {
-    for (q <- Seq("s7_semdedup", "s8_kmeans_step")) {
+    // the k-centroid table rides a broadcast nested loop (absolute-cap
+    // size). s7's assignment is localCheckpoint'd (3 consumers), which
+    // truncates its visible plan at the checkpoint scan — so the
+    // broadcast property is pinned on the UNcheckpointed plans that run
+    // the same shared assignCells code path (s5/s8)
+    for (q <- Seq("s5_ivf_ann", "s8_kmeans_step")) {
       val p = plan(q)
-      // the k-centroid table rides a broadcast nested loop (absolute-cap
-      // size); the only allowed nested loop is that broadcast one
       assert(p.contains("BroadcastNestedLoopJoin"), s"$q lost the centroid broadcast")
-      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
     }
-    // the in-cell pairwise join must be an equality join on the cell id
+    // s7: no cartesian anywhere, and the in-cell pairwise join over the
+    // checkpointed assignment must be an equality join on the cell id
     val p7 = plan("s7_semdedup")
+    assert(!p7.contains("CartesianProduct"), "s7 has a cartesian")
+    assert(!plan("s8_kmeans_step").contains("CartesianProduct"), "s8 has a cartesian")
     assert(p7.contains("SortMergeJoin") || p7.contains("ShuffledHashJoin")
       || p7.contains("BroadcastHashJoin"), p7.take(3000))
   }

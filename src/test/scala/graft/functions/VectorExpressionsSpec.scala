@@ -32,6 +32,38 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8_quant matches the declarative transform/zip_with chain bit-for-bit") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    // random vectors, plus edge rows: all-zero (amax floor), exact .5
+    // rounding boundaries both signs, single element, empty
+    val rows = Seq.fill(60)(Array.fill(64)(rnd.nextFloat() * 2 - 1)) ++ Seq(
+      Array.fill(64)(0.0f), Array(0.5f, -0.5f, 1.0f), Array(0.25f), Array.empty[Float])
+    // the formulation int8_quant replaced, verbatim (s6's former body)
+    val old = rows.toDF("embedding")
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("amax",
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12)))
+      .withColumn("q", transform(col("v"),
+        x => round(x * lit(127.0) / col("amax")).cast("long")))
+      .withColumn("err", zip_with(col("v"), col("q"),
+        (x, qq) => x - qq.cast("double") * col("amax") / lit(127.0)))
+      .select(col("amax"), concat_ws(",", col("q")).as("q"),
+        call_function("vec_dot", col("err"), col("err")).as("sse"))
+      .collect()
+    val neu = rows.toDF("embedding")
+      .select(expr("int8_quant(embedding)").as("e"))
+      .select(col("e.amax"), col("e.q"), col("e.sse")).collect()
+    old.zip(neu).foreach { case (o, n) =>
+      assert(java.lang.Double.doubleToRawLongBits(o.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(n.getDouble(0)))
+      assert(o.getString(1) == n.getString(1))
+      assert(java.lang.Double.doubleToRawLongBits(o.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(n.getDouble(2)))
+    }
+  }
+
   test("vec_dot on double arrays, null array, and SQL registration") {
     import spark.implicits._
     GraftFunctions.register(spark)
