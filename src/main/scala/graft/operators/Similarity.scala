@@ -352,6 +352,31 @@ object Similarity {
       semDedup(aug, cents, 0.999)
     }),
 
+    // -- cluster-balanced corpus sampling ---------------------------------
+    // the semantic-diversity half of training-mix construction (t9/t19
+    // balance across SOURCES; this balances across embedding-space
+    // clusters, the move cluster-aware dataset-pruning pipelines make):
+    // assign the corpus to the fixed coarse quantizer's cells, then take a
+    // fixed per-cell sample in deterministic md5 order — head clusters are
+    // downsampled to the cap, tail clusters survive whole. Scale shape:
+    // assignment is the same broadcast + max(struct) partial agg as s5 (no
+    // n×C shuffle), the per-cell window partitions by cell (parallel
+    // across cells, never a global sort), and the emitted set is at most
+    // cells × cap rows regardless of corpus size. cell_size rides along so
+    // the sample carries its own downsampling-odds evidence.
+    "s14_cluster_sample" -> ((s, d) => {
+      val all = vecs(s, d)
+      val assigned = assignCells(all, seedCentroids(all))
+      val byCell = Window.partitionBy(col("cell"))
+      val wOrd = byCell.orderBy(
+        md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      assigned
+        .withColumn("cell_size", count(lit(1)).over(byCell))
+        .withColumn("rk", row_number().over(wOrd))
+        .filter(col("rk") <= 4)
+        .select(col("cell"), col("cell_size"), col("vec_id"), col("rk"))
+    }),
+
     // -- one exact Lloyd update step (the k-means inner loop, made --------
     // oracle-checkable): assignment to the fixed seed centroids exactly as
     // s5; the centroid update is emitted as per-(cell, dim) INTEGER partial
@@ -616,6 +641,23 @@ object Similarity {
         |  WHERE list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) >= 0.999)
         |SELECT vec_id, cell FROM assigned
         |WHERE vec_id NOT IN (SELECT b FROM dropped)""".stripMargin,
+    "s14_cluster_sample" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+        |cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 32),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT n.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv) / sqrt(n.n2 * c.cn2) DESC, c.cid) AS arn
+        |    FROM n CROSS JOIN cents c) WHERE arn = 1),
+        |sized AS (SELECT cell, COUNT(*) AS cell_size FROM assigned GROUP BY cell),
+        |r AS (SELECT cell, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY cell
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |      FROM assigned)
+        |SELECT r.cell AS cell, cell_size, vec_id, rk
+        |FROM r JOIN sized USING (cell) WHERE rk <= 4""".stripMargin,
     "s8_kmeans_step" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),

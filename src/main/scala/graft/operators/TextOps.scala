@@ -378,6 +378,54 @@ object TextOps {
             .as("score"))
     }),
 
+    // -- DSIR hashed-n-gram importance weighting (data selection) ----------
+    // Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+    // fit hashed-bigram bag distributions on a TARGET domain (here
+    // lang='en') and on the raw rest, then weight every document by the
+    // per-gram log-likelihood ratio — the standard pretraining-corpus
+    // domain-matching move. Gate-exact form: the log ratio is quantized to
+    // integer bit-lengths per bucket (the t18/t25 trick — bits(p+1) -
+    // bits(q+1) plus the normalizer fold bits(Nq+256) - bits(Np+256)), so
+    // every engine computes the identical integer weight; `keep` is the
+    // logw > 0 resampling gate. Scale shape: the gram stream collapses to
+    // per-(doc, bucket) counts FIRST (map-side combinable); the p/q
+    // distributions are 256-row broadcast tables, the normalizers 1-row
+    // broadcast scalars — nothing downstream of the first aggregation
+    // scales with corpus volume, and the hashed feature space is fixed no
+    // matter how large the vocabulary grows (DSIR's own design point).
+    // The generator carries `lang` through (wordNGramsPosKeyed), so no
+    // token-scale metadata join.
+    "t30_dsir_importance" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tf = Shingles.wordNGramsPosKeyed(docs, 2, keyCol = "lang")
+        .select(col("doc_id"), col("lang"),
+          substring(md5(col("sh").cast("binary")), 1, 2).as("bucket"))
+        .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("tf"))
+      val p = tf.filter(col("lang") === "en")
+        .groupBy("bucket").agg(sum("tf").as("p"))
+      val q = tf.filter(col("lang") =!= "en")
+        .groupBy("bucket").agg(sum("tf").as("q"))
+      val np = p.agg(sum("p").as("np"))
+      val nq = q.agg(sum("q").as("nq"))
+      val perDoc = tf
+        .join(broadcast(p), Seq("bucket"), "left")
+        .join(broadcast(q), Seq("bucket"), "left")
+        .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+        .withColumn("dbits",
+          length(bin(coalesce(col("p"), lit(0L)) + 1)) -
+            length(bin(coalesce(col("q"), lit(0L)) + 1)) +
+            length(bin(col("nq") + 256)) - length(bin(col("np") + 256)))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_grams"),
+          sum(col("tf") * col("dbits")).as("logw_bits"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("logw_bits"), lit(0L)).as("logw_bits"),
+          when(coalesce(col("logw_bits"), lit(0L)) > 0, 1).otherwise(0)
+            .as("keep"))
+    }),
+
     // -- token-budgeted per-source sampling --------------------------------
     // the other half of training-mix construction (t9 caps DOCUMENT count,
     // this caps TOKEN count): per source, take docs in deterministic
@@ -805,6 +853,33 @@ object TextOps {
         |SELECT doc_id, n_bigrams, surprisal_bits,
         |  round(CAST(surprisal_bits AS DOUBLE) / n_bigrams, 4) AS score
         |FROM per""".stripMargin,
+    "t30_dsir_importance" ->
+      """WITH g AS (SELECT doc_id, lang,
+        |         substring(md5(ws[i] || ' ' || ws[i+1]), 1, 2) AS bucket
+        |       FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws,
+        |               unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+        |             FROM documents)),
+        |tf AS (SELECT doc_id, lang, bucket, COUNT(*) AS tf
+        |       FROM g GROUP BY doc_id, lang, bucket),
+        |p AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS p FROM tf
+        |      WHERE lang = 'en' GROUP BY bucket),
+        |q AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS q FROM tf
+        |      WHERE lang <> 'en' GROUP BY bucket),
+        |np AS (SELECT CAST(SUM(p) AS BIGINT) AS np FROM p),
+        |nq AS (SELECT CAST(SUM(q) AS BIGINT) AS nq FROM q),
+        |per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_grams,
+        |          CAST(SUM(tf * (length(bin(coalesce(p, 0) + 1))
+        |                         - length(bin(coalesce(q, 0) + 1))
+        |                         + length(bin(nq + 256))
+        |                         - length(bin(np + 256)))) AS BIGINT) AS logw_bits
+        |        FROM tf LEFT JOIN p USING (bucket) LEFT JOIN q USING (bucket)
+        |             CROSS JOIN np CROSS JOIN nq
+        |        GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |  coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(logw_bits, 0) AS logw_bits,
+        |  CASE WHEN coalesce(logw_bits, 0) > 0 THEN 1 ELSE 0 END AS keep
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
     "t18_surprisal" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the two data-selection queries — t30 DSIR importance
+  * weighting and s14 cluster-balanced sampling. The oracle gate proves
+  * cross-engine equality; these pin that the SELECTION ITSELF does what
+  * the method promises (target-like docs score up, head clusters cap).
+  */
+class SelectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("t30: target-vocabulary docs weigh positive, off-target negative, " +
+    "gramless docs keep=0") {
+    val target = (0 until 10).map(i =>
+      (i.toLong, ("alpha beta " * 20).trim, "en", "srcA"))
+    val off = (10 until 20).map(i =>
+      (i.toLong, ("gamma delta " * 20).trim, "fr", "srcB"))
+    val probe = Seq(
+      (20L, ("alpha beta " * 20).trim, "fr", "srcB"), // target-like content
+      (21L, "solo", "fr", "srcB"))                    // single token: no grams
+    val docs = (target ++ off ++ probe)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("t30").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.queries("t30_dsir_importance")(spark, dir)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == 22)
+    // the fr doc written in the target's vocabulary is selected...
+    assert(got(20L)._2 > 0 && got(20L)._3 == 1, s"probe: ${got(20L)}")
+    // ...while every doc of the off-target vocabulary scores negative
+    (10L until 20L).foreach(i =>
+      assert(got(i)._2 < 0 && got(i)._3 == 0, s"off $i: ${got(i)}"))
+    // a doc too short to produce a bigram is never selected
+    assert(got(21L) == ((0L, 0L, 0)), s"gramless: ${got(21L)}")
+  }
+
+  test("s14: head cells downsample to the cap, tail cells survive whole") {
+    // two well-separated clusters on axes 0/1; seeds are vec_id 0 and 1
+    // (the fixed vec_id < 32 quantizer), members sit past the seed range
+    def axisVec(axis: Int, wobble: Float): Array[Float] = {
+      val v = Array.fill(4)(0f); v(axis) = 1f; v(3) = wobble; v
+    }
+    val head = (0 until 11).map(i =>
+      (if (i == 0) 0L else 99L + i, axisVec(0, 0.01f * i), 0))
+    val tail = (0 until 4).map(i =>
+      (if (i == 0) 1L else 199L + i, axisVec(1, 0.01f * i), 1))
+    val dir = java.nio.file.Files.createTempDirectory("s14").toString
+    (head ++ tail).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def run() = Similarity.queries("s14_cluster_sample")(spark, dir)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val got = run()
+    val byCell = got.groupBy(_._1)
+    // head cluster (cell 0, 11 members) capped at 4; tail (cell 1, 4
+    // members) kept whole — and every row reports its true cell size
+    assert(byCell(0L).size == 4 && byCell(0L).forall(_._2 == 11L))
+    assert(byCell(1L).size == 4 && byCell(1L).forall(_._2 == 4L))
+    assert(byCell(1L).map(_._3) == tail.map(_._1).toSet)
+    assert(got.forall(r => r._4 >= 1 && r._4 <= 4))
+    assert(run() == got, "md5-ordered sampling must be deterministic")
+  }
+}
