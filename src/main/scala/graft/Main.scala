@@ -77,6 +77,7 @@ object Main {
         |  inputs : -fastq <glob> [-fastq2 <glob>] | -fasta <glob> | -contig <fasta> | -kmerc <csv> | -sam <sam>
         |           extend: -aligner '<cmd>' pipes -fastq reads through an external aligner ({ref} = contig fasta)
         |           curate: -docs <parquet> [-testdocs <parquet>] [-embeddings <parquet with doc_id,v>]
+        |                   [-classifier <minScore>] [-dsir <targetLang>]
         |  tuning : -kmer N -klist a,b,c -cover N -maxcov N -error N -mincontig N -maxiter N
         |           -clipf N -clipe N -minlength N -reads N -partition N -partitionredu N -overlap N
         |  flags  : -bubble (keep bubbles) -mercy (rescue gap kmers) -scramble (repeat-aware unitigs)
@@ -374,8 +375,13 @@ object Main {
         // -classifier <minScore>: enable the hashed-linear quality-model
         // gate (cls_keep = score > minScore)
         val clsMin = opt(args, "-classifier", "")
+        // -dsir <lang>: enable the DSIR domain-matching gate (dsir_keep =
+        // importance weight vs the <lang> target distribution > 0); the
+        // docs parquet must carry a `lang` column
+        val dsirLang = opt(args, "-dsir", "")
         val flags = operators.Curation.curate(corpus, test, emb,
-          classifierMin = if (clsMin.nonEmpty) Some(clsMin.toLong) else None).cache()
+          classifierMin = if (clsMin.nonEmpty) Some(clsMin.toLong) else None,
+          dsirTargetLang = if (dsirLang.nonEmpty) Some(dsirLang) else None).cache()
         flags.write.mode("overwrite").parquet(s"$out/curation_flags")
         corpus.join(flags.filter(col("keep") === 1).select("doc_id"), "doc_id")
           .write.mode("overwrite").parquet(s"$out/curated")
@@ -383,11 +389,13 @@ object Main {
           sum(col("exact_keep")).as("exact"), sum(col("nd_keep")).as("neardup"),
           sum(col("quality_ok")).as("quality"), sum(col("clean")).as("clean"),
           sum(col("sem_keep")).as("sem"), sum(col("cls_keep")).as("cls"),
+          sum(col("dsir_keep")).as("dsir"),
           sum(col("keep")).as("kept")).collect()(0)
-        println(s"[graft] curate: ${stats.getLong(7)}/${stats.getLong(0)} docs kept " +
+        println(s"[graft] curate: ${stats.getLong(8)}/${stats.getLong(0)} docs kept " +
           s"(exact ${stats.getLong(1)}, neardup ${stats.getLong(2)}, " +
           s"quality ${stats.getLong(3)}, clean ${stats.getLong(4)}, " +
-          s"semantic ${stats.getLong(5)}, classifier ${stats.getLong(6)}) -> $out/curated")
+          s"semantic ${stats.getLong(5)}, classifier ${stats.getLong(6)}, " +
+          s"dsir ${stats.getLong(7)}) -> $out/curated")
       case other =>
         sys.error(s"unknown subcommand '$other' " +
           "(counter|run|preprocess|meta|reassemble|mercy|merger|stitch|reduce|extend|curate|stats)")

@@ -26,6 +26,10 @@ import graft.Tables._
   *     group. Docs with no embedding row pass trivially. Omitted →
   *     constant 1 (the flag column is always present, so downstream
   *     schemas don't fork).
+  *  6. `cls_keep`    — OPTIONAL hashed-linear-classifier gate (x6 model).
+  *  7. `dsir_keep`   — OPTIONAL DSIR domain-matching gate
+  *     ([[TextOps.dsirWeights]], the t30 engine): importance weight > 0
+  *     keeps. Omitted → constant 1.
   *  `keep` = all of the above.
   *
   * Exposed three ways: this function (library), the `c1_curate` oracle
@@ -45,7 +49,8 @@ object Curation {
              semCentroids: Int = 32,
              semThreshold: Double = 0.999,
              semCentroidSet: Option[DataFrame] = None,
-             classifierMin: Option[Long] = None): DataFrame = {
+             classifierMin: Option[Long] = None,
+             dsirTargetLang: Option[String] = None): DataFrame = {
     // materialize the (doc_id, text) projection once: six verdict branches
     // consume it, and each would otherwise re-run the upstream lineage
     // (a parquet text scan at best, a whole strip/augment sub-DAG at
@@ -130,12 +135,26 @@ object Curation {
             when(col("score") > thr, 1).otherwise(0).as("cls_keep"))
     }
 
+    // 7. optional DSIR domain-matching gate ([[TextOps.dsirWeights]], the
+    //    t30 engine): importance weight > 0 keeps — the resampling move
+    //    that biases the corpus toward a target domain. Needs `lang` on
+    //    the input docs (only consulted when enabled); constant 1
+    //    otherwise, so downstream schemas never fork.
+    val dsir = dsirTargetLang match {
+      case None => base.select(col("doc_id"), lit(1).as("dsir_keep"))
+      case Some(tl) =>
+        TextOps.dsirWeights(docs.select(col("doc_id"), col("lang"), col("text")), tl)
+          .select(col("doc_id"),
+            when(col("logw_bits") > 0, 1).otherwise(0).as("dsir_keep"))
+    }
+
     exact.join(nd, "doc_id").join(quality, "doc_id").join(clean, "doc_id")
-      .join(sem, "doc_id").join(cls, "doc_id")
+      .join(sem, "doc_id").join(cls, "doc_id").join(dsir, "doc_id")
       .select(col("doc_id"), col("exact_keep"), col("nd_keep"),
         col("quality_ok"), col("clean"), col("sem_keep"), col("cls_keep"),
+        col("dsir_keep"),
         (col("exact_keep") * col("nd_keep") * col("quality_ok") * col("clean") *
-          col("sem_keep") * col("cls_keep")).as("keep"))
+          col("sem_keep") * col("cls_keep") * col("dsir_keep")).as("keep"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -206,6 +225,20 @@ object Curation {
       curate(doc.filter(col("doc_id") % 100 =!= 0),
         doc.filter(col("doc_id") % 100 === 0),
         classifierMin = Some(0L))
+    }),
+
+    // -- the pipeline with the DSIR gate live ------------------------------
+    // domain-matching selection (the t30 engine) composed as the seventh
+    // verdict: importance weight vs the lang='en' target distribution,
+    // dsir_keep = logw > 0. Exercises the stage order the data-selection
+    // recipes use: dedup/quality first, importance RESAMPLING over what
+    // survives — the p/q distributions are fit on the train split itself,
+    // exactly as the library stage does.
+    "c5_curate_dsir" -> ((s, d) => {
+      val doc = documents(s, d)
+      curate(doc.filter(col("doc_id") % 100 =!= 0),
+        doc.filter(col("doc_id") % 100 === 0),
+        dsirTargetLang = Some("en"))
     })
   )
 
@@ -214,12 +247,12 @@ object Curation {
   // s7 semantic-dedup fragment (fixed seed centroids, corpus vectors only)
   // and folds sem_keep into keep.
   private def curateOracle(sem: Boolean, cls: Boolean = false,
-                           bp: Boolean = false): String = {
+                           bp: Boolean = false, dsir: Boolean = false): String = {
       // `bp = true` swaps the raw train split for its d15
       // boilerplate-stripped form (synthetic-header corpus, word 4-grams
       // in >= 3 docs of a source removed, survivors reassembled)
       val trainCte =
-        if (!bp) "train AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),"
+        if (!bp) "train AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 100 <> 0),"
         else
           """baug AS (SELECT doc_id, source,
             |           'site header for ' || source || ' menu ' || text AS text
@@ -251,6 +284,35 @@ object Curation {
           |  GROUP BY doc_id)""".stripMargin
       val clsExpr = if (cls) "clsk.ck" else "1"
       val clsJoin = if (cls) "\nJOIN clsk ON clsk.doc_id = t.doc_id" else ""
+      // the t30 DSIR fragment over the train split (p/q fit on train, as
+      // the library stage does); dk = importance weight > 0
+      val dsirCte =
+        """dsg AS (SELECT doc_id, lang,
+          |          substring(md5(ws[i] || ' ' || ws[i+1]), 1, 2) AS bucket
+          |        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws,
+          |                unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+          |              FROM train)),
+          |dstf AS (SELECT doc_id, lang, bucket, COUNT(*) AS tf
+          |         FROM dsg GROUP BY doc_id, lang, bucket),
+          |dsp AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS p FROM dstf
+          |        WHERE lang = 'en' GROUP BY bucket),
+          |dsq AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS q FROM dstf
+          |        WHERE lang <> 'en' GROUP BY bucket),
+          |dsnp AS (SELECT CAST(SUM(p) AS BIGINT) AS np FROM dsp),
+          |dsnq AS (SELECT CAST(SUM(q) AS BIGINT) AS nq FROM dsq),
+          |dsper AS (SELECT doc_id,
+          |            CAST(SUM(tf * (length(bin(coalesce(p, 0) + 1))
+          |                           - length(bin(coalesce(q, 0) + 1))
+          |                           + length(bin(nq + 256))
+          |                           - length(bin(np + 256)))) AS BIGINT) AS logw
+          |          FROM dstf LEFT JOIN dsp USING (bucket) LEFT JOIN dsq USING (bucket)
+          |               CROSS JOIN dsnp CROSS JOIN dsnq
+          |          GROUP BY doc_id),
+          |dsirk AS (SELECT t.doc_id,
+          |            CASE WHEN coalesce(logw, 0) > 0 THEN 1 ELSE 0 END AS dk
+          |          FROM train t LEFT JOIN dsper ON dsper.doc_id = t.doc_id)""".stripMargin
+      val dsirExpr = if (dsir) "dsirk.dk" else "1"
+      val dsirJoin = if (dsir) "\nJOIN dsirk ON dsirk.doc_id = t.doc_id" else ""
       val semCtes = if (!sem) "" else
         """embt AS (SELECT d.vec_id AS doc_id, s.embedding::DOUBLE[] AS v
           |         FROM embeddings d
@@ -328,27 +390,30 @@ object Curation {
           |                  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train)))
           |          JOIN tsh USING (g))""".stripMargin +
         (if (sem) ",\n" + semCtes else "") +
-        (if (cls) ",\n" + clsCte else "") + "\n" +
+        (if (cls) ",\n" + clsCte else "") +
+        (if (dsir) ",\n" + dsirCte else "") + "\n" +
         s"""SELECT t.doc_id, ex.exact_keep,
           |  COALESCE(clu.ndk, 1) AS nd_keep,
           |  qual.quality_ok,
           |  CASE WHEN dirty.doc_id IS NULL THEN 1 ELSE 0 END AS clean,
           |  $semExpr AS sem_keep,
           |  $clsExpr AS cls_keep,
+          |  $dsirExpr AS dsir_keep,
           |  ex.exact_keep * COALESCE(clu.ndk, 1) * qual.quality_ok *
           |    (CASE WHEN dirty.doc_id IS NULL THEN 1 ELSE 0 END) * ($semExpr) *
-          |    ($clsExpr) AS keep
+          |    ($clsExpr) * ($dsirExpr) AS keep
           |FROM train t
           |JOIN ex ON ex.doc_id = t.doc_id
           |LEFT JOIN clu ON clu.doc_id = t.doc_id
           |JOIN qual ON qual.doc_id = t.doc_id
-          |LEFT JOIN dirty ON dirty.doc_id = t.doc_id$semJoin$clsJoin""".stripMargin
+          |LEFT JOIN dirty ON dirty.doc_id = t.doc_id$semJoin$clsJoin$dsirJoin""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
     "c1_curate" -> curateOracle(sem = false),
     "c2_curate_sem" -> curateOracle(sem = true),
     "c3_curate_cls" -> curateOracle(sem = false, cls = true),
-    "c4_curate_bp" -> curateOracle(sem = false, bp = true)
+    "c4_curate_bp" -> curateOracle(sem = false, bp = true),
+    "c5_curate_dsir" -> curateOracle(sem = false, dsir = true)
   )
 }

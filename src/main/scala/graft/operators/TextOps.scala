@@ -33,6 +33,48 @@ object TextOps {
       .toDF("tok", "n", "id")
   }
 
+  /** DSIR hashed-n-gram importance weights (Xie et al., NeurIPS 2023)
+    * over any `(doc_id, lang, text)` frame: hashed-bigram bag
+    * distributions are fit on the `targetLang` docs (p) and the rest (q),
+    * and every doc is weighted by its per-gram log-likelihood ratio —
+    * quantized to integer bit-lengths (the t18/t25 trick) so the weight
+    * is engine-exact. Returns `(doc_id, n_grams, logw_bits)`, one row per
+    * input doc (gramless docs carry 0/0). Scale shape: the gram stream
+    * collapses to per-(doc, bucket) counts FIRST (map-side combinable);
+    * p/q are 256-row broadcast tables, the normalizers 1-row broadcast
+    * scalars — nothing past the first aggregation scales with corpus
+    * volume, and the hashed feature space stays fixed no matter how
+    * large the vocabulary grows (DSIR's own design point). Consumed by
+    * the t30 query and [[Curation.curate]]'s `dsir_keep` stage. */
+  def dsirWeights(docs: DataFrame, targetLang: String): DataFrame = {
+    val tf = Shingles.wordNGramsPosKeyed(
+        docs.select(col("doc_id"), col("lang"), col("text")), 2, keyCol = "lang")
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("sh").cast("binary")), 1, 2).as("bucket"))
+      .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("tf"))
+    val p = tf.filter(col("lang") === targetLang)
+      .groupBy("bucket").agg(sum("tf").as("p"))
+    val q = tf.filter(col("lang") =!= targetLang)
+      .groupBy("bucket").agg(sum("tf").as("q"))
+    val np = p.agg(sum("p").as("np"))
+    val nq = q.agg(sum("q").as("nq"))
+    val perDoc = tf
+      .join(broadcast(p), Seq("bucket"), "left")
+      .join(broadcast(q), Seq("bucket"), "left")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+      .withColumn("dbits",
+        length(bin(coalesce(col("p"), lit(0L)) + 1)) -
+          length(bin(coalesce(col("q"), lit(0L)) + 1)) +
+          length(bin(col("nq") + 256)) - length(bin(col("np") + 256)))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_grams"),
+        sum(col("tf") * col("dbits")).as("logw_bits"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("logw_bits"), lit(0L)).as("logw_bits"))
+  }
+
   private def tokenCountIn(set: Seq[String]): Column =
     size(filter(ws, w => w.isInCollection(set)))
 
@@ -379,52 +421,12 @@ object TextOps {
     }),
 
     // -- DSIR hashed-n-gram importance weighting (data selection) ----------
-    // Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
-    // fit hashed-bigram bag distributions on a TARGET domain (here
-    // lang='en') and on the raw rest, then weight every document by the
-    // per-gram log-likelihood ratio — the standard pretraining-corpus
-    // domain-matching move. Gate-exact form: the log ratio is quantized to
-    // integer bit-lengths per bucket (the t18/t25 trick — bits(p+1) -
-    // bits(q+1) plus the normalizer fold bits(Nq+256) - bits(Np+256)), so
-    // every engine computes the identical integer weight; `keep` is the
-    // logw > 0 resampling gate. Scale shape: the gram stream collapses to
-    // per-(doc, bucket) counts FIRST (map-side combinable); the p/q
-    // distributions are 256-row broadcast tables, the normalizers 1-row
-    // broadcast scalars — nothing downstream of the first aggregation
-    // scales with corpus volume, and the hashed feature space is fixed no
-    // matter how large the vocabulary grows (DSIR's own design point).
-    // The generator carries `lang` through (wordNGramsPosKeyed), so no
-    // token-scale metadata join.
-    "t30_dsir_importance" -> ((s, d) => {
-      val docs = documents(s, d)
-      val tf = Shingles.wordNGramsPosKeyed(docs, 2, keyCol = "lang")
-        .select(col("doc_id"), col("lang"),
-          substring(md5(col("sh").cast("binary")), 1, 2).as("bucket"))
-        .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("tf"))
-      val p = tf.filter(col("lang") === "en")
-        .groupBy("bucket").agg(sum("tf").as("p"))
-      val q = tf.filter(col("lang") =!= "en")
-        .groupBy("bucket").agg(sum("tf").as("q"))
-      val np = p.agg(sum("p").as("np"))
-      val nq = q.agg(sum("q").as("nq"))
-      val perDoc = tf
-        .join(broadcast(p), Seq("bucket"), "left")
-        .join(broadcast(q), Seq("bucket"), "left")
-        .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
-        .withColumn("dbits",
-          length(bin(coalesce(col("p"), lit(0L)) + 1)) -
-            length(bin(coalesce(col("q"), lit(0L)) + 1)) +
-            length(bin(col("nq") + 256)) - length(bin(col("np") + 256)))
-        .groupBy("doc_id")
-        .agg(sum(col("tf")).as("n_grams"),
-          sum(col("tf") * col("dbits")).as("logw_bits"))
-      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-          coalesce(col("logw_bits"), lit(0L)).as("logw_bits"),
-          when(coalesce(col("logw_bits"), lit(0L)) > 0, 1).otherwise(0)
-            .as("keep"))
-    }),
+    // [[dsirWeights]] over the corpus with lang='en' as the target domain;
+    // `keep` is the logw > 0 resampling gate.
+    "t30_dsir_importance" -> ((s, d) =>
+      dsirWeights(documents(s, d), "en")
+        .select(col("doc_id"), col("n_grams"), col("logw_bits"),
+          when(col("logw_bits") > 0, 1).otherwise(0).as("keep"))),
 
     // -- token-budgeted per-source sampling --------------------------------
     // the other half of training-mix construction (t9 caps DOCUMENT count,

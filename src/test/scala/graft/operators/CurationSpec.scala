@@ -11,8 +11,8 @@ class CurationSpec extends AnyFunSuite {
       : Map[Long, (Int, Int, Int, Int, Int)] = {
     import spark.implicits._
     Curation.curate(docs.toDF("doc_id", "text"), test.toDF("doc_id", "text"))
-      .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._8))).toMap
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._9))).toMap
   }
 
   test("exact dup, near dup, low quality, and contaminated docs are each flagged") {
@@ -53,10 +53,32 @@ class CurationSpec extends AnyFunSuite {
       (11L, Array(1.0, 0.0, 0.0))).toDF("doc_id", "v")
     val f = Curation.curate(docs.toDF("doc_id", "text"), test.toDF("doc_id", "text"),
         Some(emb), semCentroids = 2)
-      .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect()
-      .map(r => r._1 -> ((r._6, r._8))).toMap
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._6, r._9))).toMap
     assert(f(10L) == ((1, 1)), f(10L)) // identical pair: min id kept
     assert(f(11L) == ((0, 0)), f(11L)) // identical pair: larger id dropped
     assert(f(12L) == ((1, 1)), f(12L)) // no embedding: passes trivially
+  }
+
+  test("dsir stage keeps target-vocabulary docs, drops off-target ones") {
+    import spark.implicits._
+    // target (en) docs speak alpha/beta; off-target (fr) speak gamma/delta;
+    // doc 20 is an fr doc written in the TARGET's vocabulary — DSIR must
+    // select it on content, not its lang label. Unique suffix words keep
+    // the exact/near-dup stages out of the way.
+    def mk(i: Long, core: String, lang: String) =
+      (i, s"$core the of and in to unique$i tail$i pad$i", lang)
+    val docs = ((0L until 6L).map(i => mk(i, ("alpha beta " * 10).trim, "en")) ++
+      (6L until 12L).map(i => mk(i, ("gamma delta " * 10).trim, "fr")) :+
+      mk(20L, ("alpha beta " * 10).trim, "fr"))
+      .toDF("doc_id", "text", "lang")
+    val test = Seq(100L -> "held out benchmark totally different words here")
+      .toDF("doc_id", "text")
+    val f = Curation.curate(docs, test, dsirTargetLang = Some("en"))
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r._8).toMap
+    (0L until 6L).foreach(i => assert(f(i) == 1, s"target doc $i"))
+    (6L until 12L).foreach(i => assert(f(i) == 0, s"off-target doc $i"))
+    assert(f(20L) == 1, "target-vocabulary fr doc must be selected")
   }
 }
