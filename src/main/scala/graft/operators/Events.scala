@@ -335,6 +335,46 @@ object Events {
       s.table(name)
     }),
 
+    // -- es10: stream-stream LEFT OUTER join -------------------------------
+    // the null-emitting half of the es9 join class — where the HARD
+    // streaming semantics live: an unmatched click may only emit its null
+    // row once the watermark proves no in-window purchase can still
+    // arrive (state finalization), so the emitted set depends on the
+    // final watermark, not just the data. On the bounded AvailableNow
+    // replay that watermark is DETERMINISTIC — min(max cts, max pts) −
+    // 3 days — so the oracle states the exact same truncation in SQL:
+    // matched pairs are the batch interval join; unmatched clicks emit
+    // iff cts + 2 days < final watermark (clicks younger than that hold
+    // state at shutdown and emit nothing — precisely Spark's rule, and
+    // precisely what a resumed run would later emit). Hash-matching this
+    // proves the finalization boundary, not just the join.
+    "es10_stream_outer_join" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val streamDir = graft.streaming.Replay.eventsDir(s, d)
+      val sch = s.read.parquet(streamDir).schema
+      def src() = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+        .withWatermark("cts", "3 days")
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("pts"))
+        .withWatermark("pts", "3 days")
+      val name = "es10_outer_mem"
+      s.catalog.dropTempView(name)
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams
+          .clickAttribution(clicks, purchases, 2L * 86400 * 1000, "left_outer")
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            expr("(unix_micros(pts) - unix_micros(cts)) div 1000").as("gap_ms"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
+    }),
+
     // -- 30-minute-gap sessionization (lag + running sum of gap flags) -----
     "e2_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -668,6 +708,29 @@ object Events {
           | AND epoch_us(p.ts) >= epoch_us(c.ts)
           | AND epoch_us(p.ts) <= epoch_us(c.ts)
           |       + CAST(2 AS BIGINT) * 86400 * 1000000""".stripMargin) +
+      // stream-stream LEFT OUTER: matched pairs == the batch interval
+      // join; unmatched clicks emit iff finalized by the deterministic
+      // end-of-replay watermark (min of both sides' max ts − 3 days)
+      ("es10_stream_outer_join" ->
+        """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+          |           FROM events WHERE event_type = 'click'),
+          |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS pts
+          |      FROM events WHERE event_type = 'purchase'),
+          |wm AS (SELECT least((SELECT MAX(cts) FROM c), (SELECT MAX(pts) FROM p))
+          |              - INTERVAL 3 DAY AS w),
+          |m AS (SELECT c.click_id, p.purchase_id, c.user_id,
+          |        (epoch_us(pts) - epoch_us(cts)) // 1000 AS gap_ms, c.cts
+          |      FROM c JOIN p ON c.user_id = p.p_user
+          |       AND epoch_us(pts) >= epoch_us(cts)
+          |       AND epoch_us(pts) <= epoch_us(cts)
+          |             + CAST(2 AS BIGINT) * 86400 * 1000000)
+          |SELECT click_id, purchase_id, user_id, gap_ms FROM m
+          |UNION ALL
+          |SELECT c.click_id, NULL, c.user_id, NULL
+          |FROM c
+          |WHERE c.click_id NOT IN (SELECT click_id FROM m)
+          |  AND epoch_us(c.cts) + CAST(2 AS BIGINT) * 86400 * 1000000
+          |        < (SELECT epoch_us(w) FROM wm)""".stripMargin) +
       // stream-static broadcast enrich + rollup == the same batch join
       ("es8_stream_enrich" ->
         """SELECT coalesce(c_mktsegment, '<none>') AS segment,

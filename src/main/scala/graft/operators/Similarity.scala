@@ -432,6 +432,53 @@ object Similarity {
           round(col("e.sse") / lit(64.0), 10).as("mse"))
     }),
 
+    // -- s13: signed random projection (Johnson–Lindenstrauss sketch) ------
+    // the remaining classical ANN-ladder member (brute s1 → LSH s2 → IVF
+    // s5 → multiprobe s9 → PQ s10 → JL s13): project the int8-quantized
+    // corpus (s6's exact quantizer) through a ±1 sign matrix derived from
+    // md5(j:d) parity — 64 int8 dims → 16 integer dims, a 4× sketch that
+    // needs NO stored projection matrix (any worker regenerates it from
+    // the hash, the property that matters when 1000 executors must agree).
+    // Ranking runs entirely in sketch space on integer dot products, so
+    // the result is engine-exact with no float anywhere. Scale shape: the
+    // projection is one map-side-combinable (vec_id, j) aggregation (n×1024
+    // intermediate rows combine to n×16 before any shuffle); the query
+    // side is the absolutely-capped set, broadcast — corpus cost is linear
+    // with a 4×-smaller downstream footprint, the entire point of JL.
+    "s13_rand_proj" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val signs = broadcast(
+        s.range(0, 16).toDF("j").crossJoin(s.range(1, 65).toDF("dim"))
+          .withColumn("sgn",
+            when(ascii(substring(md5(concat(col("j").cast("string"), lit(":"),
+              col("dim").cast("string")).cast("binary")), 1, 1)) % 2 === 0, 1)
+              .otherwise(-1)))
+      // s6's exact quantizer, in exploded form (the int8_quant expression
+      // emits q as the oracle's interchange string; here the per-dim
+      // integers are needed): same max(|x|) clamp + round as the s6 oracle
+      val ex = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          col("col").cast("double").as("x"))
+      val am = ex.groupBy("vec_id")
+        .agg(greatest(max(abs(col("x"))), lit(1e-12)).as("amax"))
+      val quant = ex.join(am, "vec_id")
+        .select(col("vec_id"), col("dim"),
+          round(col("x") * 127.0 / col("amax")).cast("long").as("qd"))
+      val proj = quant.join(signs, "dim")
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("qd") * col("sgn")).as("y"))
+      val qp = proj.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("q_id"), col("j"), col("y").as("qy"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("pdot").desc, col("neighbor"))
+      proj.join(broadcast(qp), "j")
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id").as("neighbor"))
+        .agg(sum(col("y") * col("qy")).as("pdot"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("q_id"), col("neighbor"), col("rnk"), col("pdot"))
+    }),
+
     // -- s11: ANN recall harness ------------------------------------------
     // "measure, don't guess" applied to the ANN ladder itself: recall@3 of
     // the IVF index (s5's exact plan) against the brute-force ground truth
@@ -687,6 +734,30 @@ object Similarity {
         |SELECT vec_id, round(amax, 6) AS amax, array_to_string(q, ',') AS q,
         |  round(list_dot_product(err, err) / 64.0, 10) AS mse
         |FROM r""".stripMargin,
+    "s13_rand_proj" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |a AS (SELECT vec_id, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS amax FROM e),
+        |qq AS (SELECT vec_id,
+        |        list_transform(v, x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS q FROM a),
+        |qd AS (SELECT vec_id, d, q[d] AS qd
+        |       FROM (SELECT vec_id, q, unnest(generate_series(1, 64)) AS d FROM qq)),
+        |sg AS (SELECT j, d,
+        |         CASE WHEN ascii(substring(md5(CAST(j AS VARCHAR) || ':' ||
+        |                CAST(d AS VARCHAR)), 1, 1)) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |       FROM (SELECT unnest(generate_series(0, 15)) AS j) jj
+        |       CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) dd),
+        |proj AS (SELECT vec_id, j, CAST(SUM(qd * sgn) AS BIGINT) AS y
+        |         FROM qd JOIN sg USING (d) GROUP BY vec_id, j),
+        |qp AS (SELECT vec_id AS q_id, j, y AS qy FROM proj
+        |       WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |sc AS (SELECT q_id, vec_id AS neighbor, CAST(SUM(y * qy) AS BIGINT) AS pdot
+        |       FROM proj JOIN qp USING (j) WHERE vec_id <> q_id
+        |       GROUP BY q_id, vec_id),
+        |r AS (SELECT q_id, neighbor, pdot,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id
+        |          ORDER BY pdot DESC, neighbor) AS rnk FROM sc)
+        |SELECT q_id, neighbor, rnk, pdot FROM r WHERE rnk <= 3""".stripMargin,
     "s11_ann_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),

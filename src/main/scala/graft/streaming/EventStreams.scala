@@ -99,11 +99,12 @@ object EventStreams {
     * p_user, pts)` ALREADY watermarked by the caller (watermark must be
     * >= windowMs or in-window matches could be evicted early). */
   def clickAttribution(clicks: DataFrame, purchases: DataFrame,
-                       windowMs: Long): DataFrame =
+                       windowMs: Long, joinType: String = "inner"): DataFrame =
     clicks.join(purchases,
       col("user_id") === col("p_user") &&
         col("pts") >= col("cts") &&
-        col("pts") <= col("cts") + expr(s"interval $windowMs milliseconds"))
+        col("pts") <= col("cts") + expr(s"interval $windowMs milliseconds"),
+      joinType)
 
   /** Streaming exact dedup for an ingestion pipeline: keep the first
     * occurrence of each content hash; the watermark bounds the dedup

@@ -128,6 +128,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer clickAttribution emits null rows only once the " +
+    "watermark finalizes the click") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Timestamp)]
+    val purchIn = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = clicksIn.toDF().toDF("click_id", "user_id", "cts")
+      .withWatermark("cts", "1 hour")
+    val purchases = purchIn.toDF().toDF("purchase_id", "p_user", "pts")
+      .withWatermark("pts", "1 hour")
+    val q = EventStreams.clickAttribution(clicks, purchases, 30 * 60000L,
+        "left_outer")
+      .select(col("click_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      // batch 1: click 100 never gets a purchase; click 200 matches
+      clicksIn.addData((100L, 1L, ts(0)), (200L, 2L, ts(0)))
+      purchIn.addData((900L, 2L, ts(5)))
+      q.processAllAvailable()
+      // batch 2: both sides jump 3 h ahead → watermark = 2 h. Click 100's
+      // 30-min window is finalized (null row emits); click 300 at 3 h is
+      // NOT finalized and must stay buffered, emitting nothing.
+      clicksIn.addData((300L, 3L, ts(180)))
+      purchIn.addData((901L, 9L, ts(180)))
+      q.processAllAvailable()
+      val got = spark.table("attrib_outer").as[(Long, Option[Long])]
+        .collect().toSet
+      assert(got == Set((200L, Some(900L)), (100L, None)), got)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each microbatch against the dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
