@@ -40,6 +40,50 @@ class SelectionSpec extends AnyFunSuite {
     assert(got(21L) == ((0L, 0L, 0)), s"gramless: ${got(21L)}")
   }
 
+  test("t30: dsirWeights matches an independent scalar reimplementation " +
+    "on random corpora") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bits(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    (0 until 3).foreach { trial =>
+      val docs = (0 until 40).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          if (rnd.nextBoolean()) "en" else "fr", "s")
+      }
+      // scalar reference: the DSIR weight computed with plain collections
+      val grams = docs.flatMap { case (id, text, lang, _) =>
+        val ws = text.split(" ", -1)
+        ws.indices.dropRight(1).map(j =>
+          (id, lang, md5hex(s"${ws(j)} ${ws(j + 1)}").take(2)))
+      }
+      val p = grams.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val q = grams.filter(_._2 != "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val (np, nq) = (p.values.sum, q.values.sum)
+      val expect = docs.map { case (id, text, lang, _) =>
+        val g = grams.filter(_._1 == id)
+        val w = g.map { case (_, _, b) =>
+          bits(p.getOrElse(b, 0L) + 1) - bits(q.getOrElse(b, 0L) + 1) +
+            bits(nq + 256) - bits(np + 256)
+        }.sum.toLong
+        id -> ((g.size.toLong, w))
+      }.toMap
+      val dir = java.nio.file.Files.createTempDirectory(s"t30f$trial").toString
+      import org.apache.spark.sql.functions.length
+      docs.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = TextOps.dsirWeights(
+          spark.read.parquet(s"$dir/documents.parquet"), "en")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("s14: head cells downsample to the cap, tail cells survive whole") {
     // two well-separated clusters on axes 0/1; seeds are vec_id 0 and 1
     // (the fixed vec_id < 32 quantizer), members sit past the seed range
