@@ -375,6 +375,44 @@ object Events {
       s.table(name)
     }),
 
+    // -- es11: stream-stream FULL OUTER join -------------------------------
+    // completes the stream-stream join family (inner es9, left es10):
+    // BOTH sides may emit null rows, each under its own watermark
+    // finalization rule — an unmatched click once no in-window purchase
+    // can arrive (cts + 2 d < W), an unmatched purchase once no click it
+    // could pair with can arrive (pts < W; its matchable clicks have
+    // cts ∈ [pts − 2 d, pts], and a late click is admitted up to W).
+    // Both rules are stated verbatim in the oracle over the deterministic
+    // end-of-replay watermark, so the hash match pins the finalization
+    // boundary on BOTH state stores at once.
+    "es11_stream_full_outer" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val streamDir = graft.streaming.Replay.eventsDir(s, d)
+      val sch = s.read.parquet(streamDir).schema
+      def src() = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+        .withWatermark("cts", "3 days")
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("pts"))
+        .withWatermark("pts", "3 days")
+      val name = "es11_full_outer_mem"
+      s.catalog.dropTempView(name)
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams
+          .clickAttribution(clicks, purchases, 2L * 86400 * 1000, "full_outer")
+          .select(col("click_id"), col("purchase_id"),
+            coalesce(col("user_id"), col("p_user")).as("user_id"),
+            expr("(unix_micros(pts) - unix_micros(cts)) div 1000").as("gap_ms"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
+    }),
+
     // -- 30-minute-gap sessionization (lag + running sum of gap flags) -----
     "e2_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -731,6 +769,33 @@ object Events {
           |WHERE c.click_id NOT IN (SELECT click_id FROM m)
           |  AND epoch_us(c.cts) + CAST(2 AS BIGINT) * 86400 * 1000000
           |        < (SELECT epoch_us(w) FROM wm)""".stripMargin) +
+      // stream-stream FULL OUTER: both null-emission rules stated over
+      // the deterministic end-of-replay watermark
+      ("es11_stream_full_outer" ->
+        """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+          |           FROM events WHERE event_type = 'click'),
+          |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS pts
+          |      FROM events WHERE event_type = 'purchase'),
+          |wm AS (SELECT least((SELECT MAX(cts) FROM c), (SELECT MAX(pts) FROM p))
+          |              - INTERVAL 3 DAY AS w),
+          |m AS (SELECT c.click_id, p.purchase_id, c.user_id,
+          |        (epoch_us(pts) - epoch_us(cts)) // 1000 AS gap_ms
+          |      FROM c JOIN p ON c.user_id = p.p_user
+          |       AND epoch_us(pts) >= epoch_us(cts)
+          |       AND epoch_us(pts) <= epoch_us(cts)
+          |             + CAST(2 AS BIGINT) * 86400 * 1000000)
+          |SELECT click_id, purchase_id, user_id, gap_ms FROM m
+          |UNION ALL
+          |SELECT c.click_id, NULL, c.user_id, NULL
+          |FROM c
+          |WHERE c.click_id NOT IN (SELECT click_id FROM m)
+          |  AND epoch_us(c.cts) + CAST(2 AS BIGINT) * 86400 * 1000000
+          |        < (SELECT epoch_us(w) FROM wm)
+          |UNION ALL
+          |SELECT NULL, p.purchase_id, p.p_user, NULL
+          |FROM p
+          |WHERE p.purchase_id NOT IN (SELECT purchase_id FROM m)
+          |  AND epoch_us(p.pts) < (SELECT epoch_us(w) FROM wm)""".stripMargin) +
       // stream-static broadcast enrich + rollup == the same batch join
       ("es8_stream_enrich" ->
         """SELECT coalesce(c_mktsegment, '<none>') AS segment,

@@ -147,4 +147,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p7.contains("SortMergeJoin") || p7.contains("ShuffledHashJoin")
       || p7.contains("BroadcastHashJoin"), p7.take(3000))
   }
+
+  test("t30 DSIR: the p/q distributions and normalizers ride broadcasts") {
+    // the corpus-scale gram table must join 256-row distribution tables
+    // and 1-row scalars as broadcasts — if any of them ever shuffles the
+    // big side the design point is lost
+    val p = plan("t30_dsir_importance")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // the two scalar normalizers are broadcast nested loops of width 1
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("s13 JL projection: the sign matrix broadcasts, no cartesian") {
+    val p = plan("s13_rand_proj")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s14 cluster sampling windows partition by cell (no global sort)") {
+    val w = SparkEntry.queries("s14_cluster_sample")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+    assert(w.isEmpty, s"s14 has an empty-partition (single-task) window")
+  }
 }
