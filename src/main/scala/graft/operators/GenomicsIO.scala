@@ -72,6 +72,30 @@ object GenomicsIO {
           sum(col("n_chars")).as("total_chars"))
     }),
 
+    // -- f10: schema drift across parquet batches -> mergeSchema read ------
+    // the lake reality at 100 TB: files written over months drift (a
+    // later ingestion adds a column). Two batches land with different
+    // schemas — old docs without `lang`, new docs with it — and ONE
+    // mergeSchema read reconciles them: the union schema, nulls where the
+    // old batch lacks the column. The aggregation proves the reconciled
+    // frame is queryable as if written uniformly (nulls grouped under a
+    // '<none>' bucket, exactly what the oracle states with union_by_name
+    // semantics in SQL).
+    "f10_schema_drift" -> ((s, d) => {
+      val tmp = s"${ioDir(d)}/drift"
+      val doc = documents(s, d)
+      doc.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/batch=old")
+      doc.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/batch=new")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(coalesce(col("lang"), lit("<none>")).as("lang"),
+          col("batch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
+
     // -- contigs -> FASTA file (wrapped) -> parsed back ---------------------
     "f2_fasta_roundtrip" -> ((s, d) => {
       val tmp = s"${ioDir(d)}/fasta"
@@ -130,6 +154,16 @@ object GenomicsIO {
     "f9_partition_roundtrip" ->
       """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE source = 'src7' GROUP BY source""".stripMargin,
+    "f10_schema_drift" ->
+      """WITH drift AS (
+        |  SELECT doc_id, n_chars, NULL AS lang, 'old' AS batch
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, n_chars, lang, 'new' AS batch
+        |  FROM documents WHERE doc_id % 2 <> 0)
+        |SELECT coalesce(lang, '<none>') AS lang, batch,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM drift GROUP BY 1, 2""".stripMargin,
     "f2_fasta_roundtrip" ->
       """WITH c AS (
         |  SELECT translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT')

@@ -95,4 +95,77 @@ class CheckpointResumeSpec extends AnyFunSuite {
       4L -> "delta", 7L -> "epsilon"))
     assert(spark.read.parquet(out.toString).count() == 5)
   }
+
+  /** One single-file parquet batch of (id, user, ts-epoch-min) rows with
+    * the given column names. */
+  private def writeEvents(dir: Path, name: String, cols: (String, String, String),
+                          rows: Seq[(Long, Long, Int)], mtime: Long): Unit = {
+    import spark.implicits._
+    val scratch = dir.resolve(s"_tmp_$name")
+    rows.toDF("id", "user", "m")
+      .select(col("id").as(cols._1), col("user").as(cols._2),
+        timestamp_millis(lit(1700000000000L) + col("m") * 60000L).as(cols._3))
+      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val ls = Files.list(scratch)
+    val part = try ls.filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    finally ls.close()
+    Files.move(part, dir.resolve(s"$name.parquet"))
+    Files.setLastModifiedTime(dir.resolve(s"$name.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(mtime))
+    val walk = Files.walk(scratch)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => { Files.deleteIfExists(f); () })
+    finally walk.close()
+  }
+
+  test("checkpointed stream-stream join resumes with recovered buffer state") {
+    // the join-state complement of the dedup test: a click buffered
+    // BEFORE the stop must still pair with a purchase arriving AFTER the
+    // restart — only the restored two-sided join state can make that
+    // match; and the pre-stop match must not re-emit.
+    val clicksDir = tmp("graft_jcp_clicks")
+    val purchDir = tmp("graft_jcp_purch")
+    val cp = tmp("graft_jcp_state")
+    val out = tmp("graft_jcp_out")
+
+    val t0 = System.currentTimeMillis()
+    writeEvents(clicksDir, "c0", ("click_id", "user_id", "cts"),
+      Seq((100L, 1L, 0), (200L, 2L, 0)), t0)
+    writeEvents(purchDir, "p0", ("purchase_id", "p_user", "pts"),
+      Seq((900L, 2L, 5)), t0)
+
+    val cSchema = spark.read.parquet(clicksDir.toString).schema
+    val pSchema = spark.read.parquet(purchDir.toString).schema
+    def runOnce(): Unit = {
+      val clicks = spark.readStream.schema(cSchema)
+        .option("maxFilesPerTrigger", "1").parquet(clicksDir.toString)
+        .withWatermark("cts", "1 hour")
+      val purchases = spark.readStream.schema(pSchema)
+        .option("maxFilesPerTrigger", "1").parquet(purchDir.toString)
+        .withWatermark("pts", "1 hour")
+      val q = EventStreams.clickAttribution(clicks, purchases, 30 * 60000L)
+        .select("click_id", "purchase_id")
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    runOnce() // click 100 buffered unmatched; (200, 900) emitted; stop
+    def emitted() = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(emitted() == Set((200L, 900L)))
+
+    // the outage: user 1's purchase lands in-window for the BUFFERED
+    // click, plus an unrelated new click
+    writeEvents(purchDir, "p1", ("purchase_id", "p_user", "pts"),
+      Seq((901L, 1L, 20)), t0 + 2000)
+    writeEvents(clicksDir, "c1", ("click_id", "user_id", "cts"),
+      Seq((300L, 3L, 10)), t0 + 2000)
+
+    runOnce() // restart from the same checkpoint
+    assert(emitted() == Set((200L, 900L), (100L, 901L)))
+  }
 }
