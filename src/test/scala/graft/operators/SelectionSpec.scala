@@ -84,6 +84,32 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("s13: the JL sign projection preserves similarity structure") {
+    // the sketch must be USEFUL, not just engine-exact: for planted
+    // near-duplicate pairs the 16-dim sketch dot product has to rank the
+    // true neighbor above unrelated vectors. Build 20 random int8 vectors
+    // plus a tiny perturbation of each; project with the SAME md5(j:d)
+    // sign matrix the query uses; assert each original's top sketch-space
+    // match among all others is its own perturbed twin.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sgn = Array.tabulate(16, 64)((j, d0) =>
+      if ((md5hex(s"$j:${d0 + 1}").charAt(0).toInt) % 2 == 0) 1 else -1)
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(20)(Array.fill(64)(rnd.nextInt(255) - 127))
+    val twin = base.map(_.map(x => math.max(-127, math.min(127, x + rnd.nextInt(3) - 1))))
+    def proj(v: Array[Int]): Array[Long] =
+      Array.tabulate(16)(j => (0 until 64).map(d => sgn(j)(d).toLong * v(d)).sum)
+    val all = (base ++ twin).map(proj)
+    (0 until 20).foreach { i =>
+      val best = (0 until 40).filter(_ != i)
+        .maxBy(k => (0 until 16).map(j => all(i)(j) * all(k)(j)).sum)
+      assert(best == i + 20, s"vector $i's nearest sketch match is $best, " +
+        s"expected its twin ${i + 20}")
+    }
+  }
+
   test("s14: head cells downsample to the cap, tail cells survive whole") {
     // two well-separated clusters on axes 0/1; seeds are vec_id 0 and 1
     // (the fixed vec_id < 32 quantizer), members sit past the seed range
