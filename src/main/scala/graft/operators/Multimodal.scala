@@ -44,7 +44,7 @@ object Multimodal {
     // totals are the numbers a mix planner budgets with.
     "m5_modality_mix" -> ((s, d) =>
       documents(s, d)
-        .select(col("doc_id"), length(col("text")).cast("long").as("n_bytes"),
+        .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"),
           substring(md5(col("text").cast("binary")), 1, 1).as("h"))
         .withColumn("modality",
           when(col("h").isin("0", "1", "2", "3", "4", "5"), "image")
@@ -159,14 +159,22 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
-    // text is pure ASCII, so byte ops == char ops in the oracle
+    // BYTE-exact oracle: the payload is the utf-8 encoding of `text`, so
+    // octet_length gives its true byte count and DuckDB's md5(varchar)
+    // hashes those same bytes — exact for ANY text, multibyte included
+    // (verified by the pathological-corpus sweep, tools/patho_check.py).
+    // m2/m3/m6 instead slice RAW bytes (possibly mid-codepoint), which no
+    // SQL string op can express — their oracles keep the documented
+    // ASCII-payload stub contract.
     "m1_media_meta" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5,
-        |  length(text) % 640 AS fake_w, (length(text) * 31) % 480 AS fake_h
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  octet_length(encode(text)) % 640 AS fake_w,
+        |  (octet_length(encode(text)) * 31) % 480 AS fake_h
         |FROM documents""".stripMargin,
     "m5_modality_mix" ->
       """WITH m AS (
-        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |    CASE WHEN substring(md5(text), 1, 1) IN ('0','1','2','3','4','5') THEN 'image'
         |         WHEN substring(md5(text), 1, 1) IN ('6','7','8','9') THEN 'audio'
         |         WHEN substring(md5(text), 1, 1) IN ('a','b') THEN 'video'
@@ -187,14 +195,17 @@ object Multimodal {
         |FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) // 16 - 1)) AS i
         |      FROM documents)
         |WHERE i % 4 = 0""".stripMargin,
+    // byte-exact like m1: padded_len is the batch max in BYTES, and the
+    // space padding appends single-byte chars, so the padded utf-8 string
+    // has exactly the engine's padded byte array — md5(varchar) hashes it
     "m4_batch_encode" ->
       """WITH b AS (SELECT doc_id, doc_id // 64 AS batch_id, text,
-        |             CAST(length(text) AS BIGINT) AS n_bytes FROM documents),
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
         |m AS (SELECT batch_id, COUNT(*) AS batch_items,
         |        CAST(MAX(n_bytes) AS BIGINT) AS padded_len
         |      FROM b GROUP BY batch_id)
         |SELECT doc_id, b.batch_id, batch_items, padded_len, n_bytes,
-        |  md5(rpad(text, CAST(padded_len AS INT), ' ')) AS enc_md5
+        |  md5(text || repeat(' ', CAST(padded_len - n_bytes AS INT))) AS enc_md5
         |FROM b JOIN m USING (batch_id)""".stripMargin,
     "m6_phash_neardup" ->
       """WITH base AS (

@@ -693,10 +693,14 @@ object TextOps {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp,
         |  length(text) // 100 AS len_bucket
         |FROM documents""".stripMargin,
+    // empty text folds to the seed 0 (DuckDB's string_split_regex('','')
+    // yields [''] and unicode('') is -1, so the fold needs the explicit
+    // empty-string branch — found by the pathological-corpus sweep)
     "t6_rolling_fp" ->
       """SELECT doc_id,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT))),
-        |              (h, c) -> (h * 31 + c) % 1000000000000037) AS fp
+        |  CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |              (h, c) -> (h * 31 + c) % 1000000000000037) END AS fp
         |FROM documents""".stripMargin,
     "t7_bpe_tokens" ->
       """SELECT doc_id,

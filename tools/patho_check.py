@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Pathological-corpus parity sweep: replace the documents table with
+adversarial edge cases (empty text, whitespace runs, multibyte unicode,
+giant tokens/docs, control chars, regex metachars, planted dups) and run
+the FULL oracle gate on it. Anything that hash-mismatches here is a
+cross-engine seam the benign driver testdata cannot surface.
+
+Usage: python3 tools/patho_check.py [base_sf_dir]   (default sf0.001)
+
+Byte-slicing stub queries (m2 frame sampling, m3 resize, m6 pHash) are
+excluded: they slice RAW utf-8 bytes — possibly mid-codepoint — which no
+DuckDB string op can express, so their oracles carry a documented
+ASCII-payload contract instead (see Multimodal.oracles).
+"""
+import shutil
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+SKIP = {"m2_frame_sample", "m3_resize", "m6_phash_neardup"}
+
+
+def build_corpus(out_dir: Path) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    docs = []
+
+    def add(i, text, lang="en", source="srcP"):
+        docs.append((i, text, lang, source, len(text)))
+
+    add(0, "")                                     # empty text
+    add(1, "solo")                                 # single token
+    add(2, "   ")                                  # only spaces -> empty tokens
+    add(3, "a  b   c")                             # repeated separators
+    add(4, ("tok " * 5000).strip())                # 5000-token repeat
+    add(5, "智能 数据 处理 引擎 规模 测试", "zh")   # CJK (3-byte utf-8)
+    add(6, "café naïve résumé coöperate Ĳsselmeer", "fr")
+    add(7, "🚀 emoji 🌍 tokens 🎉 here")            # 4-byte utf-8
+    add(8, "reach me at alice@example.com or 555-123-4567 thanks")
+    add(9, "the quick brown fox jumps over the lazy dog in winter")
+    add(10, "the quick brown fox jumps over the lazy dog in winter")  # exact dup
+    add(11, "the quick brown fox jumps over the lazy dog in summer")  # near dup
+    add(12, "x" * 40000)                           # one giant token
+    add(13, "line\nbreak and\ttab inside")         # control chars
+    add(14, "UPPER lower MiXeD case TOKENS upper LOWER")
+    add(15, "0 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19")
+    add(16, "' \" ; -- drop ( ) [ ] { } % _ \\ | & * ? + . ^ $")
+    add(17, ("alpha beta gamma " * 40).strip(), "de")
+    add(18, "ein zwei drei vier fünf sechs sieben acht neun zehn", "de")
+    add(19, "uno dos tres cuatro cinco seis siete ocho nueve diez", "es")
+    for i in range(20, 40):                        # volume for sampling ops
+        add(i, f"filler doc {i} with the common words of and in to a plus word{i}",
+            ["en", "fr", "es", "de", "zh"][i % 5], f"src{i % 3}")
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array([d[2] for d in docs], pa.string()),
+        "source": pa.array([d[3] for d in docs], pa.string()),
+        "n_chars": pa.array([d[4] for d in docs], pa.int64()),
+    })
+    pq.write_table(tbl, out_dir / "documents.parquet")
+
+
+def main() -> int:
+    work = Path(tempfile.mkdtemp(prefix="graft_patho_"))
+    sf = work / "sf"
+    out = work / "verify"
+    sf.mkdir()
+    for p in Path(BASE).glob("*.parquet"):
+        shutil.copy(p, sf / p.name)
+    build_corpus(sf)
+    print(f"[patho] corpus at {sf}")
+    rc = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify {sf} {out}"],
+        cwd="/root/repo", capture_output=True, text=True).returncode
+    if rc != 0:
+        print("[patho] verify failed to run")
+        return 2
+    # drop the byte-slicing stubs from the compare
+    for q in SKIP:
+        d = out / q
+        if d.exists():
+            shutil.rmtree(d)
+    r = subprocess.run(
+        [sys.executable, "tools/oracle_check.py", str(out), str(sf)],
+        cwd="/root/repo", capture_output=True, text=True)
+    print(r.stdout[-4000:])
+    tail = [ln for ln in r.stdout.splitlines() if ln.startswith("==")]
+    ok = bool(tail) and ", 0 fail" in tail[-1]
+    print(f"[patho] {'CLEAN' if ok else 'SEAMS FOUND'} "
+          f"(skipped by documented contract: {sorted(SKIP)})")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
