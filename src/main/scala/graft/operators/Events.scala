@@ -494,11 +494,14 @@ object Events {
     // on (user_id, day), then apply the exact containment filter — an
     // equality shuffle with per-bucket candidates, never a cartesian.
     // -- Spark's NATIVE session_window (vs e2's manual window form) --------
-    // gap-merge semantics at microsecond precision: a session extends
-    // while the next event is strictly under 30 min after the last; the
-    // oracle reproduces the same rule in integer microseconds (epoch_us),
-    // so the boundary behavior is bit-identical. Value sums go through
-    // the decimal cast so reduction order cannot perturb the hash.
+    // gap-merge semantics at microsecond precision: session_window merges
+    // windows that overlap OR TOUCH, so an event at EXACTLY last + 30:00
+    // stays in the same session (equality merges — pinned by the
+    // pathological events sweep, which plants an exactly-30-minute chain);
+    // the oracle states the same strict-> rule in integer microseconds
+    // (epoch_us), matching e2's manual form, so the boundary behavior is
+    // bit-identical. Value sums go through the decimal cast so reduction
+    // order cannot perturb the hash.
     "e8_session_window" -> ((s, d) =>
       events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
@@ -836,9 +839,14 @@ object Events {
         |  MAX(epoch_ms(ts)) - MIN(epoch_ms(ts)) AS dur_ms,
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_ts
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // json_valid guard: the engine's get_json_object is permissive (null
+    // on malformed props) where DuckDB's json_extract THROWS — real
+    // corpora contain broken JSON, so the oracle must be total too
     "e3_json_props" ->
       """SELECT event_type,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CASE WHEN props IS NOT NULL AND json_valid(props)
+        |           THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+        |       AS BIGINT) AS sum_k,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
     "e4_tumbling_6h" ->
@@ -889,7 +897,7 @@ object Events {
         |g AS (
         |  SELECT user_id, event_id, us, value,
         |    CASE WHEN us - LAG(us) OVER w IS NULL
-        |           OR us - LAG(us) OVER w >= 30 * 60 * 1000000
+        |           OR us - LAG(us) OVER w > 30 * 60 * 1000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |sess AS (
@@ -978,9 +986,16 @@ object Events {
         |                ELSE 0 END) AS BIGINT) AS score,
         |  COUNT(*) AS n_events
         |FROM w GROUP BY user_id""".stripMargin,
+    // e16's engine is from_json with a TYPED schema (k BIGINT): a JSON
+    // string "9" is a type mismatch and parses to NULL — unlike e3's
+    // permissive extract-then-cast. The oracle states the same typed rule
+    // via json_type (integer-typed values only).
     "e16_json_props" ->
       """WITH e AS (SELECT event_type,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |    CASE WHEN props IS NOT NULL AND json_valid(props)
+        |           AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+        |         THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+        |    FROM events)
         |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  COUNT(DISTINCT k) AS n_k, MIN(k) AS min_k, MAX(k) AS max_k
         |FROM e GROUP BY event_type""".stripMargin

@@ -63,6 +63,69 @@ def build_corpus(out_dir: Path) -> None:
     pq.write_table(tbl, out_dir / "documents.parquet")
 
 
+def build_events(out_dir: Path) -> None:
+    """Adversarial events: tie-break storms (identical microseconds),
+    session-gap EQUALITY (exactly 30:00 apart — strict-> rule), join-window
+    boundary hits (purchase at exactly click + 2 days, and 1 us past),
+    purchase-before-click, exact hour-boundary timestamps, value extremes,
+    and every props shape e3/e16 could meet (null, {}, missing k, k:null,
+    k as string, malformed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    US = 1_000_000
+    BASE = 1_704_067_200 * US            # 2024-01-01 00:00:00 UTC in us
+    ev = []
+
+    def add(eid, ts_us, user, typ, value, props='{"k": 1}'):
+        ev.append((eid, ts_us, user, typ, value, props))
+
+    eid = 0
+    # u1: ten events at the SAME microsecond — every ordering tie-break fires
+    for i in range(10):
+        add(eid, BASE + 3600 * US, 1, ["view", "click", "purchase"][i % 3],
+            1.25, '{"k": %d}' % i); eid += 1
+    # u2: chain at EXACTLY 30-minute gaps (the > rule keeps one session)
+    for i in range(5):
+        add(eid, BASE + i * 1800 * US, 2, "view", 2.00); eid += 1
+    # u2 again after exactly 30:00.000001 (one us past the gap -> new session)
+    add(eid, BASE + 4 * 1800 * US + 1800 * US + 1, 2, "view", 2.00); eid += 1
+    # u3: click; purchase at exactly +2 days (inclusive bound); +2d+1us (out)
+    add(eid, BASE, 3, "click", 3.00); eid += 1
+    add(eid, BASE + 2 * 86400 * US, 3, "purchase", 3.50); eid += 1
+    add(eid, BASE + 2 * 86400 * US + 1, 3, "purchase", 3.75); eid += 1
+    add(eid, BASE, 3, "purchase", 3.99); eid += 1   # gap 0: same-instant match
+    # u4: one-hour burst with value extremes (decimal(18,2)-exact inputs)
+    for i in range(50):
+        add(eid, BASE + 7 * 86400 * US + i * 60 * US, 4, "view",
+            [0.00, -185.22, 12345678.99, 0.01][i % 4],
+            [None, "{}", '{"k": null}', '{"k": "9"}', "not json"][i % 5])
+        eid += 1
+    # u5: a single event, far enough in the past to watermark-finalize
+    add(eid, BASE + 60 * US, 5, "click", 5.00, None); eid += 1
+    # u6: strict funnel with duplicated stages
+    for i, t in enumerate(["view", "view", "click", "purchase", "purchase"]):
+        add(eid, BASE + 3 * 86400 * US + i * 60 * US, 6, t, 6.00); eid += 1
+    # u7: purchase BEFORE its click — must never attribute
+    add(eid, BASE + 5 * 86400 * US, 7, "purchase", 7.00); eid += 1
+    add(eid, BASE + 5 * 86400 * US + 3600 * US, 7, "click", 7.50); eid += 1
+    # u8: exact hour boundaries (window-assignment edges)
+    for i in range(4):
+        add(eid, BASE + 10 * 86400 * US + i * 3600 * US, 8, "view", 8.00); eid += 1
+    # u9..u15: one event each, mixed types incl. non-funnel ones; late tail
+    for u in range(9, 16):
+        add(eid, BASE + (u + 5) * 86400 * US, u,
+            ["signup", "error", "view", "click"][u % 4], float(u)); eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([e[0] for e in ev], pa.int64()),
+        "ts": pa.array([e[1] for e in ev], pa.timestamp("us")),
+        "user_id": pa.array([e[2] for e in ev], pa.int64()),
+        "event_type": pa.array([e[3] for e in ev], pa.string()),
+        "value": pa.array([e[4] for e in ev], pa.float64()),
+        "props": pa.array([e[5] for e in ev], pa.string()),
+    })
+    pq.write_table(tbl, out_dir / "events.parquet")
+
+
 def main() -> int:
     work = Path(tempfile.mkdtemp(prefix="graft_patho_"))
     sf = work / "sf"
@@ -71,6 +134,7 @@ def main() -> int:
     for p in Path(BASE).glob("*.parquet"):
         shutil.copy(p, sf / p.name)
     build_corpus(sf)
+    build_events(sf)
     print(f"[patho] corpus at {sf}")
     rc = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Verify {sf} {out}"],
