@@ -126,6 +126,41 @@ def build_events(out_dir: Path) -> None:
     pq.write_table(tbl, out_dir / "events.parquet")
 
 
+def build_embeddings(out_dir: Path) -> None:
+    """Adversarial embeddings: exact duplicates (dedup paths + cosine
+    TIES), a 0.999999-cosine perturbation, a sign-flipped vector
+    (cosine -1), tiny magnitudes (amax/int8 clamp), one dominant axis,
+    all-equal components, and large magnitudes. Zero vectors are
+    deliberately absent: cosine is undefined there, out of the
+    embedding-column contract. vec_id < 32 stay generic — they are the
+    fixed seed quantizer every s-query broadcasts."""
+    import random
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rnd = random.Random(17)
+    vecs = {}
+    for i in range(32):                      # the seed-centroid range
+        vecs[i] = [rnd.uniform(-1, 1) for _ in range(64)]
+    for i in range(4):                       # exact duplicates of 0..3
+        vecs[32 + i] = list(vecs[i])
+    v4 = list(vecs[4]); v4[0] += 1e-4        # ~0.999999-cosine near-dup
+    vecs[36] = v4
+    vecs[37] = [-x for x in vecs[5]]         # sign flip: cosine exactly -1
+    vecs[38] = [x * 1e-8 for x in vecs[6]]   # tiny magnitude
+    vecs[39] = [0.0] * 63 + [1.0]            # single dominant axis
+    vecs[40] = [0.5] * 64                    # all-equal components
+    vecs[41] = [x * 1e10 for x in vecs[7]]   # large magnitude
+    for i in range(42, 60):                  # volume
+        vecs[i] = [rnd.uniform(-1, 1) for _ in range(64)]
+    ids = sorted(vecs)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([vecs[i] for i in ids], pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in ids], pa.int32()),
+    })
+    pq.write_table(tbl, out_dir / "embeddings.parquet")
+
+
 def main() -> int:
     work = Path(tempfile.mkdtemp(prefix="graft_patho_"))
     sf = work / "sf"
@@ -135,6 +170,7 @@ def main() -> int:
         shutil.copy(p, sf / p.name)
     build_corpus(sf)
     build_events(sf)
+    build_embeddings(sf)
     print(f"[patho] corpus at {sf}")
     rc = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Verify {sf} {out}"],
