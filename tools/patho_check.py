@@ -20,6 +20,38 @@ from pathlib import Path
 
 BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 SKIP = {"m2_frame_sample", "m3_resize", "m6_phash_neardup"}
+# --seed N swaps the hand-crafted documents for a seeded RANDOM corpus
+# (mixed-script alphabet, 0-200-token docs, planted dup pairs) — the
+# probabilistic complement to the crafted edge cases.
+RANDOM_SEED = None
+if "--seed" in sys.argv:
+    RANDOM_SEED = int(sys.argv[sys.argv.index("--seed") + 1])
+
+
+def build_random_corpus(out_dir: Path, seed: int) -> None:
+    import random
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rnd = random.Random(seed)
+    alphabet = (["the", "of", "and", "in", "to", "a"] +
+                [f"w{i}" for i in range(50)] +
+                ["智能", "数据", "café", "🚀", "x" * 30, "1", "-", "@", "%s"])
+    docs = []
+    for i in range(120):
+        n = rnd.choice([0, 1, 2, rnd.randint(3, 200)])
+        docs.append((i, " ".join(rnd.choice(alphabet) for _ in range(n)),
+                     rnd.choice(["en", "fr", "es", "de", "zh"]),
+                     f"src{rnd.randint(0, 4)}"))
+    for i in range(120, 130):                 # planted exact dups
+        docs.append((i, docs[i - 120][1], docs[i - 120][2], docs[i - 120][3]))
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array([d[2] for d in docs], pa.string()),
+        "source": pa.array([d[3] for d in docs], pa.string()),
+        "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+    })
+    pq.write_table(tbl, out_dir / "documents.parquet")
 
 
 def build_corpus(out_dir: Path) -> None:
@@ -168,10 +200,14 @@ def main() -> int:
     sf.mkdir()
     for p in Path(BASE).glob("*.parquet"):
         shutil.copy(p, sf / p.name)
-    build_corpus(sf)
+    if RANDOM_SEED is not None:
+        build_random_corpus(sf, RANDOM_SEED)
+    else:
+        build_corpus(sf)
     build_events(sf)
     build_embeddings(sf)
-    print(f"[patho] corpus at {sf}")
+    print(f"[patho] corpus at {sf}"
+          + (f" (random seed {RANDOM_SEED})" if RANDOM_SEED is not None else ""))
     rc = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Verify {sf} {out}"],
         cwd="/root/repo", capture_output=True, text=True).returncode
