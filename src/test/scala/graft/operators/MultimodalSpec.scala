@@ -47,4 +47,45 @@ class MultimodalSpec extends AnyFunSuite {
       assert(pairs.contains((id, id + 400000)), s"planted pair $id missing")
     }
   }
+
+  test("m2/m3 slice PAYLOAD BYTES, not characters (multibyte contract)") {
+    // the SQL oracle can only state char ops, so it carries an
+    // ASCII-payload contract for these stubs (see Multimodal.oracles);
+    // this spec pins the BYTE semantics the engine actually has, on
+    // multibyte utf-8 the oracle cannot express: a 3-bytes-per-char CJK
+    // text slices mid-codepoint and the results are functions of the
+    // utf-8 byte array alone.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length => slen}
+    val text = "\u667a\u80fd \u6570\u636e \u5904\u7406 \u5f15\u64ce \u89c4\u6a21 \u6d4b\u8bd5" // 17 chars, 41 utf-8 bytes
+    val bytes = text.getBytes("UTF-8")
+    assert(text.length == 17 && bytes.length == 41)
+    val dir = java.nio.file.Files.createTempDirectory("mbyte").toString
+    Seq((1L, text, "zh", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", slen(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // m1: n_bytes and fake dims derive from the 41 BYTES, not 17 chars
+    val m1 = Multimodal.queries("m1_media_meta")(spark, dir)
+      .as[(Long, Long, String, Long, Long)].collect().head
+    assert(m1._2 == 41L && m1._4 == 41L % 640 && m1._5 == (41L * 31) % 480)
+    // m3: every-2nd-BYTE downsample -> 21 bytes, md5 of the raw byte
+    // subsequence (NOT valid utf-8 -> inexpressible as a SQL string)
+    val expect = {
+      val out = Array.tabulate((bytes.length + 1) / 2)(i => bytes(2 * i))
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(out).map("%02x".format(_)).mkString
+    }
+    val m3 = Multimodal.queries("m3_resize")(spark, dir)
+      .as[(Long, Long, String)].collect().head
+    assert(m3._2 == 21L && m3._3 == expect)
+    // m2: 41 bytes -> 2 full 16-byte frames, frame 0 sampled; its md5 is
+    // the hash of bytes [0,16) which split the 6th codepoint in half
+    val m2 = Multimodal.queries("m2_frame_sample")(spark, dir)
+      .as[(Long, Long, String)].collect()
+    val f0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.util.Arrays.copyOfRange(bytes, 0, 16))
+      .map("%02x".format(_)).mkString
+    assert(m2.length == 1 && m2.head._2 == 0L && m2.head._3 == f0)
+  }
 }
