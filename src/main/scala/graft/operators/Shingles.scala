@@ -33,6 +33,7 @@ object Shingles {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty else {
           val ws = text.split(" ", -1)
           (0 until (ws.length + n - 1) / n).iterator.map { p =>
             val from = p * n
@@ -41,7 +42,7 @@ object Shingles {
             var j = from + 1
             while (j < until) { sb.append(' ').append(ws(j)); j += 1 }
             (id, p, sb.toString)
-          }
+          } }
         }
       }.toDF(idCol, "pos", "chunk")
   }
@@ -57,7 +58,7 @@ object Shingles {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val ws = text.split(" ", -1)
+          val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
           if (ws.length < n) Iterator.empty
           else (0 to ws.length - n).iterator.map { i =>
             val sb = new java.lang.StringBuilder(ws(i))
@@ -81,7 +82,7 @@ object Shingles {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val ws = text.split(" ", -1)
+          val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
           if (ws.length < n) Iterator.empty
           else (0 to ws.length - n).iterator.map { i =>
             val sb = new java.lang.StringBuilder(ws(i))
@@ -109,7 +110,7 @@ object Shingles {
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, key, text) =>
-          val ws = text.split(" ", -1)
+          val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
           if (ws.length < n) Iterator.empty
           else (0 to ws.length - n).iterator.map { i =>
             val sb = new java.lang.StringBuilder(ws(i))

@@ -56,4 +56,17 @@ class ShinglesSpec extends AnyFunSuite {
       assert(got == want, s"n=$n")
     }
   }
+
+  test("all generators emit nothing for null text instead of NPEing") {
+    import spark.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String], "s"), (2L, "a b c", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(Shingles.wordChunks(docs, 2).filter($"doc_id" === 1L).count() == 0)
+    assert(Shingles.wordNGrams(docs, 2).filter($"doc_id" === 1L).count() == 0)
+    assert(Shingles.wordNGramsPos(docs, 2).filter($"doc_id" === 1L).count() == 0)
+    assert(Shingles.wordNGramsPosKeyed(docs, 2)
+      .filter($"doc_id" === 1L).count() == 0)
+    // the non-null doc is unaffected
+    assert(Shingles.wordNGrams(docs, 2).filter($"doc_id" === 2L).count() == 2)
+  }
 }
