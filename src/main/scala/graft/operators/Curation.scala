@@ -285,31 +285,13 @@ object Curation {
       val clsExpr = if (cls) "clsk.ck" else "1"
       val clsJoin = if (cls) "\nJOIN clsk ON clsk.doc_id = t.doc_id" else ""
       // the t30 DSIR fragment over the train split (p/q fit on train, as
-      // the library stage does); dk = importance weight > 0
+      // the library stage does) — the SHARED builder, so the quantization
+      // arithmetic cannot drift from t30's oracle; dk = importance
+      // weight > 0
       val dsirCte =
-        """dsg AS (SELECT doc_id, lang,
-          |          substring(md5(ws[i] || ' ' || ws[i+1]), 1, 2) AS bucket
-          |        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws,
-          |                unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
-          |              FROM train)),
-          |dstf AS (SELECT doc_id, lang, bucket, COUNT(*) AS tf
-          |         FROM dsg GROUP BY doc_id, lang, bucket),
-          |dsp AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS p FROM dstf
-          |        WHERE lang = 'en' GROUP BY bucket),
-          |dsq AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS q FROM dstf
-          |        WHERE lang <> 'en' GROUP BY bucket),
-          |dsnp AS (SELECT CAST(SUM(p) AS BIGINT) AS np FROM dsp),
-          |dsnq AS (SELECT CAST(SUM(q) AS BIGINT) AS nq FROM dsq),
-          |dsper AS (SELECT doc_id,
-          |            CAST(SUM(tf * (length(bin(coalesce(p, 0) + 1))
-          |                           - length(bin(coalesce(q, 0) + 1))
-          |                           + length(bin(nq + 256))
-          |                           - length(bin(np + 256)))) AS BIGINT) AS logw
-          |          FROM dstf LEFT JOIN dsp USING (bucket) LEFT JOIN dsq USING (bucket)
-          |               CROSS JOIN dsnp CROSS JOIN dsnq
-          |          GROUP BY doc_id),
-          |dsirk AS (SELECT t.doc_id,
-          |            CASE WHEN coalesce(logw, 0) > 0 THEN 1 ELSE 0 END AS dk
+        TextOps.dsirOracleCtes("train", "en", pre = "ds") + ",\n" +
+        """dsirk AS (SELECT t.doc_id,
+          |            CASE WHEN coalesce(logw_bits, 0) > 0 THEN 1 ELSE 0 END AS dk
           |          FROM train t LEFT JOIN dsper ON dsper.doc_id = t.doc_id)""".stripMargin
       val dsirExpr = if (dsir) "dsirk.dk" else "1"
       val dsirJoin = if (dsir) "\nJOIN dsirk ON dsirk.doc_id = t.doc_id" else ""

@@ -751,14 +751,20 @@ object Events {
           |       + CAST(2 AS BIGINT) * 86400 * 1000000""".stripMargin) +
       // stream-stream LEFT OUTER: matched pairs == the batch interval
       // join; unmatched clicks emit iff finalized by the deterministic
-      // end-of-replay watermark (min of both sides' max ts − 3 days)
+      // end-of-replay watermark (min of both sides' max ts − 3 days).
+      // Spark tracks event-time watermarks at MILLISECOND granularity
+      // (max event time truncated µs→ms before the delay subtracts), so
+      // the oracle's watermark basis truncates to ms the same way — a
+      // µs-precise basis would sit up to 999 µs ahead and could flip a
+      // row landing exactly in that band across the strict '<'.
       ("es10_stream_outer_join" ->
         """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
           |           FROM events WHERE event_type = 'click'),
           |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS pts
           |      FROM events WHERE event_type = 'purchase'),
-          |wm AS (SELECT least((SELECT MAX(cts) FROM c), (SELECT MAX(pts) FROM p))
-          |              - INTERVAL 3 DAY AS w),
+          |wm AS (SELECT (least((SELECT epoch_us(MAX(cts)) FROM c),
+          |                     (SELECT epoch_us(MAX(pts)) FROM p)) // 1000
+          |               - CAST(3 AS BIGINT) * 86400 * 1000) * 1000 AS w_us),
           |m AS (SELECT c.click_id, p.purchase_id, c.user_id,
           |        (epoch_us(pts) - epoch_us(cts)) // 1000 AS gap_ms, c.cts
           |      FROM c JOIN p ON c.user_id = p.p_user
@@ -771,16 +777,18 @@ object Events {
           |FROM c
           |WHERE c.click_id NOT IN (SELECT click_id FROM m)
           |  AND epoch_us(c.cts) + CAST(2 AS BIGINT) * 86400 * 1000000
-          |        < (SELECT epoch_us(w) FROM wm)""".stripMargin) +
+          |        < (SELECT w_us FROM wm)""".stripMargin) +
       // stream-stream FULL OUTER: both null-emission rules stated over
-      // the deterministic end-of-replay watermark
+      // the deterministic end-of-replay watermark (ms-truncated basis,
+      // same rationale as es10)
       ("es11_stream_full_outer" ->
         """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
           |           FROM events WHERE event_type = 'click'),
           |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS pts
           |      FROM events WHERE event_type = 'purchase'),
-          |wm AS (SELECT least((SELECT MAX(cts) FROM c), (SELECT MAX(pts) FROM p))
-          |              - INTERVAL 3 DAY AS w),
+          |wm AS (SELECT (least((SELECT epoch_us(MAX(cts)) FROM c),
+          |                     (SELECT epoch_us(MAX(pts)) FROM p)) // 1000
+          |               - CAST(3 AS BIGINT) * 86400 * 1000) * 1000 AS w_us),
           |m AS (SELECT c.click_id, p.purchase_id, c.user_id,
           |        (epoch_us(pts) - epoch_us(cts)) // 1000 AS gap_ms
           |      FROM c JOIN p ON c.user_id = p.p_user
@@ -793,12 +801,12 @@ object Events {
           |FROM c
           |WHERE c.click_id NOT IN (SELECT click_id FROM m)
           |  AND epoch_us(c.cts) + CAST(2 AS BIGINT) * 86400 * 1000000
-          |        < (SELECT epoch_us(w) FROM wm)
+          |        < (SELECT w_us FROM wm)
           |UNION ALL
           |SELECT NULL, p.purchase_id, p.p_user, NULL
           |FROM p
           |WHERE p.purchase_id NOT IN (SELECT purchase_id FROM m)
-          |  AND epoch_us(p.pts) < (SELECT epoch_us(w) FROM wm)""".stripMargin) +
+          |  AND epoch_us(p.pts) < (SELECT w_us FROM wm)""".stripMargin) +
       // stream-static broadcast enrich + rollup == the same batch join
       ("es8_stream_enrich" ->
         """SELECT coalesce(c_mktsegment, '<none>') AS segment,
@@ -841,11 +849,14 @@ object Events {
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
     // json_valid guard: the engine's get_json_object is permissive (null
     // on malformed props) where DuckDB's json_extract THROWS — real
-    // corpora contain broken JSON, so the oracle must be total too
+    // corpora contain broken JSON, so the oracle must be total too.
+    // TRY_CAST, not CAST: the engine's .cast("long") yields NULL on
+    // non-integer k values ("1.5", "abc") where a strict DuckDB CAST
+    // would abort the whole oracle query.
     "e3_json_props" ->
       """SELECT event_type,
         |  CAST(SUM(CASE WHEN props IS NOT NULL AND json_valid(props)
-        |           THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+        |           THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END)
         |       AS BIGINT) AS sum_k,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
@@ -989,12 +1000,16 @@ object Events {
     // e16's engine is from_json with a TYPED schema (k BIGINT): a JSON
     // string "9" is a type mismatch and parses to NULL — unlike e3's
     // permissive extract-then-cast. The oracle states the same typed rule
-    // via json_type (integer-typed values only).
+    // via json_type (integer-typed values only; DuckDB types EVERY
+    // non-negative integer as UBIGINT, so both names stay). TRY_CAST,
+    // not CAST: a k in (2^63-1, 2^64) is UBIGINT-typed but overflows
+    // BIGINT — Spark's from_json NULLs it in PERMISSIVE mode, and
+    // TRY_CAST degrades the oracle to the same NULL instead of crashing.
     "e16_json_props" ->
       """WITH e AS (SELECT event_type,
         |    CASE WHEN props IS NOT NULL AND json_valid(props)
         |           AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
-        |         THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+        |         THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
         |    FROM events)
         |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  COUNT(DISTINCT k) AS n_k, MIN(k) AS min_k, MAX(k) AS max_k

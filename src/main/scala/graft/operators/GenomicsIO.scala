@@ -24,6 +24,24 @@ object GenomicsIO {
       Genomics.decodeCounts(Genomics.countCanonical(reads, 15), 15)
     }),
 
+    // -- f11: the DataSourceV2 FASTQ source, multi-split -------------------
+    // same counts as f1, but the read path is the native `format("fastq")`
+    // connector forced through MANY byte-range splits of one file
+    // (maxSplitBytes = 64 KiB): record-boundary sync and the
+    // one-owner-per-record split contract are exercised on every split
+    // edge, and column pruning pushes the seq-only projection into the
+    // reader (header/quality bytes never materialize)
+    "f11_fastq_dsv2" -> ((s, d) => {
+      import s.implicits._
+      val tmp = s"${ioDir(d)}/fastq_dsv2"
+      val seqs = documents(s, d).select(Genomics.dna32(col("doc_id")).as("read"))
+      Fastq.toFastqLines(seqs).coalesce(1).write.mode("overwrite").text(tmp)
+      val reads = s.read.format("fastq").option("maxSplitBytes", 65536)
+        .load(tmp).select(col("seq")).as[String]
+      Genomics.decodeCounts(
+        Genomics.countCanonical(Fastq.guardReads(reads, minLen = 15), 15), 15)
+    }),
+
     // -- columnar interchange: ORC sink -> source round-trip ---------------
     // the "another source format" path: the same documents projection
     // written as ORC (Spark's second first-class columnar format) and read
@@ -145,6 +163,8 @@ object GenomicsIO {
 
   def oracles: Map[String, String] = Map(
     "f1_fastq_roundtrip" -> Genomics.oracles("g1_kmer_count"),
+    // the DSv2 multi-split read must land the identical k-mer table
+    "f11_fastq_dsv2" -> Genomics.oracles("g1_kmer_count"),
     "f7_orc_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE n_chars > 0 GROUP BY lang""".stripMargin,

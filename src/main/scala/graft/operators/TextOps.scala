@@ -75,6 +75,37 @@ object TextOps {
         coalesce(col("logw_bits"), lit(0L)).as("logw_bits"))
   }
 
+  /** The DSIR oracle as a reusable SQL CTE chain — ONE source of truth
+    * for the hashed-bigram bucket expression and the integer bit-length
+    * weight arithmetic, parameterized by the source relation so the t30
+    * oracle (over `documents`) and the c5 curation oracle (over its
+    * `train` CTE) can never silently drift apart. Emits CTEs
+    * `{pre}g/{pre}tf/{pre}p/{pre}q/{pre}np/{pre}nq/{pre}per`, the last
+    * one `(doc_id, n_grams, logw_bits)`; the caller supplies the WITH
+    * header, trailing comma, and final SELECT. */
+  def dsirOracleCtes(rel: String, target: String, pre: String = ""): String =
+    s"""${pre}g AS (SELECT doc_id, lang,
+       |         substring(md5(ws[i] || ' ' || ws[i+1]), 1, 2) AS bucket
+       |       FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws,
+       |               unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+       |             FROM $rel)),
+       |${pre}tf AS (SELECT doc_id, lang, bucket, COUNT(*) AS tf
+       |       FROM ${pre}g GROUP BY doc_id, lang, bucket),
+       |${pre}p AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS p FROM ${pre}tf
+       |      WHERE lang = '$target' GROUP BY bucket),
+       |${pre}q AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS q FROM ${pre}tf
+       |      WHERE lang <> '$target' GROUP BY bucket),
+       |${pre}np AS (SELECT CAST(SUM(p) AS BIGINT) AS np FROM ${pre}p),
+       |${pre}nq AS (SELECT CAST(SUM(q) AS BIGINT) AS nq FROM ${pre}q),
+       |${pre}per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_grams,
+       |          CAST(SUM(tf * (length(bin(coalesce(p, 0) + 1))
+       |                         - length(bin(coalesce(q, 0) + 1))
+       |                         + length(bin(nq + 256))
+       |                         - length(bin(np + 256)))) AS BIGINT) AS logw_bits
+       |        FROM ${pre}tf LEFT JOIN ${pre}p USING (bucket) LEFT JOIN ${pre}q USING (bucket)
+       |             CROSS JOIN ${pre}np CROSS JOIN ${pre}nq
+       |        GROUP BY doc_id)""".stripMargin
+
   private def tokenCountIn(set: Seq[String]): Column =
     size(filter(ws, w => w.isInCollection(set)))
 
@@ -860,32 +891,12 @@ object TextOps {
         |  round(CAST(surprisal_bits AS DOUBLE) / n_bigrams, 4) AS score
         |FROM per""".stripMargin,
     "t30_dsir_importance" ->
-      """WITH g AS (SELECT doc_id, lang,
-        |         substring(md5(ws[i] || ' ' || ws[i+1]), 1, 2) AS bucket
-        |       FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws,
-        |               unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
-        |             FROM documents)),
-        |tf AS (SELECT doc_id, lang, bucket, COUNT(*) AS tf
-        |       FROM g GROUP BY doc_id, lang, bucket),
-        |p AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS p FROM tf
-        |      WHERE lang = 'en' GROUP BY bucket),
-        |q AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS q FROM tf
-        |      WHERE lang <> 'en' GROUP BY bucket),
-        |np AS (SELECT CAST(SUM(p) AS BIGINT) AS np FROM p),
-        |nq AS (SELECT CAST(SUM(q) AS BIGINT) AS nq FROM q),
-        |per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_grams,
-        |          CAST(SUM(tf * (length(bin(coalesce(p, 0) + 1))
-        |                         - length(bin(coalesce(q, 0) + 1))
-        |                         + length(bin(nq + 256))
-        |                         - length(bin(np + 256)))) AS BIGINT) AS logw_bits
-        |        FROM tf LEFT JOIN p USING (bucket) LEFT JOIN q USING (bucket)
-        |             CROSS JOIN np CROSS JOIN nq
-        |        GROUP BY doc_id)
-        |SELECT d.doc_id AS doc_id,
-        |  coalesce(n_grams, 0) AS n_grams,
-        |  coalesce(logw_bits, 0) AS logw_bits,
-        |  CASE WHEN coalesce(logw_bits, 0) > 0 THEN 1 ELSE 0 END AS keep
-        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+      ("WITH " + dsirOracleCtes("documents", "en") + "\n" +
+        """SELECT d.doc_id AS doc_id,
+          |  coalesce(n_grams, 0) AS n_grams,
+          |  coalesce(logw_bits, 0) AS logw_bits,
+          |  CASE WHEN coalesce(logw_bits, 0) > 0 THEN 1 ELSE 0 END AS keep
+          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin),
     "t18_surprisal" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),

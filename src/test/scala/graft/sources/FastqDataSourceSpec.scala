@@ -1,0 +1,90 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import graft.TestSpark
+
+/** The `format("fastq")` DataSourceV2 connector: split-boundary sync on
+  * adversarial records (quality lines beginning with '@'), the
+  * exactly-once ownership contract on any split grid (including splits
+  * landing exactly on record starts), column pruning pushed into the
+  * reader, and compressed whole-file members. */
+class FastqDataSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // fixed-width adversarial corpus: every quality line starts with '@'
+  // (the classic FASTQ sync trap) and records are 100 bytes each so split
+  // grids can be aimed at exact record starts
+  private def record(i: Int): String = {
+    val id = f"read_$i%05d" + "x" * 13 // header line: 1+22 = 23 bytes
+    val seq = ("ACGT" * 10) + "ACGTACGTACGTA" // non-4-divisible width, 53
+    val qual = "@" + "I" * 20 // quality line starting with '@', 21
+    s"@$id\n$seq\n+\n$qual\n" // 24+54+2+22 = 102 bytes/record
+  }
+
+  private def writeCorpus(n: Int): String = {
+    val dir = Files.createTempDirectory("graft_dsv2").toString
+    Files.writeString(Paths.get(dir, "reads.fastq"),
+      (0 until n).map(record).mkString)
+    dir
+  }
+
+  test("multi-split read is exactly-once on '@'-leading quality lines") {
+    val dir = writeCorpus(200)
+    for (split <- Seq(64, 102, 204, 1000, 1 << 20)) {
+      val df = spark.read.format("fastq")
+        .option("maxSplitBytes", split).load(dir)
+      val rows = df.collect()
+      assert(rows.length == 200, s"split=$split")
+      val ids = rows.map(_.getAs[String]("id")).sorted
+      assert(ids.toSeq == (0 until 200).map(i => f"read_$i%05d" + "x" * 13),
+        s"split=$split lost or duplicated records")
+      assert(rows.forall(_.getAs[String]("qual").startsWith("@")))
+      assert(rows.forall(_.getAs[String]("seq").length == 53))
+    }
+  }
+
+  test("split grid aimed exactly at record starts stays exactly-once") {
+    val dir = writeCorpus(50)
+    // records are 102 bytes: a 102-byte grid puts EVERY boundary on a
+    // header's first byte — the ownership edge case
+    val df = spark.read.format("fastq").option("maxSplitBytes", 102).load(dir)
+    assert(df.count() == 50)
+    assert(df.select("id").distinct().count() == 50)
+  }
+
+  test("column pruning reaches the reader (seq-only scan)") {
+    val dir = writeCorpus(10)
+    val df = spark.read.format("fastq").load(dir).select("seq")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan.readSchema()
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.fieldNames.toSeq == Seq("seq"),
+      s"expected seq-only read schema, got ${scans.head.fieldNames.toSeq}")
+    assert(df.count() == 10)
+  }
+
+  test("gzip member reads as one unsplit partition with identical records") {
+    val dir = writeCorpus(30)
+    val plain = Paths.get(dir, "reads.fastq")
+    val gz = Paths.get(dir, "reads2.fastq.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(Files.readAllBytes(plain)); out.close()
+    Files.delete(plain)
+    val df = spark.read.format("fastq")
+      .option("maxSplitBytes", 64).load(dir) // tiny split must be ignored
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 30)
+  }
+
+  test("truncated trailing record is dropped, prior records kept") {
+    val dir = writeCorpus(5)
+    val p = Paths.get(dir, "reads.fastq")
+    Files.writeString(p, Files.readString(p) + "@orphan\nACGT\n+\n") // no qual
+    val df = spark.read.format("fastq").load(dir)
+    assert(df.count() == 5)
+  }
+}

@@ -101,7 +101,9 @@ def build_events(out_dir: Path) -> None:
     boundary hits (purchase at exactly click + 2 days, and 1 us past),
     purchase-before-click, exact hour-boundary timestamps, value extremes,
     and every props shape e3/e16 could meet (null, {}, missing k, k:null,
-    k as string, malformed)."""
+    k as string, malformed, non-integer k, k past 2^63), plus a
+    sub-millisecond max event time probing the stream-stream watermark's
+    ms truncation."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     US = 1_000_000
@@ -130,7 +132,9 @@ def build_events(out_dir: Path) -> None:
     for i in range(50):
         add(eid, BASE + 7 * 86400 * US + i * 60 * US, 4, "view",
             [0.00, -185.22, 12345678.99, 0.01][i % 4],
-            [None, "{}", '{"k": null}', '{"k": "9"}', "not json"][i % 5])
+            [None, "{}", '{"k": null}', '{"k": "9"}', "not json",
+             '{"k": 1.5}', '{"k": "abc"}',
+             '{"k": 9223372036854775813}'][i % 8])
         eid += 1
     # u5: a single event, far enough in the past to watermark-finalize
     add(eid, BASE + 60 * US, 5, "click", 5.00, None); eid += 1
@@ -147,6 +151,15 @@ def build_events(out_dir: Path) -> None:
     for u in range(9, 16):
         add(eid, BASE + (u + 5) * 86400 * US, u,
             ["signup", "error", "view", "click"][u % 4], float(u)); eid += 1
+    # u16/u17: watermark ms-truncation band — the purchase-side max ts
+    # carries 500 us of sub-millisecond time, so a us-precise oracle
+    # watermark would sit 500 us ahead of Spark's ms-truncated one; the
+    # u16 click's finalization instant (cts + 2 d, at +100 us) lands
+    # INSIDE that band, so it must stay buffered (engine rule), not
+    # null-emit (the us-precise rule a naive oracle would state).
+    add(eid, BASE + 16 * 86400 * US + 100, 16, "click", 16.00); eid += 1
+    add(eid, BASE + 21 * 86400 * US + 500, 16, "purchase", 16.50); eid += 1
+    add(eid, BASE + 25 * 86400 * US, 17, "click", 17.00); eid += 1
     tbl = pa.table({
         "event_id": pa.array([e[0] for e in ev], pa.int64()),
         "ts": pa.array([e[1] for e in ev], pa.timestamp("us")),
@@ -208,11 +221,13 @@ def main() -> int:
     build_embeddings(sf)
     print(f"[patho] corpus at {sf}"
           + (f" (random seed {RANDOM_SEED})" if RANDOM_SEED is not None else ""))
-    rc = subprocess.run(
+    v = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Verify {sf} {out}"],
-        cwd="/root/repo", capture_output=True, text=True).returncode
-    if rc != 0:
-        print("[patho] verify failed to run")
+        cwd="/root/repo", capture_output=True, text=True)
+    if v.returncode != 0:
+        print(f"[patho] verify failed to run (rc={v.returncode}); output tails:")
+        print("---- stdout ----\n" + v.stdout[-4000:])
+        print("---- stderr ----\n" + v.stderr[-4000:])
         return 2
     # drop the byte-slicing stubs from the compare
     for q in SKIP:
@@ -223,8 +238,13 @@ def main() -> int:
         [sys.executable, "tools/oracle_check.py", str(out), str(sf)],
         cwd="/root/repo", capture_output=True, text=True)
     print(r.stdout[-4000:])
-    tail = [ln for ln in r.stdout.splitlines() if ln.startswith("==")]
-    ok = bool(tail) and ", 0 fail" in tail[-1]
+    if r.returncode != 0 and r.stderr:
+        print("---- oracle_check stderr ----\n" + r.stderr[-2000:])
+    # oracle_check exits 0 iff every compared query passed — the exit
+    # code is the machine-readable status (no substring parsing); the
+    # summary-line presence guards against an empty/aborted compare
+    ok = r.returncode == 0 and any(
+        ln.startswith("== ") for ln in r.stdout.splitlines())
     print(f"[patho] {'CLEAN' if ok else 'SEAMS FOUND'} "
           f"(skipped by documented contract: {sorted(SKIP)})")
     return 0 if ok else 1
