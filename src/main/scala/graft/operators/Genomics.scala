@@ -273,6 +273,26 @@ object Genomics {
         .groupBy("csize").agg(count(lit(1)).as("n_comp"))
     }),
 
+    // -- g17: per-node triangle census on the overlap graph ----------------
+    // the local-clustering numerator: how many triangles each read sits in
+    // — the transitivity signal that separates tangled repeat clusters
+    // (dense, triangle-rich) from clean linear contig paths (triangle-
+    // free). Scale shape is the standard degree-ordered orientation: every
+    // edge points from its lower-(deg, id) endpoint to the higher one,
+    // making the graph a DAG whose out-degrees are O(sqrt m); wedges
+    // enumerate at each triangle's LOWEST-degree vertex and close with one
+    // equi-join back onto the oriented edge table, so total work stays
+    // within the O(m^1.5) bound no matter how skewed the hubs are — a
+    // plain id-ordered enumeration would square the hottest hub's degree.
+    // Per-node counts are orientation-invariant, so the oracle states the
+    // simple a<b<c 3-way self-join form. Engine: [[GraphOps.triangleCounts]]
+    // (unit-proven on K4 / star / path topologies).
+    "g17_triangles" -> ((s, d) => {
+      val pairs = queries("g14_minimizer_overlap")(s, d)
+      GraphOps.triangleCounts(
+        pairs.select(col("ra").as("x"), col("rb").as("y")))
+    }),
+
     // -- P7: forward sub-kmer split (prefix key, marker, extension base) ---
     "g7_subkmer_split" -> ((s, d) => {
       import s.implicits._
@@ -417,6 +437,17 @@ object Genomics {
          |GROUP BY km""".stripMargin,
     "g14_minimizer_overlap" ->
       (sqlOverlapPairs + "\nSELECT ra, rb, n_shared FROM pairs"),
+    // triangles in the plain a<b<c form (counts are orientation-invariant)
+    "g17_triangles" ->
+      (sqlOverlapPairs + """,
+         |tri AS (SELECT e1.ra AS a, e1.rb AS b, e2.rb AS c
+         |        FROM pairs e1
+         |        JOIN pairs e2 ON e2.ra = e1.rb
+         |        JOIN pairs e3 ON e3.ra = e1.ra AND e3.rb = e2.rb),
+         |verts AS (SELECT a AS rid FROM tri
+         |          UNION ALL SELECT b FROM tri
+         |          UNION ALL SELECT c FROM tri)
+         |SELECT rid, COUNT(*) AS n_tri FROM verts GROUP BY rid""".stripMargin),
     "g15_overlap_pagerank" ->
       (sqlOverlapPairs + """,
          |edges AS (SELECT ra AS src, rb AS dst FROM pairs

@@ -93,6 +93,39 @@ object GraphOps {
 
   private val sqlDna32 =
     "translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT')"
+  /** Per-node triangle participation counts via degree-ordered wedge
+    * enumeration. Every undirected edge is oriented from its lower-(deg,
+    * id) endpoint to the higher one, so the oriented graph is a DAG with
+    * out-degree O(sqrt m); each triangle is enumerated exactly once as a
+    * wedge at its lowest-degree vertex plus one closing equi-join back
+    * onto the oriented edge table — total work O(m^1.5) regardless of hub
+    * skew, where an id-ordered enumeration would square the hottest hub's
+    * degree. Input: undirected edges (x, y), one row per edge, either
+    * orientation, no duplicates. Output: (rid, n_tri) for every node in
+    * >= 1 triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val pairs = edges.select(col("x"), col("y")).localCheckpoint()
+    val und = pairs.union(pairs.select(col("y"), col("x"))).toDF("u", "v")
+    val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
+    // oriented DAG edge table, consumed by both wedge sides + the close
+    val o = und
+      .join(deg.select(col("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("dg").as("dv")), "v")
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"), col("dv"))
+      .localCheckpoint()
+    val wedges = o.select(col("u"), col("v").as("wx"), col("dv").as("dx"))
+      .join(o.select(col("u"), col("v").as("wy"), col("dv").as("dy")), "u")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("wx") < col("wy")))
+    val tri = wedges
+      .join(o.select(col("u").as("wx"), col("v").as("wy")), Seq("wx", "wy"))
+      .select(col("u").as("a"), col("wx").as("b"), col("wy").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("rid"))
+      .groupBy("rid").agg(count(lit(1)).as("n_tri"))
+  }
+
   private def sqlCanon(e: String) =
     s"least($e, reverse(translate($e, 'ACGT', 'TGCA')))"
 

@@ -328,6 +328,49 @@ object Relational {
         .select("o_orderkey", "o_custkey", "quartile", "pr", "cd")
     }),
 
+    // -- q29: FILTER-clause aggregates --------------------------------------
+    // the SQL:2003 selective-aggregation surface: one pass computes every
+    // conditional aggregate (count/sum per predicate) instead of N
+    // self-joins or N scans — at 100 TB the difference between one fact
+    // scan and five. Catalyst compiles each FILTER into the same
+    // map-side-combinable partial agg a CASE WHEN would produce, so the
+    // plan is a single partial+final hash aggregate over the scan.
+    "q29_filter_agg" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag,
+          |  count(*) AS n_all,
+          |  count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+          |  count(*) FILTER (WHERE l_discount >= 0.05) AS n_discounted,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+          |       FILTER (WHERE l_tax > 0.04) AS DECIMAL(38,2)) AS taxed_revenue,
+          |  count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 40)
+          |    AS n_bulk_suppliers
+          |FROM lineitem_v GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    // -- q30: IGNORE NULLS forward fill (gap-fill) --------------------------
+    // the time-series densification move: carry the last observed value
+    // forward across gaps (sensor dropouts, sparse snapshots). last_value
+    // IGNORE NULLS over a running frame is the one-pass distributed form —
+    // partitioned by the (high-cardinality) entity key so each task fills
+    // one entity's series; no self-join, no driver loop. Every third order
+    // "reports" a price; the rest inherit the previous report. o_orderkey
+    // appended to the ordering so both engines walk identical sequences.
+    "q30_gap_fill" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          when(col("o_orderkey") % 3 === 0,
+            col("o_totalprice").cast("decimal(18,2)")).as("reported"))
+        .withColumn("filled",
+          last(col("reported"), ignoreNulls = true).over(w)
+            .cast("decimal(38,2)").cast("double"))
+        .select("o_custkey", "o_orderkey", "filled")
+    }),
+
     "q26_range_frame" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("ts"))
         .rangeBetween(-90L * 86400L * 1000000L, 0L)
@@ -551,6 +594,24 @@ object Relational {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 48)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q29_filter_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        |  count(*) FILTER (WHERE l_discount >= 0.05) AS n_discounted,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE l_tax > 0.04) AS DECIMAL(38,2)) AS taxed_revenue,
+        |  count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 40)
+        |    AS n_bulk_suppliers
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q30_gap_fill" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(last_value(CASE WHEN o_orderkey % 3 = 0
+        |         THEN CAST(o_totalprice AS DECIMAL(18,2)) END IGNORE NULLS)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS filled
+        |FROM orders""".stripMargin,
     "q24_lateral_topn" ->
       """SELECT n.n_name, c.c_name, c.c_acctbal
         |FROM nation n, LATERAL (

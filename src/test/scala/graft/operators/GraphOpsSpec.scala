@@ -46,4 +46,30 @@ class GraphOpsSpec extends AnyFunSuite {
     val labels = cc(Seq((5L, 3L), (3L, 5L), (5L, 3L), (7L, 5L)))
     assert(labels == Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
   }
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.triangleCounts(edges.toDF("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangle counts: K4, star, path, and a hub with one closed wedge") {
+    // K4: every vertex sits in C(3,2) = 3 triangles
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(tri(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // star and path are triangle-free -> empty output
+    assert(tri((1L to 5L).map(i => (0L, i))).isEmpty)
+    assert(tri((0L until 5L).map(i => (i, i + 1))).isEmpty)
+    // high-degree hub with exactly ONE closed wedge: the degree-ordered
+    // orientation must count it once (at the triangle's lowest-degree
+    // vertex) and credit all three corners
+    val hub = (1L to 20L).map(i => (0L, i)) :+ (1L, 2L)
+    assert(tri(hub) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("triangle counts: overlapping triangles share edges correctly") {
+    // two triangles glued on edge (1,2): nodes 1,2 in two, nodes 3,4 in one
+    val glued = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    assert(tri(glued) == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
 }
