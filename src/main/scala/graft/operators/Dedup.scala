@@ -179,6 +179,37 @@ object Dedup {
           when(col("node") === col("component"), 1).otherwise(0).as("keep"))
     }),
 
+    // -- d17: leakage-free (cluster-aware) train/val/test split ------------
+    // the split a deduplicated training corpus actually needs: t23 buckets
+    // DOCUMENTS, so two near-duplicates can land in train and test and
+    // leak evaluation data — the classic contamination path FineWeb/Pile
+    // splits guard against. Here the md5 bucket is computed on the
+    // near-dup CLUSTER's canonical id (d7's connected components over the
+    // LSH candidate graph; singletons are their own cluster), so an
+    // entire duplicate cluster moves to one side atomically. Scale shape:
+    // CC cost scales with near-dups found (docs in no candidate pair
+    // never enter the edge set), the cluster join is one equi-join on
+    // doc_id, and the bucket is a pure codegen'd projection.
+    "d17_cluster_split" -> ((s, d) => {
+      val pairs = candidatePairs(s, d)
+      val cc = GraphOps.connectedComponents(
+        pairs.select(col("a").as("x"), col("b").as("y")))
+      val clustered = corpus(s, d).select(col("doc_id"))
+        .join(cc.select(col("node").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"))
+      val h = md5(col("cluster").cast("string").cast("binary"))
+      def hv(i: Int): Column = {
+        val a = ascii(substring(h, i, 1))
+        a - when(a >= 97, 87).otherwise(48)
+      }
+      val bucket = hv(1) * 16 + hv(2)
+      clustered.select(col("doc_id"), col("cluster"),
+        when(bucket < 13, "test").when(bucket < 26, "val")
+          .otherwise("train").as("split"))
+    }),
+
     // -- direct rare-n-gram Jaccard near-dup (no MinHash) ------------------
     // A different recall profile from LSH: candidate pairs share at least
     // one RARE shingle (document frequency 2..8). The df cap bounds every
@@ -672,6 +703,31 @@ object Dedup {
           |SELECT x AS doc_id, least(x, MIN(y)) AS cluster,
           |  CASE WHEN x = least(x, MIN(y)) THEN 1 ELSE 0 END AS keep
           |FROM reach GROUP BY x""".stripMargin),
+    "d17_cluster_split" ->
+      ("WITH RECURSIVE " +
+        (Seq(sqlCorpus, sqlShingles, sqlSig, sqlBand, sqlPairs,
+          """edges AS (SELECT a AS x, b AS y FROM pairs
+            |          UNION SELECT b, a FROM pairs)""".stripMargin,
+          """reach AS (
+            |  SELECT x, y FROM edges
+            |  UNION
+            |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+            |)""".stripMargin,
+          "clu AS (SELECT x AS doc_id, least(x, MIN(y)) AS cluster FROM reach GROUP BY x)",
+          """ac AS (SELECT c.doc_id, coalesce(u.cluster, c.doc_id) AS cluster
+            |       FROM corpus c LEFT JOIN clu u ON u.doc_id = c.doc_id)""".stripMargin,
+          "hb AS (SELECT doc_id, cluster, md5(CAST(cluster AS VARCHAR)) AS h FROM ac)")
+          .mkString(",\n")) +
+        """
+          |SELECT doc_id, cluster,
+          |  CASE WHEN bucket < 13 THEN 'test' WHEN bucket < 26 THEN 'val'
+          |       ELSE 'train' END AS split
+          |FROM (SELECT doc_id, cluster,
+          |        (ascii(substring(h,1,1)) -
+          |          CASE WHEN ascii(substring(h,1,1)) >= 97 THEN 87 ELSE 48 END) * 16 +
+          |        (ascii(substring(h,2,1)) -
+          |          CASE WHEN ascii(substring(h,2,1)) >= 97 THEN 87 ELSE 48 END) AS bucket
+          |      FROM hb)""".stripMargin),
     "d8_chunk_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ch AS (SELECT doc_id, (i - 1) // 10 AS pos, array_to_string(w[i:i+9], ' ') AS chunk

@@ -30,9 +30,11 @@ object Events {
     * throughput, not left at the session-wide batch default. The es*
     * parity replays are bounded few-batch streams where per-task overhead
     * (state-store open/commit per partition per microbatch) dominates, so
-    * they run at 8; a production deployment sizes it to sustained
+    * they run at 4 (measured: the stream-stream joins drop 5.2 -> 3.9 s
+    * at sf0.1 vs 8 partitions, every other es* equal-or-faster, oracle
+    * hashes identical); a production deployment sizes it to sustained
     * events/sec the same way. Restores the session default afterwards. */
-  private def withStreamPartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+  private def withStreamPartitions[T](s: SparkSession, n: Int = 4)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)

@@ -96,4 +96,33 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("chunk_id").select("chunk").as[String].collect()
     assert(ordered.mkString(" ") == text)
   }
+
+  test("d17: near-dup clusters never straddle a split (leakage-free)") {
+    import org.apache.spark.sql.functions._
+    val df = Dedup.queries("d17_cluster_split")(spark, "/root/testdata/sf0.001")
+      .localCheckpoint()
+    // the invariant the op exists for: one split per cluster, atomically
+    val straddling = df.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("ns")).filter(col("ns") > 1).count()
+    assert(straddling == 0)
+    // non-vacuous: the augmented corpus plants near-dup pairs, so
+    // multi-doc clusters exist and land somewhere other than train too
+    val multi = df.groupBy("cluster").count().filter(col("count") > 1).count()
+    assert(multi > 0, "expected planted near-dup clusters")
+    assert(df.select("split").distinct().count() == 3)
+    // contrast: bucketing DOCUMENTS (t23's rule) would straddle at least
+    // one of those clusters — proving cluster-keying is load-bearing
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    def hv(i: Int) = {
+      val a = ascii(substring(h, i, 1))
+      a - when(a >= 97, 87).otherwise(48)
+    }
+    val docBucket = hv(1) * 16 + hv(2)
+    val docSplit = when(docBucket < 13, "test").when(docBucket < 26, "val")
+      .otherwise("train")
+    val docStraddle = df.withColumn("doc_split", docSplit)
+      .groupBy("cluster").agg(countDistinct(col("doc_split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(docStraddle > 0, "doc-keyed bucketing should leak across splits")
+  }
 }
