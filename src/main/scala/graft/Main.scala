@@ -54,14 +54,15 @@ object Main {
     "-mincontig", "-maxiter", "-clipf", "-clipe", "-minlength", "-reads",
     "-partition", "-partitionredu", "-overlap", "-rounds",
     "-bubble", "-gzip", "-single", "-inter", "-paired", "-exact-fastq", "-mercy",
-    "-merge", "-scramble", "-inputformat")
+    "-merge", "-scramble", "-inputformat", "-dsir", "-split")
 
   /** Typo guard: an unrecognized -option is silently inert with positional
     * sliding parsing, which can quietly run a job with default settings —
     * surface it loudly (warn, not fail: option values may start with '-'). */
   private def warnUnknown(args: Array[String]): Unit = {
     val taking = knownOpts -- Set("-bubble", "-gzip", "-single", "-inter",
-      "-paired", "-exact-fastq", "-mercy", "-merge", "-scramble") // flags take no value
+      "-paired", "-exact-fastq", "-mercy", "-merge", "-scramble",
+      "-split") // flags take no value
     val skipIdx = args.zipWithIndex.collect {
       case (a, i) if taking(a) => i + 1
     }.toSet
@@ -76,7 +77,7 @@ object Main {
       """usage: graft.Main <counter|run|preprocess|meta|reassemble|mercy|merger|stitch|reduce|extend|curate|stats> [options]
         |  inputs : -fastq <glob> [-fastq2 <glob>] | -fasta <glob> | -contig <fasta> | -kmerc <csv> | -sam <sam>
         |           extend: -aligner '<cmd>' pipes -fastq reads through an external aligner ({ref} = contig fasta)
-        |           curate: -docs <parquet> [-testdocs <parquet>] [-embeddings <parquet with doc_id,v>]
+        |           curate: -docs <parquet> [-testdocs <parquet>] [-embeddings <parquet with doc_id,v>] [-split]
         |                   [-classifier <minScore>] [-dsir <targetLang>]
         |  tuning : -kmer N -klist a,b,c -cover N -maxcov N -error N -mincontig N -maxiter N
         |           -clipf N -clipe N -minlength N -reads N -partition N -partitionredu N -overlap N
@@ -379,11 +380,16 @@ object Main {
         // importance weight vs the <lang> target distribution > 0); the
         // docs parquet must carry a `lang` column
         val dsirLang = opt(args, "-dsir", "")
+        // -split: leakage-free train/val/test assignment keyed by the
+        // near-dup cluster canon (whole clusters move atomically)
+        val wantSplit = args.contains("-split")
         val flags = operators.Curation.curate(corpus, test, emb,
           classifierMin = if (clsMin.nonEmpty) Some(clsMin.toLong) else None,
-          dsirTargetLang = if (dsirLang.nonEmpty) Some(dsirLang) else None).cache()
+          dsirTargetLang = if (dsirLang.nonEmpty) Some(dsirLang) else None,
+          clusterSplit = wantSplit).cache()
         flags.write.mode("overwrite").parquet(s"$out/curation_flags")
-        corpus.join(flags.filter(col("keep") === 1).select("doc_id"), "doc_id")
+        corpus.join(flags.filter(col("keep") === 1)
+            .select("doc_id", "split"), "doc_id")
           .write.mode("overwrite").parquet(s"$out/curated")
         val stats = flags.agg(count(lit(1)).as("docs"),
           sum(col("exact_keep")).as("exact"), sum(col("nd_keep")).as("neardup"),

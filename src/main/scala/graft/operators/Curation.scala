@@ -50,7 +50,8 @@ object Curation {
              semThreshold: Double = 0.999,
              semCentroidSet: Option[DataFrame] = None,
              classifierMin: Option[Long] = None,
-             dsirTargetLang: Option[String] = None): DataFrame = {
+             dsirTargetLang: Option[String] = None,
+             clusterSplit: Boolean = false): DataFrame = {
     // materialize the (doc_id, text) projection once: six verdict branches
     // consume it, and each would otherwise re-run the upstream lineage
     // (a parquet text scan at best, a whole strip/augment sub-DAG at
@@ -148,13 +149,39 @@ object Curation {
             when(col("logw_bits") > 0, 1).otherwise(0).as("dsir_keep"))
     }
 
+    // 8. optional leakage-free split assignment (the d17 engine): the
+    //    md5 bucket is keyed by the near-dup CLUSTER's canonical id —
+    //    reusing the CC table the nd verdict already computed — so a
+    //    whole duplicate cluster lands in one split atomically.
+    //    Constant 'train' when disabled (schemas never fork).
+    val spl =
+      if (!clusterSplit) base.select(col("doc_id"), lit("train").as("split"))
+      else {
+        val cl = base.select(col("doc_id"))
+          .join(comp.select(col("node").as("doc_id"), col("component")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster"))
+        val h = md5(col("cluster").cast("string").cast("binary"))
+        def hv(i: Int): Column = {
+          val a = ascii(substring(h, i, 1))
+          a - when(a >= 97, 87).otherwise(48)
+        }
+        val bucket = hv(1) * 16 + hv(2)
+        cl.select(col("doc_id"),
+          when(bucket < 13, "test").when(bucket < 26, "val")
+            .otherwise("train").as("split"))
+      }
+
     exact.join(nd, "doc_id").join(quality, "doc_id").join(clean, "doc_id")
       .join(sem, "doc_id").join(cls, "doc_id").join(dsir, "doc_id")
+      .join(spl, "doc_id")
       .select(col("doc_id"), col("exact_keep"), col("nd_keep"),
         col("quality_ok"), col("clean"), col("sem_keep"), col("cls_keep"),
         col("dsir_keep"),
         (col("exact_keep") * col("nd_keep") * col("quality_ok") * col("clean") *
-          col("sem_keep") * col("cls_keep") * col("dsir_keep")).as("keep"))
+          col("sem_keep") * col("cls_keep") * col("dsir_keep")).as("keep"),
+        col("split"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -239,6 +266,18 @@ object Curation {
       curate(doc.filter(col("doc_id") % 100 =!= 0),
         doc.filter(col("doc_id") % 100 === 0),
         dsirTargetLang = Some("en"))
+    }),
+
+    // -- the pipeline with the LEAKAGE-FREE SPLIT live ---------------------
+    // d17's cluster-keyed train/val/test assignment composed as the final
+    // curation stage, reusing the connected-components table the nd
+    // verdict already computed: every near-dup cluster lands in one split
+    // atomically, so curated data can be split without near-dup leakage.
+    "c6_curate_split" -> ((s, d) => {
+      val doc = documents(s, d)
+      curate(doc.filter(col("doc_id") % 100 =!= 0),
+        doc.filter(col("doc_id") % 100 === 0),
+        clusterSplit = true)
     })
   )
 
@@ -247,7 +286,8 @@ object Curation {
   // s7 semantic-dedup fragment (fixed seed centroids, corpus vectors only)
   // and folds sem_keep into keep.
   private def curateOracle(sem: Boolean, cls: Boolean = false,
-                           bp: Boolean = false, dsir: Boolean = false): String = {
+                           bp: Boolean = false, dsir: Boolean = false,
+                           split: Boolean = false): String = {
       // `bp = true` swaps the raw train split for its d15
       // boilerplate-stripped form (synthetic-header corpus, word 4-grams
       // in >= 3 docs of a source removed, survivors reassembled)
@@ -321,6 +361,25 @@ object Curation {
         else "1"
       val semJoin = if (sem) "\nLEFT JOIN semk ON semk.doc_id = t.doc_id" else ""
       val sw = stopwords.map(w => s"'$w'").mkString(", ")
+      // the d17 bucket rule over the cluster canon (doc_id when the doc
+      // is in no near-dup cluster) — constant 'train' when disabled, so
+      // the engine's never-forking schema has its oracle twin
+      val splitExpr =
+        if (!split) "'train'"
+        else {
+          val h = "md5(CAST(coalesce(clu.cluster, t.doc_id) AS VARCHAR))"
+          s"""CASE WHEN (ascii(substring($h,1,1)) -
+             |      CASE WHEN ascii(substring($h,1,1)) >= 97 THEN 87 ELSE 48 END) * 16 +
+             |    (ascii(substring($h,2,1)) -
+             |      CASE WHEN ascii(substring($h,2,1)) >= 97 THEN 87 ELSE 48 END) < 13
+             |    THEN 'test'
+             |  WHEN (ascii(substring($h,1,1)) -
+             |      CASE WHEN ascii(substring($h,1,1)) >= 97 THEN 87 ELSE 48 END) * 16 +
+             |    (ascii(substring($h,2,1)) -
+             |      CASE WHEN ascii(substring($h,2,1)) >= 97 THEN 87 ELSE 48 END) < 26
+             |    THEN 'val'
+             |  ELSE 'train' END""".stripMargin
+        }
       s"""WITH RECURSIVE
         |$trainCte
         |test AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
@@ -355,7 +414,8 @@ object Curation {
           |  UNION
           |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
           |clu AS (SELECT x AS doc_id,
-          |          CASE WHEN x = least(x, MIN(y)) THEN 1 ELSE 0 END AS ndk
+          |          CASE WHEN x = least(x, MIN(y)) THEN 1 ELSE 0 END AS ndk,
+          |          least(x, MIN(y)) AS cluster
           |        FROM reach GROUP BY x),
           |qual AS (SELECT doc_id,
           |           CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 2000
@@ -383,7 +443,8 @@ object Curation {
           |  $dsirExpr AS dsir_keep,
           |  ex.exact_keep * COALESCE(clu.ndk, 1) * qual.quality_ok *
           |    (CASE WHEN dirty.doc_id IS NULL THEN 1 ELSE 0 END) * ($semExpr) *
-          |    ($clsExpr) * ($dsirExpr) AS keep
+          |    ($clsExpr) * ($dsirExpr) AS keep,
+          |  $splitExpr AS split
           |FROM train t
           |JOIN ex ON ex.doc_id = t.doc_id
           |LEFT JOIN clu ON clu.doc_id = t.doc_id
@@ -396,6 +457,7 @@ object Curation {
     "c2_curate_sem" -> curateOracle(sem = true),
     "c3_curate_cls" -> curateOracle(sem = false, cls = true),
     "c4_curate_bp" -> curateOracle(sem = false, bp = true),
-    "c5_curate_dsir" -> curateOracle(sem = false, dsir = true)
+    "c5_curate_dsir" -> curateOracle(sem = false, dsir = true),
+    "c6_curate_split" -> curateOracle(sem = false, split = true)
   )
 }

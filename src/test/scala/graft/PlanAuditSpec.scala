@@ -173,4 +173,29 @@ class PlanAuditSpec extends AnyFunSuite {
       }
     assert(w.isEmpty, s"s14 has an empty-partition (single-task) window")
   }
+
+  test("g17 triangle enumeration is equi-joins only, never cartesian") {
+    // degree-ordered wedge enumeration must stay hash/sort equi-joins on
+    // (u) and (wx, wy) — a cartesian or nested loop here squares the
+    // corpus at 100 TB
+    val p = plan("g17_triangles")
+    assert(!p.contains("CartesianProduct"), "g17 has a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "g17 has a nested loop")
+  }
+
+  test("q29 FILTER aggregates are one aggregate pass over one scan, no join") {
+    val qe = SparkEntry.queries("q29_filter_agg")(spark, sf).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, "q29 grew a join — conditional aggregates must not self-join")
+    val p = qe.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_") || p.contains("Partial"),
+      s"q29 lost map-side partial aggregation:\n${p.take(2000)}")
+  }
+
+  test("d17 cluster-split join is an equi-join on doc_id, no cartesian") {
+    val p = plan("d17_cluster_split")
+    assert(!p.contains("CartesianProduct"), "d17 has a cartesian")
+  }
 }

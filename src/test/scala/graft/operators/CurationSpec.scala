@@ -11,6 +11,7 @@ class CurationSpec extends AnyFunSuite {
       : Map[Long, (Int, Int, Int, Int, Int)] = {
     import spark.implicits._
     Curation.curate(docs.toDF("doc_id", "text"), test.toDF("doc_id", "text"))
+      .drop("split")
       .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._9))).toMap
   }
@@ -53,6 +54,7 @@ class CurationSpec extends AnyFunSuite {
       (11L, Array(1.0, 0.0, 0.0))).toDF("doc_id", "v")
     val f = Curation.curate(docs.toDF("doc_id", "text"), test.toDF("doc_id", "text"),
         Some(emb), semCentroids = 2)
+      .drop("split")
       .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)].collect()
       .map(r => r._1 -> ((r._6, r._9))).toMap
     assert(f(10L) == ((1, 1)), f(10L)) // identical pair: min id kept
@@ -75,6 +77,7 @@ class CurationSpec extends AnyFunSuite {
     val test = Seq(100L -> "held out benchmark totally different words here")
       .toDF("doc_id", "text")
     val f = Curation.curate(docs, test, dsirTargetLang = Some("en"))
+      .drop("split")
       .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)].collect()
       .map(r => r._1 -> r._8).toMap
     (0L until 6L).foreach(i => assert(f(i) == 1, s"target doc $i"))
