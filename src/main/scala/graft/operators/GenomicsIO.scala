@@ -42,6 +42,39 @@ object GenomicsIO {
         Genomics.countCanonical(Fastq.guardReads(reads, minLen = 15), 15), 15)
     }),
 
+    // -- es12: the DSv2 connector's STREAMING path through the gate --------
+    // sequencing-run ingestion: the machine drops FASTQ shards into a
+    // directory and the pipeline tails it. Here the same 9000-read corpus
+    // lands as 4 shards, read back via readStream.format("fastq") with
+    // maxFilesPerTrigger=1 (admission control) — 4 real microbatches
+    // through the k-mer state-store aggregation — and the Complete-mode
+    // fixpoint must hash-match the identical batch g1 oracle. Gates the
+    // connector's offset log, per-batch file planning, AND the streaming
+    // column-pruning path (only `seq` leaves the reader) at once.
+    "es12_stream_fastq_dsv2" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val tmp = s"${ioDir(d)}/fastq_stream"
+      val seqs = documents(s, d).select(Genomics.dna32(col("doc_id")).as("read"))
+      // repartition BEFORE fabrication: each read's 4 lines stay together
+      // inside its partition, so every part-file is a whole FASTQ shard
+      Fastq.toFastqLines(seqs.repartition(4)).write.mode("overwrite").text(tmp)
+      val name = "es12_fastq_mem"
+      s.catalog.dropTempView(name)
+      val reads = s.readStream.format("fastq").option("maxFilesPerTrigger", "1")
+        .load(tmp).select(col("seq")).as[String]
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.EventStreams
+          .kmerCountStream(Fastq.guardReads(reads, minLen = 15), 15)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      Genomics.decodeCounts(s.table(name), 15)
+    }),
+
     // -- columnar interchange: ORC sink -> source round-trip ---------------
     // the "another source format" path: the same documents projection
     // written as ORC (Spark's second first-class columnar format) and read
@@ -165,6 +198,8 @@ object GenomicsIO {
     "f1_fastq_roundtrip" -> Genomics.oracles("g1_kmer_count"),
     // the DSv2 multi-split read must land the identical k-mer table
     "f11_fastq_dsv2" -> Genomics.oracles("g1_kmer_count"),
+    // ...and so must its streaming path's Complete-mode fixpoint
+    "es12_stream_fastq_dsv2" -> Genomics.oracles("g1_kmer_count"),
     "f7_orc_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE n_chars > 0 GROUP BY lang""".stripMargin,

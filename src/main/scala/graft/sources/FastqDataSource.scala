@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -72,7 +73,7 @@ private[sources] class FastqTable(props: Map[String, String])
   override def name(): String = s"fastq(${props.getOrElse("path", "")})"
   override def schema(): StructType = FastqDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FastqScanBuilder(options)
 }
@@ -96,19 +97,7 @@ private[sources] class FastqScan(options: CaseInsensitiveStringMap,
     val maxSplit = Option(options.get("maxSplitBytes")).map(_.toLong)
       .getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
     val codecs = new CompressionCodecFactory(conf)
-    val path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("fastq source requires a path"))
-    val fs = new Path(path).getFileSystem(conf)
-    val files: Seq[FileStatus] = {
-      val matched = Option(fs.globStatus(new Path(path)))
-        .getOrElse(Array.empty[FileStatus]).toSeq
-      matched.flatMap {
-        case d if d.isDirectory => fs.listStatus(d.getPath).toSeq
-        case f => Seq(f)
-      }
-    }.filter(f => f.isFile && f.getLen > 0 &&
-      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-    files.flatMap { f =>
+    FastqScan.listFiles(conf, options).flatMap { f =>
       val p = f.getPath.toString
       if (codecs.getCodec(f.getPath) != null)
         // compressed member: byte offsets are meaningless in the
@@ -126,6 +115,92 @@ private[sources] class FastqScan(options: CaseInsensitiveStringMap,
       SparkSession.active.sessionState.newHadoopConf())
     new FastqReaderFactory(conf, required)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FastqMicroBatchStream(options, required)
+}
+
+private[sources] object FastqScan {
+  /** Deterministic (name-sorted) visible-file listing for a path/glob —
+    * shared by the batch planner and the streaming offset log, which
+    * needs a stable order for its file-index offsets. */
+  def listFiles(conf: Configuration,
+                options: CaseInsensitiveStringMap): Seq[FileStatus] = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("fastq source requires a path"))
+    val fs = new Path(path).getFileSystem(conf)
+    val matched = Option(fs.globStatus(new Path(path)))
+      .getOrElse(Array.empty[FileStatus]).toSeq
+    matched.flatMap {
+      case d if d.isDirectory => fs.listStatus(d.getPath).toSeq
+      case f => Seq(f)
+    }.filter(f => f.isFile && f.getLen > 0 &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.toString)
+  }
+}
+
+/** Streaming half of the connector (MICRO_BATCH_READ): the name-sorted
+  * file list is the stream and the offset is "files consumed" — the
+  * sequencing-run ingestion shape, where a machine drops one FASTQ shard
+  * per lane/cycle and the pipeline tails the directory. Admission control
+  * honours `maxFilesPerTrigger` (via ReadMaxFiles, like the built-in file
+  * source), so a bounded replay crosses real state-store commits;
+  * AvailableNow support pins the end offset at query start. Each file is
+  * one partition here (batch mode byte-splits large files; a streaming
+  * shard is one flow-cell dump, sized well under a split). Column pruning
+  * flows through from the ScanBuilder exactly as in batch. */
+private[sources] class FastqMicroBatchStream(options: CaseInsensitiveStringMap,
+                                             required: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  private val conf = new SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+  private def currentFiles(): Seq[String] =
+    FastqScan.listFiles(conf.value, options).map(_.getPath.toString)
+  // captured once for AvailableNow (and lazily on first use otherwise):
+  // the offset log indexes into this snapshot, so late-arriving files
+  // can't shift already-committed indices mid-run
+  @volatile private var snapshot: Seq[String] = null
+  private def files(): Seq[String] = {
+    if (snapshot == null) snapshot = currentFiles()
+    snapshot
+  }
+  override def prepareForTriggerAvailableNow(): Unit = snapshot = currentFiles()
+
+  private val maxPerTrigger: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = FastqStreamOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    FastqStreamOffset(json.trim.toLong)
+  override def latestOffset(): Offset = FastqStreamOffset(files().length.toLong)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FastqStreamOffset].filesConsumed
+    val cap = limit match {
+      case f: ReadMaxFiles => s + f.maxFiles()
+      case _ => Long.MaxValue
+    }
+    FastqStreamOffset(math.min(files().length.toLong, cap))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FastqStreamOffset].filesConsumed.toInt
+    val e = end.asInstanceOf[FastqStreamOffset].filesConsumed.toInt
+    files().slice(s, e)
+      .map(p => FastqInputPartition(p, 0L, Long.MaxValue): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FastqReaderFactory(conf, required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class FastqStreamOffset(filesConsumed: Long) extends Offset {
+  override def json(): String = filesConsumed.toString
 }
 
 private[sources] case class FastqInputPartition(path: String, start: Long,

@@ -87,4 +87,27 @@ class FastqDataSourceSpec extends AnyFunSuite {
     val df = spark.read.format("fastq").load(dir)
     assert(df.count() == 5)
   }
+
+  test("streaming path: one microbatch per shard, batch-identical records") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_dsv2_stream").toString
+    for (shard <- 0 until 3)
+      Files.writeString(Paths.get(dir, f"shard_$shard%02d.fastq"),
+        (shard * 20 until shard * 20 + 20).map(record).mkString)
+    val q = spark.readStream.format("fastq")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("fastq_stream_mem")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // admission control honoured: 3 shards -> 3 non-empty microbatches
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3,
+      s"expected 3 microbatches, saw ${batches.map(_.numInputRows).mkString(",")}")
+    assert(batches.forall(_.numInputRows == 20))
+    val streamed = spark.table("fastq_stream_mem")
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[String]("seq"))).sorted
+    val batch = spark.read.format("fastq").load(dir)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[String]("seq"))).sorted
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
