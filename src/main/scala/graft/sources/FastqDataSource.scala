@@ -149,7 +149,15 @@ private[sources] object FastqScan {
   * AvailableNow support pins the end offset at query start. Each file is
   * one partition here (batch mode byte-splits large files; a streaming
   * shard is one flow-cell dump, sized well under a split). Column pruning
-  * flows through from the ScanBuilder exactly as in batch. */
+  * flows through from the ScanBuilder exactly as in batch.
+  *
+  * Restart contract: offsets index the NAME-SORTED listing, so shards
+  * must be named monotonically (the sequencing-machine convention —
+  * lane/cycle counters in the name); a late file sorting BEFORE an
+  * already-committed index would shift the mapping across a checkpoint
+  * restart. The built-in file source pays a per-file seen-log to avoid
+  * this; at the ingestion rates FASTQ shards arrive (one per lane-cycle,
+  * not thousands/sec) monotone naming is the cheaper invariant. */
 private[sources] class FastqMicroBatchStream(options: CaseInsensitiveStringMap,
                                              required: StructType)
     extends MicroBatchStream with SupportsAdmissionControl
