@@ -190,6 +190,23 @@ object Relational {
       f.intersect(oo).except(p).select(col("o_custkey").as("custkey"))
     }),
 
+    // -- q31: BAG-semantics set ops (EXCEPT ALL / INTERSECT ALL) -----------
+    // q11 covers the SET forms; the ALL forms keep multiplicity — the
+    // semantics reconciliation jobs need ("how many copies remain after
+    // subtracting the acknowledged batch"), where DISTINCT forms silently
+    // collapse duplicates. Catalyst plans both as hash joins with count
+    // bookkeeping — no sort, no cartesian — so the shape scales like any
+    // equi-join on the key.
+    "q31_setops_all" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val bulk = li.filter(col("l_quantity") > 30).select(col("l_suppkey"))
+      val returned = li.filter(col("l_returnflag") === "R")
+        .select(col("l_suppkey"))
+      bulk.exceptAll(returned)
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(count(lit(1)).as("surplus"))
+    }),
+
     // -- scalar function battery (string/math) -----------------------------
     "q12_scalar_funcs" -> ((s, d) => {
       part(s, d).select(
@@ -594,6 +611,12 @@ object Relational {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 48)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q31_setops_all" ->
+      """WITH sh AS (SELECT l_suppkey FROM lineitem WHERE l_quantity > 30),
+        |rt AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+        |ex AS (SELECT l_suppkey FROM sh EXCEPT ALL SELECT l_suppkey FROM rt)
+        |SELECT l_suppkey AS suppkey, COUNT(*) AS surplus
+        |FROM ex GROUP BY 1""".stripMargin,
     "q29_filter_agg" ->
       """SELECT l_returnflag,
         |  count(*) AS n_all,

@@ -88,6 +88,30 @@ class FastqDataSourceSpec extends AnyFunSuite {
     assert(df.count() == 5)
   }
 
+  test("fuzz: random record widths x random split grids stay exactly-once") {
+    // variable-length records (the realistic shape — reads are NOT fixed
+    // width) under ten random split sizes, including ones smaller than a
+    // record and ones straddling every boundary class; truth is the
+    // byte-content itself
+    val rnd = new scala.util.Random(8081L)
+    val dir = Files.createTempDirectory("graft_dsv2_fuzz").toString
+    val recs = (0 until 300).map { i =>
+      val seq = Seq.fill(20 + rnd.nextInt(90))("ACGT" (rnd.nextInt(4))).mkString
+      val qual = (if (rnd.nextBoolean()) "@" else "I") + "I" * (seq.length - 1)
+      (f"r$i%04d", seq, qual)
+    }
+    Files.writeString(Paths.get(dir, "reads.fastq"),
+      recs.map { case (id, s, q) => s"@$id\n$s\n+\n$q\n" }.mkString)
+    val expect = recs.map { case (id, s, _) => (id, s) }.sorted
+    for (_ <- 0 until 10) {
+      val split = 40 + rnd.nextInt(4000)
+      val got = spark.read.format("fastq").option("maxSplitBytes", split)
+        .load(dir).collect()
+        .map(r => (r.getAs[String]("id"), r.getAs[String]("seq"))).sorted.toSeq
+      assert(got == expect, s"split=$split lost/duplicated/corrupted records")
+    }
+  }
+
   test("streaming path: one microbatch per shard, batch-identical records") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("graft_dsv2_stream").toString
