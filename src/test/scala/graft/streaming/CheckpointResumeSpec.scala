@@ -168,4 +168,41 @@ class CheckpointResumeSpec extends AnyFunSuite {
     runOnce() // restart from the same checkpoint
     assert(emitted() == Set((200L, 900L), (100L, 901L)))
   }
+
+  test("fastq connector: streaming resume processes only post-outage shards") {
+    // the custom DSv2 source's offset log (files-consumed over the
+    // name-sorted listing) must survive a checkpoint restart: shards
+    // landing during the outage — named after the committed ones, per the
+    // connector's monotone-naming restart contract — are the ONLY thing
+    // the resumed query may process.
+    val src = tmp("graft_fq_src")
+    val cp = tmp("graft_fq_cp")
+    val out = tmp("graft_fq_out")
+    def shard(name: String, ids: Range): Unit = {
+      val recs = ids.map(i => f"@r$i%04d\nACGTACGTACGT\n+\n@IIIIIIIIIII\n")
+      Files.writeString(src.resolve(name), recs.mkString)
+      ()
+    }
+    shard("shard_00.fastq", 0 until 10)
+    shard("shard_01.fastq", 10 until 20)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("fastq")
+        .option("maxFilesPerTrigger", "1").load(src.toString)
+        .writeStream.format("parquet").option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce() // consumes shards 00-01, stops — the "crash" point
+    assert(spark.read.parquet(out.toString).count() == 20)
+    // the outage: two more shards land
+    shard("shard_02.fastq", 20 until 30)
+    shard("shard_03.fastq", 30 until 35)
+    runOnce() // restart from the same checkpoint
+    val ids = spark.read.parquet(out.toString)
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(ids.length == 35, "resume reprocessed or skipped shards")
+    assert(ids.distinct.length == 35, "resume duplicated records")
+    assert(ids.sorted == (0 until 35).map(i => f"r$i%04d"))
+  }
 }
