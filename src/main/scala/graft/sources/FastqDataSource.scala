@@ -166,15 +166,26 @@ private[sources] class FastqMicroBatchStream(options: CaseInsensitiveStringMap,
     SparkSession.active.sessionState.newHadoopConf())
   private def currentFiles(): Seq[String] =
     FastqScan.listFiles(conf.value, options).map(_.getPath.toString)
-  // captured once for AvailableNow (and lazily on first use otherwise):
-  // the offset log indexes into this snapshot, so late-arriving files
-  // can't shift already-committed indices mid-run
+  // The offset log indexes into this snapshot. AvailableNow pins it at
+  // query start (prepareForTriggerAvailableNow). A CONTINUOUS stream
+  // instead tails the directory: each admission-control call may refresh
+  // the snapshot, but only ever by GROWING it — under the monotone-naming
+  // contract new shards sort after the committed ones, so already-
+  // committed indices never shift (a shorter or reordered listing is
+  // ignored rather than allowed to corrupt the mapping).
   @volatile private var snapshot: Seq[String] = null
-  private def files(): Seq[String] = {
-    if (snapshot == null) snapshot = currentFiles()
+  @volatile private var pinned = false
+  private def files(refresh: Boolean): Seq[String] = {
+    if (snapshot == null || (refresh && !pinned)) {
+      val cur = currentFiles()
+      if (snapshot == null || cur.length > snapshot.length) snapshot = cur
+    }
     snapshot
   }
-  override def prepareForTriggerAvailableNow(): Unit = snapshot = currentFiles()
+  override def prepareForTriggerAvailableNow(): Unit = {
+    snapshot = currentFiles()
+    pinned = true
+  }
 
   private val maxPerTrigger: Option[Int] =
     Option(options.get("maxFilesPerTrigger")).map(_.toInt)
@@ -184,20 +195,21 @@ private[sources] class FastqMicroBatchStream(options: CaseInsensitiveStringMap,
   override def initialOffset(): Offset = FastqStreamOffset(0L)
   override def deserializeOffset(json: String): Offset =
     FastqStreamOffset(json.trim.toLong)
-  override def latestOffset(): Offset = FastqStreamOffset(files().length.toLong)
+  override def latestOffset(): Offset =
+    FastqStreamOffset(files(refresh = true).length.toLong)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[FastqStreamOffset].filesConsumed
     val cap = limit match {
       case f: ReadMaxFiles => s + f.maxFiles()
       case _ => Long.MaxValue
     }
-    FastqStreamOffset(math.min(files().length.toLong, cap))
+    FastqStreamOffset(math.min(files(refresh = true).length.toLong, cap))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FastqStreamOffset].filesConsumed.toInt
     val e = end.asInstanceOf[FastqStreamOffset].filesConsumed.toInt
-    files().slice(s, e)
+    files(refresh = false).slice(s, e)
       .map(p => FastqInputPartition(p, 0L, Long.MaxValue): InputPartition).toArray
   }
 

@@ -198,4 +198,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("d17_cluster_split")
     assert(!p.contains("CartesianProduct"), "d17 has a cartesian")
   }
+
+  test("q31 exceptAll plans as hash joins, never sort or cartesian") {
+    val p = plan("q31_setops_all")
+    assert(!p.contains("CartesianProduct"), "q31 has a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q31 has a nested loop")
+  }
 }

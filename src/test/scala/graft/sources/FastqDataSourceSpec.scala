@@ -112,6 +112,33 @@ class FastqDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("continuous tailing: a late shard is admitted, committed indices stable") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // drive the stream object directly (a ProcessingTime trigger would
+    // need wall-clock waits): two shards at start, a third lands between
+    // admission-control calls — the un-pinned stream must GROW its
+    // snapshot to admit it, and the already-planned range must be stable
+    val dir = Files.createTempDirectory("graft_dsv2_tail").toString
+    def shard(n: Int): Unit = {
+      Files.writeString(Paths.get(dir, f"s$n%02d.fastq"), record(n)); ()
+    }
+    shard(0); shard(1)
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir, "maxFilesPerTrigger", "1"))
+    val stream = new FastqMicroBatchStream(opts, FastqDataSource.schema)
+    val o1 = stream.latestOffset(stream.initialOffset(), ReadLimit.maxFiles(1))
+    assert(o1.asInstanceOf[FastqStreamOffset].filesConsumed == 1L)
+    shard(2) // lands mid-stream, named after the committed ones
+    val o2 = stream.latestOffset(o1, ReadLimit.maxFiles(5))
+    assert(o2.asInstanceOf[FastqStreamOffset].filesConsumed == 3L,
+      "late shard was not admitted by the refreshed listing")
+    val parts = stream.planInputPartitions(stream.initialOffset(), o2)
+    assert(parts.length == 3)
+    assert(parts.map(_.asInstanceOf[FastqInputPartition].path).toSeq ==
+      Seq("s00", "s01", "s02").map(n => s"file:$dir/$n.fastq"))
+  }
+
   test("streaming path: one microbatch per shard, batch-identical records") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("graft_dsv2_stream").toString
