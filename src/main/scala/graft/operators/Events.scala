@@ -20,6 +20,14 @@ object Events {
   private def fmt(c: org.apache.spark.sql.Column) =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Shared by es1 and es13 — the two runs differ only in state-store
+    * backend and must land the identical table. */
+  private val sqlHourlyTotals =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** Run a streaming query with an explicitly-sized state store.
     *
     * The number of state-store partitions is pinned from
@@ -78,6 +86,74 @@ object Events {
       s.table(name)
         .select(fmt(col("hour_ts")).as("hour"), col("event_type"),
           col("n"), col("total"))
+    }),
+
+    // -- es13: the SAME pipeline on the RocksDB state-store backend --------
+    // at 100 TB the windowed/joined state no longer fits executor heaps —
+    // the deployment answer is Spark's RocksDB state store (state lives
+    // off-heap/on-disk per partition, checkpointed incrementally). Swapping
+    // the provider must be a pure deployment knob: es13 runs es1's exact
+    // readStream -> window-agg pipeline under
+    // RocksDBStateStoreProvider and must hash-match the SAME DuckDB oracle
+    // — proving results are backend-invariant through the gate, not by
+    // argument. (RocksDbStateSpec additionally proves a stateful
+    // mapGroupsWithState pipeline and checkpoint restart on RocksDB.)
+    "es13_stream_rocksdb" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val streamDir = graft.streaming.Replay.eventsDir(s, d)
+      val sch = s.read.parquet(streamDir).schema
+      val ev = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      val name = "es13_rocksdb_mem"
+      s.catalog.dropTempView(name)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams.hourlyTotals(ev)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      s.table(name)
+        .select(fmt(col("hour_ts")).as("hour"), col("event_type"),
+          col("n"), col("total"))
+    }),
+
+    // -- e17: SCD-2 interval build (type-2 slowly-changing dimension) ------
+    // the warehouse-modeling shape: each user's event_type history becomes
+    // validity intervals [valid_from, valid_to) — a new interval opens
+    // when the type CHANGES, the current one stays open (null valid_to).
+    // One shuffle on user_id, then everything is per-user window passes:
+    // change-flag (lag) -> running run-id (sum) -> per-run agg -> lead for
+    // the closing timestamp. No self-join, no global sort — the standard
+    // distributed SCD2 build at any scale.
+    "e17_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val runs = events(s, d)
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("run", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("run"))
+        // all rows of a run share one event_type; min() states that
+        // determinism explicitly
+        .agg(min(col("event_type")).as("event_type"),
+          min(struct(col("ts"), col("event_id"))).as("fk"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("run"), col("event_type"),
+          col("fk.ts").as("from_ts"), col("n_events"))
+      val byRun = Window.partitionBy("user_id").orderBy("run")
+      runs.withColumn("to_ts", lead(col("from_ts"), 1).over(byRun))
+        .select(col("user_id"), col("run"), col("event_type"),
+          fmt(col("from_ts")).as("valid_from"),
+          fmt(col("to_ts")).as("valid_to"), col("n_events"))
     }),
 
     // -- es2: STATEFUL streaming sessionization through the oracle gate ----
@@ -825,11 +901,31 @@ object Events {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
     // streaming pipeline, identical answer — same oracle as e1 by design
-    "es1_stream_hourly" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
-        |  COUNT(*) AS n,
-        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
-        |FROM events GROUP BY 1, 2""".stripMargin,
+    "es1_stream_hourly" -> sqlHourlyTotals,
+    // backend-invariance: RocksDB state store must land the identical table
+    "es13_stream_rocksdb" -> sqlHourlyTotals,
+    "e17_scd2" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(event_type) OVER w IS NULL
+        |           OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, ts, event_type,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM g),
+        |runs AS (
+        |  SELECT user_id, run, MIN(event_type) AS event_type,
+        |         MIN(ts) AS from_ts, COUNT(*) AS n_events
+        |  FROM r GROUP BY user_id, run)
+        |SELECT user_id, CAST(run AS BIGINT) AS run, event_type,
+        |  strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(LEAD(from_ts) OVER (PARTITION BY user_id ORDER BY run),
+        |           '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  n_events
+        |FROM runs""".stripMargin,
     "e2_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

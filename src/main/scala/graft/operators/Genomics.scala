@@ -293,6 +293,43 @@ object Genomics {
         pairs.select(col("ra").as("x"), col("rb").as("y")))
     }),
 
+    // -- g18: 2-core of the overlap graph ----------------------------------
+    // the standard assembly-graph densest-region extractor: iterative
+    // peeling keeps exactly the reads whose overlap neighborhoods are
+    // mutually supported (every member keeps >= 2 co-surviving overlap
+    // neighbors — the tree-like fringes and pendant reads peel away) and drops the
+    // linear contig fringes g17's triangle census already flags as sparse.
+    // Engine is [[GraphOps.kcore]] (one degree agg + two semi-joins per
+    // peel round on a checkpointed edge table — state never exceeds the
+    // current induced subgraph, rounds bounded by peeling depth, not
+    // corpus size). Oracle states the same fixpoint as an iteration-tagged
+    // bounded recursion: survivors(i+1) = nodes with >= 3 neighbors in
+    // survivors(i); the 30-round bound is far past convergence for the
+    // ~8-read overlap clusters this graph is made of (unit spec covers the
+    // slow-peeling path-graph regime directly).
+    "g18_kcore" -> ((s, d) => {
+      val pairs = queries("g14_minimizer_overlap")(s, d)
+      GraphOps.kcore(
+        pairs.select(col("ra").as("x"), col("rb").as("y")), k = 2)
+    }),
+
+    // -- g19: 3-truss of the overlap graph ---------------------------------
+    // the edge-level sharpening of g18: an edge survives only while it
+    // closes >= 1 triangle among SURVIVING edges, so spurious overlaps
+    // (minimizer collisions linking unrelated reads) peel away even when
+    // both endpoints are individually well-connected — the standard
+    // community-pruning step between candidate generation and assembly.
+    // Engine: [[GraphOps.ktruss]] (per-round triangle kernel reusing g17's
+    // degree-ordered O(m^1.5) enumeration + one agg + one semi-join).
+    // Oracle: the same fixpoint as a bounded iteration-tagged recursion —
+    // survivors(i+1) = edges with a common neighbor among survivors(i) —
+    // with the final supports recomputed on the it=20 set.
+    "g19_ktruss" -> ((s, d) => {
+      val pairs = queries("g14_minimizer_overlap")(s, d)
+      GraphOps.ktruss(
+        pairs.select(col("ra").as("x"), col("rb").as("y")), k = 3)
+    }),
+
     // -- P7: forward sub-kmer split (prefix key, marker, extension base) ---
     "g7_subkmer_split" -> ((s, d) => {
       import s.implicits._
@@ -467,6 +504,52 @@ object Genomics {
          |  FROM edges e JOIN i2 r ON e.src = r.rid JOIN deg d ON d.src = e.src
          |  GROUP BY e.dst)
          |SELECT rid, r AS pr FROM i3""".stripMargin),
+    // 3-truss: surv at step i holds the surviving UNDIRECTED edge rows
+    // (both orientations); an edge row survives when it has at least one
+    // common neighbor among co-surviving edges (three references to the
+    // recursive table — all see the same working table). Final supports
+    // are recomputed on the it=20 fixpoint set over u < v rows only.
+    "g19_ktruss" ->
+      ("WITH RECURSIVE " + sqlOverlapPairs.stripPrefix("WITH ") + """,
+         |und AS (SELECT ra AS u, rb AS v FROM pairs
+         |        UNION SELECT rb, ra FROM pairs),
+         |surv AS (
+         |  SELECT u, v, 0 AS it FROM und
+         |  UNION ALL
+         |  SELECT e.u, e.v, e.it + 1
+         |  FROM surv e
+         |  JOIN surv a ON a.it = e.it AND a.u = e.u AND a.v <> e.v
+         |  JOIN surv b ON b.it = e.it AND b.u = e.v AND b.v = a.v
+         |  WHERE e.it < 20
+         |  GROUP BY e.u, e.v, e.it HAVING COUNT(*) >= 1),
+         |core AS (SELECT u, v FROM surv WHERE it = 20)
+         |SELECT e.u, e.v, COUNT(*) AS sup
+         |FROM core e
+         |JOIN core a ON a.u = e.u AND a.v <> e.v
+         |JOIN core b ON b.u = e.v AND b.v = a.v
+         |WHERE e.u < e.v
+         |GROUP BY e.u, e.v""".stripMargin),
+    // 2-core as an iteration-tagged bounded recursion: the working table
+    // at step i holds survivors(i), and a node survives to i+1 when >= 2
+    // of its neighbors are co-survivors (two references to the recursive
+    // table — both see the same working table). Rows tagged it=30 are the
+    // fixpoint (iterating past convergence re-emits the same set; an
+    // empty core terminates the recursion and returns zero rows).
+    "g18_kcore" ->
+      ("WITH RECURSIVE " + sqlOverlapPairs.stripPrefix("WITH ") + """,
+         |und AS (SELECT ra AS u, rb AS v FROM pairs
+         |        UNION SELECT rb, ra FROM pairs),
+         |surv AS (
+         |  SELECT DISTINCT u AS rid, 0 AS it FROM und
+         |  UNION ALL
+         |  SELECT s.rid, s.it + 1
+         |  FROM surv s JOIN und e ON e.u = s.rid JOIN surv s2 ON s2.rid = e.v
+         |  WHERE s.it < 30
+         |  GROUP BY s.rid, s.it HAVING COUNT(*) >= 2),
+         |core AS (SELECT rid FROM surv WHERE it = 30)
+         |SELECT e.u AS rid, COUNT(*) AS deg_core
+         |FROM und e JOIN core a ON a.rid = e.u JOIN core b ON b.rid = e.v
+         |GROUP BY e.u""".stripMargin),
     "g16_component_census" ->
       ("WITH RECURSIVE " + sqlOverlapPairs.stripPrefix("WITH ") + """,
          |edges AS (SELECT ra AS x, rb AS y FROM pairs

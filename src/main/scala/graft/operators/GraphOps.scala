@@ -91,6 +91,43 @@ object GraphOps {
     e.groupBy(col("y").as("node")).agg(min(col("x")).as("component"))
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly drop every node
+    * whose degree within the current survivor set is < k, until the edge
+    * set is stable. Each round is one hash agg (degrees) + two semi-joins
+    * (drop edges touching a peeled endpoint) on a localCheckpoint'd edge
+    * table — never more state than the current induced subgraph, and the
+    * round count is bounded by the peeling depth of the graph (small for
+    * the dense near-dup/overlap clusters this runs on), not its size.
+    * Convergence is a single count+hash fingerprint action per round, the
+    * same probe [[connectedComponents]] uses.
+    *
+    * Input: undirected edges (x, y), one row per edge, either orientation.
+    * Output: (rid, deg_core) — every k-core member with its degree inside
+    * the core. */
+  def kcore(edges0: DataFrame, k: Int, maxRounds: Int = 200): DataFrame = {
+    val pairs = edges0.select(col("x"), col("y")).distinct()
+    var und = pairs.union(pairs.select(col("y"), col("x")))
+      .toDF("u", "v").distinct().localCheckpoint()
+    def fingerprint(df: DataFrame) =
+      df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first()
+    var fp = fingerprint(und)
+    var stable = fp.getLong(0) == 0L
+    var round = 0
+    while (!stable && round < maxRounds) {
+      val keep = und.groupBy("u").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select(col("u"))
+      val next = und.join(keep, "u")
+        .join(keep.select(col("u").as("v")), "v")
+        .select(col("u"), col("v")).localCheckpoint()
+      val nfp = fingerprint(next)
+      stable = nfp == fp || nfp.getLong(0) == 0L
+      fp = nfp
+      und = next
+      round += 1
+    }
+    und.groupBy(col("u").as("rid")).agg(count(lit(1)).as("deg_core"))
+  }
+
   private val sqlDna32 =
     "translate(md5(CAST(doc_id AS VARCHAR)), '0123456789abcdef', 'ACGTACGTACGTACGT')"
   /** Per-node triangle participation counts via degree-ordered wedge
@@ -106,6 +143,17 @@ object GraphOps {
   def triangleCounts(edges: DataFrame): DataFrame = {
     val pairs = edges.select(col("x"), col("y")).localCheckpoint()
     val und = pairs.union(pairs.select(col("y"), col("x"))).toDF("u", "v")
+    enumTriangles(und)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("rid"))
+      .groupBy("rid").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Every triangle of the undirected both-direction edge table `und`,
+    * exactly once, as (a, b, c) — a is the wedge apex (lowest (deg, id)),
+    * b/c ordered by the same rank. Degree-ordered orientation keeps the
+    * enumeration within O(m^1.5) under any hub skew (see
+    * [[triangleCounts]]). */
+  private def enumTriangles(und: DataFrame): DataFrame = {
     val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
     // oriented DAG edge table, consumed by both wedge sides + the close
     val o = und
@@ -119,11 +167,63 @@ object GraphOps {
       .join(o.select(col("u"), col("v").as("wy"), col("dv").as("dy")), "u")
       .filter(col("dx") < col("dy") ||
         (col("dx") === col("dy") && col("wx") < col("wy")))
-    val tri = wedges
+    wedges
       .join(o.select(col("u").as("wx"), col("v").as("wy")), Seq("wx", "wy"))
       .select(col("u").as("a"), col("wx").as("b"), col("wy").as("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("rid"))
-      .groupBy("rid").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** k-truss: the maximal subgraph in which every EDGE sits in >= k-2
+    * triangles (its "support") of the subgraph itself — the edge-level
+    * sharpening of [[kcore]] (a k-truss is always inside a (k-1)-core but
+    * prunes much harder: an edge can have high-degree endpoints yet zero
+    * common neighbors). Iterative peel: each round enumerates triangles
+    * of the SURVIVING edge set with the same degree-ordered O(m^1.5)
+    * kernel as [[triangleCounts]], folds each triangle onto its 3
+    * normalized edges, and drops edges below support — until the edge set
+    * is stable. Rounds are bounded by the peeling depth; each round is
+    * the triangle kernel + one hash agg + one semi-join on a
+    * checkpointed table.
+    *
+    * Input: undirected edges (x, y). Output: (u, v, sup) per surviving
+    * edge, u < v, with the final in-truss support. */
+  def ktruss(edges0: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    val pairs = edges0.select(col("x"), col("y")).distinct()
+    var und = pairs.union(pairs.select(col("y"), col("x")))
+      .toDF("u", "v").distinct().localCheckpoint()
+    def fingerprint(df: DataFrame) =
+      df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first()
+    // per-normalized-edge triangle support of the current edge set
+    def support(e: DataFrame): DataFrame =
+      enumTriangles(e).select(explode(array(
+          struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+          struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
+          struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v"))
+        )).as("e"))
+        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("sup"))
+    var fp = fingerprint(und)
+    var stable = fp.getLong(0) == 0L
+    var round = 0
+    var lastSup: DataFrame = null
+    while (!stable && round < maxRounds) {
+      val sup = support(und).localCheckpoint()
+      val keep = sup.filter(col("sup") >= k - 2)
+        .select(col("u"), col("v"))
+      val keep2 = keep.union(keep.select(col("v"), col("u")))
+      val next = und.join(keep2, Seq("u", "v"), "left_semi").localCheckpoint()
+      val nfp = fingerprint(next)
+      stable = nfp == fp || nfp.getLong(0) == 0L
+      fp = nfp
+      und = next
+      lastSup = sup
+      round += 1
+    }
+    // at the fixpoint the last support snapshot WAS computed on the final
+    // edge set, so its >= k-2 rows are exactly the surviving edges with
+    // their final supports (k >= 3: a zero-support edge never survives,
+    // so every survivor appears in the snapshot)
+    if (lastSup == null) support(und) // empty input: empty (u, v, sup)
+    else lastSup.filter(col("sup") >= k - 2)
   }
 
   private def sqlCanon(e: String) =

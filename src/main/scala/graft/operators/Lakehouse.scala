@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Lakehouse-layout operators: the table-layout and summary-maintenance
+  * moves a 100 TB deployment makes so that queries stop paying for the
+  * lake's size — bucketed co-located joins (pay the fact-table shuffle
+  * ONCE at write time, then every orderkey join is exchange-free) and
+  * incremental summary maintenance (the daily pipeline folds only the new
+  * partition into mergeable per-group state; the historical raw data is
+  * never rescanned).
+  *
+  * Both are oracle-gated on their RESULTS; the structural claims (no
+  * Exchange under the bucketed join, delta-only scan for the incremental
+  * pass) are pinned by LakehouseSpec / PlanAuditSpec.
+  */
+object Lakehouse {
+  private val D2 = "decimal(18,2)"
+
+  private def ioDir(d: String) =
+    s"/root/repo/target/graft_io/${new java.io.File(d).getName}"
+
+  /** Mergeable per-(event_type, user-bucket) summary state: row counts and
+    * exact decimal cents merge by SUM, the HLL register by MAX — the three
+    * merge laws that make the state composable across arbitrary batch
+    * splits (LakehouseSpec proves merge(state(A), state(B)) == state(A+B)
+    * for any split). Bucket/rho reuse the engine-wide deterministic md5
+    * hash shape ([[Sketches]] x2), so the oracle rebuilds the identical
+    * registers from the raw table. */
+  private[operators] def eventState(ev: DataFrame): DataFrame = {
+    val h = md5(col("user_id").cast("string").cast("binary"))
+    ev.select(col("event_type"),
+        substring(h, 1, 2).as("bucket"),
+        (Sketches.leadingZeroBits(substring(h, 3, 8)) + 1).as("rho"),
+        col("value").cast(D2).as("cents"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).cast("decimal(38,2)").as("total"),
+        max(col("rho")).cast("long").as("r"))
+  }
+
+  /** Bucket-wise merge of [[eventState]] tables: SUM/SUM/MAX. */
+  private[operators] def mergeEventState(states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy("event_type", "bucket")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("total")).cast("decimal(38,2)").as("total"),
+        max(col("r")).as("r"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- f12: bucketed tables -> exchange-free co-located join -------------
+    // the write pays one hash shuffle per table INTO the bucket layout
+    // (8 buckets on the join key, sorted within); after that, every
+    // orderkey-equi-join between the two tables runs with ZERO exchanges —
+    // each task zips bucket i of lineitem with bucket i of orders. At
+    // 100 TB this converts the nightly fact-to-fact join from the
+    // cluster's largest shuffle into a local merge per bucket. The plan
+    // property (no ShuffleExchange between the scans and the join) is
+    // pinned by LakehouseSpec; here the joined result goes through the
+    // oracle gate. Bucket counts must match on both sides — the layout
+    // contract the catalog carries.
+    "f12_bucketed_join" -> ((s, d) => {
+      val dir = s"${ioDir(d)}/bucketed"
+      val sf = new java.io.File(d).getName.replace('.', '_')
+      val ot = s"graft_orders_b_$sf"
+      val lt = s"graft_lineitem_b_$sf"
+      s.sql(s"DROP TABLE IF EXISTS $ot")
+      s.sql(s"DROP TABLE IF EXISTS $lt")
+      orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").option("path", s"$dir/orders")
+        .format("parquet").saveAsTable(ot)
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice").cast(D2).as("price"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").option("path", s"$dir/lineitem")
+        .format("parquet").saveAsTable(lt)
+      s.table(lt)
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price")).cast("decimal(38,2)").cast("double").as("revenue"))
+    }),
+
+    // -- x8: incremental summary maintenance (merge old state + delta) -----
+    // the materialized-view move: the per-(event_type, bucket) state built
+    // over the historical partition is PERSISTED (here: written to parquet
+    // and read back — the stored summary a real deployment keeps in its
+    // lake); when the new day's partition lands, the pipeline computes
+    // state over the DELTA ONLY and folds it in with the merge laws
+    // (SUM counts, SUM exact cents, MAX registers). The merged table must
+    // equal a full recompute over all raw data — which is exactly what the
+    // oracle states over the whole events table. The delta scan carries a
+    // pushed ts-predicate (PlanAuditSpec) — at 100 TB that is partition
+    // pruning: the morning run reads one day, not the lake.
+    "x8_incremental_agg" -> ((s, d) => {
+      val stateDir = s"${ioDir(d)}/x8_state"
+      val cutoff = lit("2024-01-22 00:00:00").cast("timestamp")
+      val ev = events(s, d)
+      eventState(ev.filter(col("ts") < cutoff))
+        .write.mode("overwrite").parquet(stateDir)
+      val old = s.read.parquet(stateDir)
+      val delta = eventState(ev.filter(col("ts") >= cutoff))
+      // exact decimal state internally; double only at the edge (the
+      // engine-wide convention for oracle-compared aggregates)
+      mergeEventState(old, delta)
+        .withColumn("total", col("total").cast("double"))
+    }),
+
+    // -- x9: CDC upsert — MERGE a change batch into a snapshot -------------
+    // the lake-table maintenance primitive (Delta/Iceberg MERGE INTO):
+    // a base snapshot plus a change batch of upserts and deletes becomes
+    // the next snapshot. The scale-correct form is NOT a window (which
+    // sorts every key group): rows carry a version, and the survivor per
+    // key is ONE max_by(struct(version, ...)) hash aggregation —
+    // map-side combinable, one shuffle of partial maxima, delete rows
+    // filtered after the max. The change batch here is deterministic CDC
+    // derived from orders itself: keys =3 (mod 10) get a price bump +
+    // status 'U', keys =7 (mod 10) are deleted, and a disjoint key range
+    // is inserted — all three verb classes live in one merge.
+    "x9_cdc_upsert" -> ((s, d) => {
+      val base = orders(s, d)
+        .select(col("o_orderkey").as("okey"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(D2).as("price"),
+          lit(0L).as("version"), lit("U").as("op"))
+      val src = orders(s, d)
+      val changes =
+        src.filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey").as("okey"), lit("U2").as("status"),
+            (col("o_totalprice").cast(D2) + lit(1).cast(D2)).cast(D2).as("price"),
+            lit(1L).as("version"), lit("U").as("op"))
+        .unionByName(src.filter(col("o_orderkey") % 10 === 7)
+          .select(col("o_orderkey").as("okey"), lit(null).cast("string").as("status"),
+            lit(null).cast(D2).as("price"), lit(1L).as("version"), lit("D").as("op")))
+        .unionByName(src.filter(col("o_orderkey") % 10 === 1)
+          .select((col("o_orderkey") + 10000000L).as("okey"), lit("I").as("status"),
+            col("o_totalprice").cast(D2).as("price"), lit(1L).as("version"),
+            lit("U").as("op")))
+      base.unionByName(changes)
+        .groupBy("okey")
+        .agg(max(struct(col("version"), col("op"), col("status"), col("price")))
+          .as("w"))
+        .filter(col("w.op") =!= "D")
+        .select(col("okey"), col("w.status").as("status"),
+          col("w.price").cast("double").as("price"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "f12_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    // full recompute over ALL raw events — the incremental merge must land
+    // exactly here (register arithmetic identical to the x2 oracle shape)
+    "x8_incremental_agg" ->
+      """WITH h AS (
+        |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hh,
+        |         CAST(value AS DECIMAL(18,2)) AS cents
+        |  FROM events),
+        |z AS (SELECT event_type, substring(hh, 1, 2) AS bucket, cents,
+        |             substring(hh, 3, 8) AS w, ltrim(substring(hh, 3, 8), '0') AS s
+        |      FROM h),
+        |r AS (SELECT event_type, bucket, cents,
+        |        CASE WHEN length(s) = 0 THEN 32
+        |             ELSE (length(w) - length(s)) * 4 +
+        |               CASE WHEN s[1] = '1' THEN 3
+        |                    WHEN s[1] IN ('2','3') THEN 2
+        |                    WHEN s[1] IN ('4','5','6','7') THEN 1
+        |                    ELSE 0 END
+        |        END + 1 AS rho
+        |      FROM z)
+        |SELECT event_type, bucket, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(cents) AS DECIMAL(38,2)) AS DOUBLE) AS total,
+        |  CAST(MAX(rho) AS BIGINT) AS r
+        |FROM r GROUP BY event_type, bucket""".stripMargin,
+    // latest-version-wins merge, deletes dropped — stated as the plain
+    // windowed form (the engine's max_by-struct is the agg equivalent)
+    "x9_cdc_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         0 AS version, 'U' AS op FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey AS okey, 'U2' AS status,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DECIMAL(18,2)) AS price,
+        |         1 AS version, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, 1, 'D'
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'I', CAST(o_totalprice AS DECIMAL(18,2)), 1, 'U'
+        |  FROM orders WHERE o_orderkey % 10 = 1),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+        |last AS (SELECT okey, status, price, op,
+        |    ROW_NUMBER() OVER (PARTITION BY okey ORDER BY version DESC) AS rn
+        |  FROM u)
+        |SELECT okey, status, CAST(price AS DOUBLE) AS price
+        |FROM last WHERE rn = 1 AND op <> 'D'""".stripMargin
+  )
+}

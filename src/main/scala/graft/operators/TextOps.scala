@@ -663,6 +663,33 @@ object TextOps {
           coalesce(col("n_prec"), lit(0L)).as("n_prec"),
           coalesce(col("n_succ"), lit(0L)).as("n_succ"),
           expr("coalesce(n_prec, 0) * 10000 div nb").as("kn_bp"))
+    }),
+
+    // -- t31: deterministic global shuffle -> training-shard export --------
+    // the last step before a training run reads the corpus: every doc gets
+    // a shard (md5 bucket — reproducible on any cluster, no RNG state to
+    // ship), a position inside the shard (md5-ordered = a deterministic
+    // uniform shuffle, so adjacent source docs land far apart), and the
+    // running token offset a sequence-packing reader indexes by. ONE
+    // shuffle on shard + a per-shard sort whose width is corpus/shards —
+    // at 100 TB each shard is one writer task's output file, and the
+    // offset column IS the index sidecar. (t23 buckets into train/val/test
+    // SETS; this orders the training set for consumption.)
+    "t31_train_shard" -> ((s, d) => {
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val a = ascii(substring(h, 1, 1))
+      val shard = (a - when(a >= 97, 87).otherwise(48)) % 8
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"),
+          shard.as("shard"), h.as("h"))
+        .withColumn("pos", row_number().over(w))
+        .withColumn("tok_offset", coalesce(
+          sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0)).cast("long"))
+        .select(col("shard"), col("pos"), col("doc_id"), col("n_tok"),
+          col("tok_offset"))
     })
   )
 
@@ -763,6 +790,17 @@ object TextOps {
         |            ELSE 'train' END AS part,
         |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1""".stripMargin,
+    "t31_train_shard" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    len(string_split(text, ' ')) AS n_tok FROM documents),
+        |b AS (SELECT doc_id, h, n_tok,
+        |    (ascii(substring(h,1,1)) -
+        |      CASE WHEN ascii(substring(h,1,1)) >= 97 THEN 87 ELSE 48 END) % 8 AS shard
+        |  FROM h)
+        |SELECT shard, ROW_NUMBER() OVER w AS pos, doc_id, n_tok,
+        |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |FROM b WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)""".stripMargin,
     "t24_dup_gram_strip" ->
       """WITH tok AS (SELECT doc_id, i, ws[i] AS w,
         |    CASE WHEN i <= len(ws) - 2

@@ -204,4 +204,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "q31 has a cartesian")
     assert(!p.contains("BroadcastNestedLoopJoin"), "q31 has a nested loop")
   }
+
+  test("x8 incremental delta pass pushes its ts-predicate into the scan") {
+    // the whole point of the incremental fold: the delta computation reads
+    // ONE time slice, not the lake — the pushed predicate is what becomes
+    // partition pruning on a date-partitioned events table
+    val p = plan("x8_incremental_agg")
+    assert(p.split("PushedFilters").exists(s =>
+      s.take(400).contains("GreaterThanOrEqual") ||
+        s.take(400).contains("GreaterThan")), p.take(4000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t31 shard export: one hash shuffle on shard, never a global sort") {
+    val p = plan("t31_train_shard")
+    // a rangepartitioning exchange would mean Spark planned a GLOBAL sort
+    // (the corpus through one ordering) instead of per-shard sorts
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"t31 grew a global sort:\n${p.take(2000)}")
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("g18 k-core peel rounds are equi-joins only, never cartesian") {
+    val p = plan("g18_kcore")
+    assert(!p.contains("CartesianProduct"), "g18 has a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "g18 has a nested loop")
+  }
 }

