@@ -146,6 +146,49 @@ object Lakehouse {
         .filter(col("w.op") =!= "D")
         .select(col("okey"), col("w.status").as("status"),
           col("w.price").cast("double").as("price"))
+    }),
+
+    // -- f14: snapshot manifests -> time travel ----------------------------
+    // the versioned-table read path (Delta/Iceberg "AS OF"): every commit
+    // appends data files and writes a MANIFEST — the authoritative list of
+    // files active in that snapshot. Reading version v = reading exactly
+    // manifest(v)'s files; history costs nothing to keep (old files are
+    // never rewritten) and the manifest read is driver-side planning
+    // bounded by file count. Here: commit 1 = even doc_ids, commit 2
+    // appends the odd ones; the query reads BOTH snapshots through their
+    // manifests and reports each one's aggregate — the v1 numbers must
+    // equal the oracle's even-only branch even though the directory now
+    // also holds v2's files (the property a raw directory scan loses).
+    "f14_time_travel" -> ((s, d) => {
+      val root = s"${ioDir(d)}/timetravel"
+      val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$root/c1")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .write.mode("overwrite").parquet(s"$root/c2")
+      def files(sub: String): Seq[String] = {
+        val fs = new java.io.File(s"$root/$sub")
+        fs.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).sorted.toSeq
+      }
+      val m1 = files("c1")
+      val m2 = m1 ++ files("c2")
+      // write the manifests as real files (the table's commit log), then
+      // plan each snapshot read from its manifest
+      val log = new java.io.File(s"$root/_manifests")
+      log.mkdirs()
+      java.nio.file.Files.write(log.toPath.resolve("v1.txt"),
+        m1.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(log.toPath.resolve("v2.txt"),
+        m2.mkString("\n").getBytes("UTF-8"))
+      def snapshot(v: String): Seq[String] =
+        new String(java.nio.file.Files.readAllBytes(
+          log.toPath.resolve(s"$v.txt")), "UTF-8").split("\n").toSeq
+      Seq("v1", "v2").map { v =>
+        s.read.parquet(snapshot(v): _*)
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .select(lit(v).as("version"), col("n_docs"), col("total_chars"))
+      }.reduce(_ unionByName _)
     })
   )
 
@@ -201,6 +244,15 @@ object Lakehouse {
         |    ROW_NUMBER() OVER (PARTITION BY okey ORDER BY version DESC) AS rn
         |  FROM u)
         |SELECT okey, status, CAST(price AS DOUBLE) AS price
-        |FROM last WHERE rn = 1 AND op <> 'D'""".stripMargin
+        |FROM last WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    // v1 must see ONLY the first commit even though v2's files share the
+    // directory tree — the manifest, not the directory, defines the table
+    "f14_time_travel" ->
+      """SELECT 'v1' AS version, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 'v2', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents""".stripMargin
   )
 }
