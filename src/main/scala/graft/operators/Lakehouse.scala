@@ -189,6 +189,164 @@ object Lakehouse {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
           .select(lit(v).as("version"), col("n_docs"), col("total_chars"))
       }.reduce(_ unionByName _)
+    }),
+
+    // -- f15: small-file compaction (OPTIMIZE) -----------------------------
+    // streaming/micro-batch ingest leaves a lake table as thousands of tiny
+    // files; every reader then pays one task + one footer read per file, so
+    // at 100 TB the file COUNT (not the byte count) becomes the scan
+    // bottleneck. Compaction bin-packs the fragment set into target-size
+    // files and commits the result as a NEW snapshot — the old files are
+    // untouched (time travel to v1 still works, f14's property), only the
+    // manifest changes. Data must survive bit-exactly: the query reads BOTH
+    // snapshots and both must land on the oracle's full-table numbers.
+    // The target file count derives from real bytes (sum(size)/target),
+    // which is exactly how OPTIMIZE sizes its output.
+    "f15_compaction" -> ((s, d) => {
+      val root = s"${ioDir(d)}/compaction"
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      // fragmented ingest: 24 micro-batch commits' worth of small files
+      docs.repartition(24).write.mode("overwrite").parquet(s"$root/small")
+      val small = new java.io.File(s"$root/small").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val targetBytes = 512L * 1024
+      val nOut = math.max(1,
+        math.ceil(small.map(_.length).sum.toDouble / targetBytes).toInt)
+      val v1 = small.map(_.getAbsolutePath).sorted.toSeq
+      s.read.parquet(v1: _*).repartition(nOut)
+        .write.mode("overwrite").parquet(s"$root/compact")
+      val v2 = new java.io.File(s"$root/compact").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      Seq("v1" -> v1, "v2" -> v2).map { case (v, files) =>
+        s.read.parquet(files: _*)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .select(lit(v).as("version"), col("lang"), col("n_docs"),
+            col("total_chars"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // -- f16: deletion vectors (merge-on-read DELETE) ----------------------
+    // deleting k rows from an immutable lake file by rewrite costs the
+    // whole file; a DELETION VECTOR instead records the positions
+    // (file, row_index) of the dead rows in a sidecar and the READ applies
+    // them — delete cost O(|deleted|), zero data files touched, and the
+    // eventual compaction (f15) folds the DV in. The vector is POSITIONAL,
+    // not a predicate: it can kill one copy of two identical rows
+    // (LakehouseSpec pins exactly that), and the read path never
+    // re-evaluates the delete condition. Here the DV is built once from
+    // the predicate, persisted, and the read anti-joins on
+    // (_metadata.file_path, _metadata.row_index) — broadcast, since a DV
+    // is bounded by the delete batch, never the table.
+    "f16_delete_vectors" -> ((s, d) => {
+      val root = s"${ioDir(d)}/delvec"
+      documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$root/data")
+      s.read.parquet(s"$root/data")
+        .filter(col("doc_id") % 7 === 3)
+        .select(col("_metadata.file_path").as("path"),
+          col("_metadata.row_index").as("pos"))
+        .write.mode("overwrite").parquet(s"$root/_dv")
+      val dv = s.read.parquet(s"$root/_dv")
+      s.read.parquet(s"$root/data")
+        .select(col("_metadata.file_path").as("path"),
+          col("_metadata.row_index").as("pos"),
+          col("doc_id"), col("lang"), col("n_chars"))
+        .join(broadcast(dv), Seq("path", "pos"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // -- es14: streaming CDC apply (foreachBatch MERGE) --------------------
+    // the continuous form of x9: a CDC feed lands as ordered microbatches
+    // and each foreachBatch MERGEs its batch into the lake snapshot —
+    // exactly how Structured Streaming applies change feeds to
+    // Delta/Iceberg tables in production. The snapshot keeps TOMBSTONES
+    // (op='D' rows stay, filtered only at read time), so a later batch can
+    // resurrect a deleted key by version — batch 3 does exactly that, and
+    // batch 2 supersedes batch 1's update of the same keys, so
+    // latest-version-wins is exercised ACROSS state commits, not within
+    // one merge. Each commit writes a NEW versioned snapshot dir (commits
+    // are atomic swaps, never in-place edits). The final table must
+    // hash-match the one-shot windowed oracle over base + all four
+    // batches — replay-order-invariant because the merge keys on version.
+    "es14_stream_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = s"${ioDir(d)}/stream_upsert"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(del)
+        p.delete(); ()
+      }
+      del(new java.io.File(root))
+      val src = orders(s, d)
+      val base = src.select(col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast(D2).as("price"),
+        lit(0L).as("version"), lit("U").as("op"))
+      val batches = Seq(
+        src.filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey").as("okey"), lit("U2").as("status"),
+            (col("o_totalprice").cast(D2) + lit(1).cast(D2)).cast(D2).as("price"),
+            lit(1L).as("version"), lit("U").as("op")),
+        src.filter(col("o_orderkey") % 10 === 7)
+          .select(col("o_orderkey").as("okey"),
+            lit(null).cast("string").as("status"), lit(null).cast(D2).as("price"),
+            lit(2L).as("version"), lit("D").as("op"))
+          .unionByName(src.filter(col("o_orderkey") % 10 === 3)
+            .select(col("o_orderkey").as("okey"), lit("U3").as("status"),
+              (col("o_totalprice").cast(D2) + lit(2).cast(D2)).cast(D2).as("price"),
+              lit(2L).as("version"), lit("U").as("op"))),
+        src.filter(col("o_orderkey") % 100 === 7)
+          .select(col("o_orderkey").as("okey"), lit("R").as("status"),
+            col("o_totalprice").cast(D2).as("price"),
+            lit(3L).as("version"), lit("U").as("op")),
+        src.filter(col("o_orderkey") % 10 === 2)
+          .select((col("o_orderkey") + 20000000L).as("okey"), lit("I").as("status"),
+            col("o_totalprice").cast(D2).as("price"),
+            lit(4L).as("version"), lit("U").as("op")))
+      // land the feed as one file per batch with strictly increasing
+      // mtimes — the file source then replays them in CDC order
+      val inDir = new java.io.File(s"$root/changes"); inDir.mkdirs()
+      val t0 = System.currentTimeMillis()
+      batches.zipWithIndex.foreach { case (bdf, i) =>
+        val tmp = s"$root/_tmp_$i"
+        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"b$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(t0 + i * 2000L)
+        del(new java.io.File(tmp))
+      }
+      val snapDir = s"$root/snap"
+      base.write.mode("overwrite").parquet(s"$snapDir/v0")
+      val current = new java.util.concurrent.atomic.AtomicReference(s"$snapDir/v0")
+      val sch = s.read.parquet(s"$root/changes").schema
+      val q = s.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/changes")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val next = s.read.parquet(current.get()).unionByName(batch)
+            .groupBy("okey")
+            .agg(max(struct(col("version"), col("op"), col("status"),
+              col("price"))).as("w"))
+            .select(col("okey"), col("w.version").as("version"),
+              col("w.op").as("op"), col("w.status").as("status"),
+              col("w.price").as("price"))
+          val dst = s"$snapDir/v${id + 1}"
+          next.write.mode("overwrite").parquet(dst)
+          current.set(dst)
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(current.get())
+        .filter(col("op") =!= "D")
+        .select(col("okey"), col("status"), col("price").cast("double").as("price"))
     })
   )
 
@@ -253,6 +411,52 @@ object Lakehouse {
         |FROM documents WHERE doc_id % 2 = 0
         |UNION ALL
         |SELECT 'v2', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // both the fragmented snapshot and the compacted one must equal the
+    // source table per-lang — compaction may move rows between files but
+    // never change, drop, or duplicate one
+    "f15_compaction" ->
+      """SELECT v.version, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents CROSS JOIN (VALUES ('v1'), ('v2')) AS v(version)
+        |GROUP BY v.version, lang""".stripMargin,
+    // the read applies the persisted positional vector; on this layout the
+    // DV was derived from doc_id % 7 = 3, so survivors are its complement
+    "f16_delete_vectors" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id % 7 <> 3
+        |GROUP BY lang""".stripMargin,
+    // one-shot latest-version-wins over base + all four CDC batches; the
+    // engine reached the same table through four incremental MERGE commits
+    "es14_stream_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         0 AS version, 'U' AS op FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey AS okey, 'U2' AS status,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DECIMAL(18,2)) AS price,
+        |         1 AS version, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, 2, 'D'
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U3',
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 2 AS DECIMAL(18,2)), 2, 'U'
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'R', CAST(o_totalprice AS DECIMAL(18,2)), 3, 'U'
+        |  FROM orders WHERE o_orderkey % 100 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, 'I', CAST(o_totalprice AS DECIMAL(18,2)), 4, 'U'
+        |  FROM orders WHERE o_orderkey % 10 = 2),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+        |last AS (SELECT okey, status, price, op,
+        |    ROW_NUMBER() OVER (PARTITION BY okey ORDER BY version DESC) AS rn
+        |  FROM u)
+        |SELECT okey, status, CAST(price AS DOUBLE) AS price
+        |FROM last WHERE rn = 1 AND op <> 'D'""".stripMargin
   )
 }
