@@ -330,6 +330,24 @@ object Genomics {
         pairs.select(col("ra").as("x"), col("rb").as("y")), k = 3)
     }),
 
+    // -- g20: multi-source BFS hop distance --------------------------------
+    // the scaffolding walk from anchor reads (and the canonical Pregel
+    // iteration): every 5th read seeds at distance 0 and the frontier
+    // expands 4 hops through the overlap graph. Engine is
+    // [[GraphOps.bfsHops]] — per-round cost is the FRONTIER's edge
+    // boundary (join + distinct + anti-join against the settled set),
+    // never the graph, and settled hops are final so nothing is
+    // revisited; at 100 TB that is the difference between 4 frontier
+    // shuffles and 4 whole-graph shuffles. Oracle: UNION-recursive walk
+    // (globally deduped, so it is volume-bounded by nodes x hops) with
+    // MIN(dist) per reached node; unreached nodes are absent on both
+    // sides.
+    "g20_bfs_hops" -> ((s, d) => {
+      val pairs = queries("g14_minimizer_overlap")(s, d)
+      GraphOps.bfsHops(pairs.select(col("ra").as("x"), col("rb").as("y")),
+        col("node") % 5 === 0, maxHops = 4)
+    }),
+
     // -- P7: forward sub-kmer split (prefix key, marker, extension base) ---
     "g7_subkmer_split" -> ((s, d) => {
       import s.implicits._
@@ -550,6 +568,18 @@ object Genomics {
          |SELECT e.u AS rid, COUNT(*) AS deg_core
          |FROM und e JOIN core a ON a.rid = e.u JOIN core b ON b.rid = e.v
          |GROUP BY e.u""".stripMargin),
+    "g20_bfs_hops" ->
+      ("WITH RECURSIVE " + sqlOverlapPairs.stripPrefix("WITH ") + """,
+         |und AS (SELECT ra AS u, rb AS v FROM pairs
+         |        UNION SELECT rb, ra FROM pairs),
+         |walk AS (
+         |  SELECT DISTINCT u AS node, 0 AS dist FROM und WHERE u % 5 = 0
+         |  UNION
+         |  SELECT e.v, w.dist + 1
+         |  FROM walk w JOIN und e ON e.u = w.node
+         |  WHERE w.dist < 4)
+         |SELECT node AS rid, CAST(MIN(dist) AS BIGINT) AS dist
+         |FROM walk GROUP BY node""".stripMargin),
     "g16_component_census" ->
       ("WITH RECURSIVE " + sqlOverlapPairs.stripPrefix("WITH ") + """,
          |edges AS (SELECT ra AS x, rb AS y FROM pairs

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -126,6 +126,43 @@ object GraphOps {
       round += 1
     }
     und.groupBy(col("u").as("rid")).agg(count(lit(1)).as("deg_core"))
+  }
+
+  /** Multi-source BFS hop distances — the Pregel-shaped frontier
+    * iteration (GraphX/Giraph's canonical example, and the scaffolding
+    * walk an assembler runs from anchor reads). Each round expands ONLY
+    * the current frontier (one equi-join of frontier against the
+    * checkpointed edge table + one distinct + one anti-join against the
+    * settled set), so per-round work is proportional to the frontier's
+    * edge boundary, never the graph — and hop h is final the round it is
+    * first reached (BFS invariant), so nothing is ever revisited.
+    * `maxHops` bounds the rounds; an empty frontier exits early.
+    *
+    * Input: undirected edges (x, y), either orientation. Output:
+    * (rid, dist) for every node within `maxHops` of a seed — unreached
+    * nodes are absent, which is the answer, not a gap. */
+  def bfsHops(edges0: DataFrame, seedPred: Column, maxHops: Int): DataFrame = {
+    val pairs = edges0.select(col("x"), col("y")).distinct()
+    val und = pairs.union(pairs.select(col("y"), col("x")))
+      .toDF("u", "v").distinct().localCheckpoint()
+    val nodes = und.select(col("u").as("node")).distinct()
+    var dist = nodes.filter(seedPred)
+      .select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
+    var h = 0
+    var live = frontier.limit(1).count() > 0
+    while (live && h < maxHops) {
+      h += 1
+      val next = frontier.join(und, frontier("node") === und("u"))
+        .select(col("v").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("dist"))
+        .localCheckpoint()
+      dist = dist.unionByName(next).localCheckpoint()
+      frontier = next
+      live = frontier.limit(1).count() > 0
+    }
+    dist.select(col("node").as("rid"), col("dist"))
   }
 
   private val sqlDna32 =

@@ -143,6 +143,39 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(truss(strip, 4).isEmpty)
   }
 
+  private def bfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+                  maxHops: Int): Map[Long, Long] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    GraphOps.bfsHops(edges.toDF("x", "y"),
+        col("node").isin(seeds.toSeq: _*), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("bfs: path graph distances from one end, hop cap truncates the tail") {
+    // 1-2-3-4-5-6-7, seed 1, cap 4: node 6 is 5 hops -> absent
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    assert(bfs(path, Set(1L), 4) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // unlimited-enough cap reaches the whole path
+    assert(bfs(path, Set(1L), 10)(7L) == 6L)
+  }
+
+  test("bfs: multiple seeds take the MIN distance; unreached component absent") {
+    // chain 1-2-3-4-5 with seeds at both ends, plus a disjoint edge 10-11
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val d = bfs(g, Set(1L, 5L), 4)
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    assert(!d.contains(10L) && !d.contains(11L))
+  }
+
+  test("bfs: cycle settles each node once at its first hop (no revisits)") {
+    // 4-cycle seeded at 1: opposite corner is 2 via either arc
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(bfs(cyc, Set(1L), 4) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("3-truss: K5 survives 5-truss-level support; 4-truss of K4+tail is K4") {
     val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
     val t = truss(k5, 5) // support >= 3: K5 edges have exactly 3
