@@ -347,6 +347,33 @@ object Lakehouse {
       s.read.parquet(current.get())
         .filter(col("op") =!= "D")
         .select(col("okey"), col("status"), col("price").cast("double").as("price"))
+    }),
+
+    // -- f17: dynamic partition overwrite (partition restatement) ----------
+    // the daily-restatement move on a hive-layout table: one partition's
+    // data is recomputed (here: the 'de' slice re-curated to drop sub-100
+    // char docs) and INSERT OVERWRITE replaces ONLY the partitions the new
+    // batch actually writes — every other partition's files stay untouched
+    // (static overwrite mode would have truncated the whole table; the
+    // file-level untouched-partitions proof is LakehouseSpec's). At 100 TB
+    // this is the difference between rewriting one day and rewriting the
+    // lake. The read-back aggregate must equal the oracle's composed view:
+    // all non-de rows exactly as they were, plus the restated de batch.
+    "f17_dynamic_overwrite" -> ((s, d) => {
+      val root = s"${ioDir(d)}/dynover"
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.write.mode("overwrite").partitionBy("lang").parquet(root)
+      // the restated batch comes from the upstream pipeline, never from a
+      // self-read of the directory being overwritten
+      val restated = docs
+        .filter(col("lang") === "de" && col("n_chars") >= 100)
+      restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(root)
+      s.read.parquet(root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          count_distinct(col("doc_id")).as("n_keys"))
     })
   )
 
@@ -457,6 +484,15 @@ object Lakehouse {
         |    ROW_NUMBER() OVER (PARTITION BY okey ORDER BY version DESC) AS rn
         |  FROM u)
         |SELECT okey, status, CAST(price AS DOUBLE) AS price
-        |FROM last WHERE rn = 1 AND op <> 'D'""".stripMargin
+        |FROM last WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    // non-de partitions untouched; the de partition replaced by its
+    // restated (n_chars >= 100) batch
+    "f17_dynamic_overwrite" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  COUNT(DISTINCT doc_id) AS n_keys
+        |FROM documents
+        |WHERE lang <> 'de' OR n_chars >= 100
+        |GROUP BY lang""".stripMargin
   )
 }

@@ -155,6 +155,51 @@ object Multimodal {
         })
         .toDF("doc_id", "sig")
       Dedup.simhashPairs(sigs)
+    }),
+
+    // -- m7: ingest integrity audit + quarantine report --------------------
+    // the gate a multimodal lake runs before payloads are trusted: verify
+    // each payload against its manifest (declared size + content
+    // checksum), classify, and report the quarantine mix per source. The
+    // manifest here is derived from the corpus with PLANTED corruption
+    // (doc_id % 97 == 13 carries a wrong checksum — a transfer-corruption
+    // stand-in) and the declared length is the CHAR count, so any
+    // multibyte payload fails the byte==declared check exactly like a
+    // mis-transcoded file would. Verdict precedence: empty >
+    // checksum_mismatch > size_mismatch > ok. The checksum recompute is
+    // the same partition-wise batch shape as m1 (one digest instance per
+    // batch, payload bytes never leave the executor); the manifest join
+    // is an equi-join on doc_id.
+    "m7_integrity_audit" -> ((s, d) => {
+      import s.implicits._
+      val doc = documents(s, d)
+      // manifest the upstream transfer claims: declared char-count and a
+      // checksum corrupted for the planted id class
+      val manifest = doc.select(col("doc_id"),
+        col("n_chars").as("declared_len"),
+        when(col("doc_id") % 97 === 13, lit("0" * 32))
+          .otherwise(md5(col("text").cast("binary"))).as("declared_md5"))
+      val observed = doc
+        .select(col("doc_id"), col("source"),
+          col("text").cast("binary").as("payload"))
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (id, src, p) =>
+            md.reset()
+            val hex = md.digest(p).map("%02x".format(_)).mkString
+            (id, src, p.length.toLong, hex)
+          }
+        }
+        .toDF("doc_id", "source", "n_bytes", "observed_md5")
+      observed.join(manifest, Seq("doc_id"))
+        .withColumn("verdict",
+          when(col("n_bytes") === 0, "empty")
+            .when(col("observed_md5") =!= col("declared_md5"), "checksum_mismatch")
+            .when(col("n_bytes") =!= col("declared_len"), "size_mismatch")
+            .otherwise("ok"))
+        .groupBy(col("source"), col("verdict"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
     })
   )
 
@@ -166,6 +211,23 @@ object Multimodal {
     // m2/m3/m6 instead slice RAW bytes (possibly mid-codepoint), which no
     // SQL string op can express — their oracles keep the documented
     // ASCII-payload stub contract.
+    // byte-exact like m1: declared_len is the CHAR count (length), the
+    // observed size is the BYTE count (octet_length(encode)), and DuckDB's
+    // md5(varchar) hashes the utf-8 bytes — so multibyte docs land in
+    // size_mismatch and the planted % 97 = 13 class in checksum_mismatch
+    // on both engines
+    "m7_integrity_audit" ->
+      """WITH v AS (
+        |  SELECT source,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CASE WHEN octet_length(encode(text)) = 0 THEN 'empty'
+        |         WHEN doc_id % 97 = 13 THEN 'checksum_mismatch'
+        |         WHEN octet_length(encode(text)) <> n_chars THEN 'size_mismatch'
+        |         ELSE 'ok' END AS verdict
+        |  FROM documents)
+        |SELECT source, verdict, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+        |FROM v GROUP BY source, verdict""".stripMargin,
     "m1_media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5,

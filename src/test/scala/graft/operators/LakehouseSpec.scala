@@ -135,4 +135,41 @@ class LakehouseSpec extends AnyFunSuite {
     assert(survivors == List("[1,dup]", "[2,b]", "[3,c]"),
       s"got $survivors")
   }
+
+  test("dynamic partition overwrite touches ONLY the restated partition") {
+    val s = spark
+    import s.implicits._
+    val root = "/root/repo/target/graft_test/dynover_spec"
+    val base = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 5L),
+      (4L, "de", 200L), (5L, "fr", 30L))
+      .toDF("doc_id", "lang", "n_chars")
+    base.write.mode("overwrite").partitionBy("lang").parquet(root)
+    def partFiles(lang: String): Map[String, Long] = {
+      val dir = new java.io.File(s"$root/lang=$lang")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val enBefore = partFiles("en")
+    val frBefore = partFiles("fr")
+    // restate de only: drop short docs
+    base.filter(col("lang") === "de" && col("n_chars") >= 100)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang").parquet(root)
+    // untouched partitions keep the exact same files (names AND mtimes)
+    assert(partFiles("en") === enBefore)
+    assert(partFiles("fr") === frBefore)
+    // the de partition now holds only the restated row
+    val de = s.read.parquet(root).filter(col("lang") === "de")
+      .select("doc_id").collect().map(_.getLong(0)).toList
+    assert(de === List(4L))
+    // contrast: STATIC overwrite mode truncates the whole table
+    base.filter(col("lang") === "de")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("lang").parquet(root)
+    val langs = s.read.parquet(root).select("lang").distinct()
+      .collect().map(_.getString(0)).toList
+    assert(langs === List("de"), s"static overwrite kept $langs")
+  }
 }

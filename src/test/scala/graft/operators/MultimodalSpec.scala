@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, length}
 import graft.TestSpark
 
 /** m6's stub pHash: locality-sensitivity is the property the banded
@@ -87,5 +88,28 @@ class MultimodalSpec extends AnyFunSuite {
       .digest(java.util.Arrays.copyOfRange(bytes, 0, 16))
       .map("%02x".format(_)).mkString
     assert(m2.length == 1 && m2.head._2 == 0L && m2.head._3 == f0)
+  }
+
+  test("m7: every verdict class fires on its planted row, with precedence") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m7spec").toString
+    // ids chosen so 13 hits the planted checksum corruption (13 % 97 = 13)
+    Seq(
+      (1L, "clean ascii", "en", "s"),          // ok
+      (13L, "corrupted in flight", "en", "s"), // checksum_mismatch
+      (2L, "café", "fr", "s"),            // 4 chars, 5 bytes -> size
+      (3L, "", "en", "s"),                     // empty
+      (110L, "", "en", "s")                    // empty BEATS checksum (110%97=13)
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.queries("m7_integrity_audit")(s, dir)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    assert(got("ok") === ((1L, 11L)))
+    assert(got("checksum_mismatch") === ((1L, 19L)))
+    assert(got("size_mismatch") === ((1L, 5L)))
+    assert(got("empty") === ((2L, 0L)))
   }
 }
