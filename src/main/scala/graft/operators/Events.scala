@@ -369,6 +369,31 @@ object Events {
       s.table(name)
     }),
 
+    // -- es15: streaming data-quality monitor through the oracle gate ------
+    // [[graft.streaming.EventStreams.dqMonitor]]: the dq1 constraint
+    // family run CONTINUOUSLY — per-event_type violation counters and
+    // freshness bounds maintained across 4 real state-store commits; the
+    // Complete-mode fixpoint must equal the same conditional aggregates
+    // stated over the whole table in DuckDB (every metric is an
+    // associative sum/min/max, so the microbatch split cannot show).
+    "es15_stream_dq" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val streamDir = graft.streaming.Replay.eventsDir(s, d)
+      val sch = s.read.parquet(streamDir).schema
+      val ev = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      val name = "es15_dq_mem"
+      s.catalog.dropTempView(name)
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams.dqMonitor(ev)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
+    }),
+
     // -- es9: STREAM-STREAM interval join through the oracle gate ----------
     // [[EventStreams.clickAttribution]]: two independent readStream
     // sources over the same ordered replay (clicks / purchases slices),
@@ -891,7 +916,18 @@ object Events {
           |  COUNT(*) AS n,
           |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
           |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-          |GROUP BY 1""".stripMargin)
+          |GROUP BY 1""".stripMargin) +
+      // streaming dq fixpoint == batch conditional aggregates
+      ("es15_stream_dq" ->
+        """SELECT event_type, COUNT(*) AS n,
+          |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null_user,
+          |  CAST(SUM(CASE WHEN value IS NULL OR value < 0 OR value > 1e9
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS v_value_range,
+          |  CAST(SUM(CASE WHEN ts IS NULL OR ts < TIMESTAMP '2020-01-01'
+          |           OR ts >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS v_ts_window,
+          |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+          |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+          |FROM events GROUP BY event_type""".stripMargin)
   }
 
   private def baseOracles: Map[String, String] = Map(

@@ -77,6 +77,31 @@ object EventStreams {
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming data-quality monitor — the continuous form of the batch
+    * dq1 constraint report ([[graft.operators.DataQuality]]): per
+    * event_type, running counts of rows violating each declared
+    * constraint plus freshness bounds. Every metric is an associative
+    * conditional sum (or min/max), so the Complete-mode fixpoint over any
+    * microbatch split equals the batch answer — the property that lets
+    * one monitor definition serve both the nightly audit and the live
+    * ingest dashboard. State is bounded by the event_type vocabulary,
+    * never the stream length. */
+  def dqMonitor(events: DataFrame): DataFrame = {
+    def violations(pred: org.apache.spark.sql.Column) =
+      sum(when(pred, 1L).otherwise(0L))
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        violations(col("user_id").isNull).as("v_null_user"),
+        violations(col("value").isNull || col("value") < 0 ||
+          col("value") > 1e9).as("v_value_range"),
+        violations(col("ts").isNull ||
+          col("ts") < lit("2020-01-01").cast("timestamp") ||
+          col("ts") >= lit("2030-01-01").cast("timestamp")).as("v_ts_window"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension (broadcast per microbatch — the standard lookup-join shape
     * for reference data at scale). */

@@ -272,4 +272,29 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(rows == Set(("view", 2L), ("click", 1L)))
     } finally q.stop()
   }
+
+  test("dqMonitor accumulates violation counters across state commits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, java.lang.Long, java.lang.Double)]
+    val q = EventStreams.dqMonitor(
+        in.toDF().toDF("ts", "event_type", "user_id", "value"))
+      .writeStream.format("memory").queryName("dqmon")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts(0), "click", java.lang.Long.valueOf(1L),
+          java.lang.Double.valueOf(1.0)),
+        (ts(5), "click", null, java.lang.Double.valueOf(2.0)))
+      q.processAllAvailable()
+      def row() = spark.table("dqmon").filter("event_type = 'click'")
+        .select("n", "v_null_user", "v_value_range")
+        .as[(Long, Long, Long)].collect().head
+      assert(row() == ((2L, 1L, 0L)))
+      // second commit: the counters must fold ONTO restored state
+      in.addData((ts(10), "click", java.lang.Long.valueOf(2L),
+        java.lang.Double.valueOf(-5.0)))
+      q.processAllAvailable()
+      assert(row() == ((3L, 1L, 1L)))
+    } finally q.stop()
+  }
 }
