@@ -54,7 +54,7 @@ object Main {
     "-mincontig", "-maxiter", "-clipf", "-clipe", "-minlength", "-reads",
     "-partition", "-partitionredu", "-overlap", "-rounds",
     "-bubble", "-gzip", "-single", "-inter", "-paired", "-exact-fastq", "-mercy",
-    "-merge", "-scramble", "-inputformat", "-dsir", "-split")
+    "-merge", "-scramble", "-inputformat", "-dsir", "-split", "-sf")
 
   /** Typo guard: an unrecognized -option is silently inert with positional
     * sliding parsing, which can quietly run a job with default settings —
@@ -402,9 +402,35 @@ object Main {
           s"quality ${stats.getLong(3)}, clean ${stats.getLong(4)}, " +
           s"semantic ${stats.getLong(5)}, classifier ${stats.getLong(6)}, " +
           s"dsir ${stats.getLong(7)}) -> $out/curated")
+      case "dq" =>
+        // data-quality audit over a testdata-layout dir: the declarative
+        // constraint suite, the FK orphan audit, and event-time continuity
+        // in one report parquet + a console summary. The pipeline gate a
+        // lake runs before a table is trusted.
+        val sfDir = opt(args, "-sf", "")
+        require(sfDir.nonEmpty, "dq requires -sf <testdata dir>")
+        val cons = operators.DataQuality.lineitemConstraints(
+          Tables.lineitem(spark, sfDir))
+        val refs = operators.DataQuality.referentialAudit(
+          Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+          Tables.customer(spark, sfDir))
+        val cont = operators.DataQuality.continuityAudit(
+          Tables.events(spark, sfDir))
+        cons.write.mode("overwrite").parquet(s"$out/dq_constraints")
+        refs.write.mode("overwrite").parquet(s"$out/dq_referential")
+        cont.write.mode("overwrite").parquet(s"$out/dq_continuity")
+        val failed = cons.filter(col("pass") === 0)
+          .select("check_name").collect().map(_.getString(0))
+        val orphanTotal = refs.agg(sum(col("orphan_rows"))).collect()(0).getLong(0)
+        val c = cont.collect()(0)
+        println(s"[graft] dq: constraints ${if (failed.isEmpty) "ALL PASS"
+          else s"FAILED: ${failed.mkString(", ")}"}; " +
+          s"referential orphan rows=$orphanTotal; " +
+          s"days=${c.getLong(0)} missing=${c.getLong(3)} max_gap=${c.getLong(4)}" +
+          s" -> $out/dq_*")
       case other =>
         sys.error(s"unknown subcommand '$other' " +
-          "(counter|run|preprocess|meta|reassemble|mercy|merger|stitch|reduce|extend|curate|stats)")
+          "(counter|run|preprocess|meta|reassemble|mercy|merger|stitch|reduce|extend|curate|stats|dq)")
     }
     spark.stop()
   }
