@@ -170,6 +170,57 @@ object Sketches {
             .as("p95_lo"))
     }),
 
+    // -- KMV theta sketch: distinct-count SET ALGEBRA ----------------------
+    // The set-operation sketch the HLL family can't be: KMV (k minimum
+    // values) keeps the k smallest hashes of a set; union is "k smallest
+    // of the merged sketches" and INTERSECTION is countable below the
+    // shared theta = min of both sketches' thetas (Beyer et al. 2007 /
+    // DataSketches theta) — HLL registers can union but never intersect.
+    // Sets here are the word 3-shingles of the two doc_id-parity halves
+    // (~10k distinct each, ~4k shared — the estimator genuinely estimates).
+    //
+    // At scale this is the CHEAPEST sketch in the file: the per-side
+    // top-k runs as a rank window that Spark's WindowGroupLimit rewrites
+    // into a partial per-task top-k BEFORE the exchange (each map task
+    // emits <= k rows per side, no corpus-wide distinct needed at all —
+    // pinned in PlanAuditSpec), and everything after the 2x256-row
+    // sketches is constant-size. Hashes are md5 hex (fixed-width, so
+    // string order == numeric order); thetas are RETAINED hashes and
+    // counts are integers — the estimator (the one FP step) stays
+    // driver-side in [[kmvEstimate]], outside the oracle-checked query.
+    "x10_kmv_theta" -> ((s, d) => {
+      val k = 256
+      val sh = Shingles.wordNGrams(
+        documents(s, d).select(col("doc_id"), col("text")), 3)
+      val hs = sh.select((col("doc_id") % 2).cast("int").as("side"),
+        md5(col("sh").cast("binary")).as("h"))
+      val sk = kmvSketch(hs, k)
+        .localCheckpoint() // <= 2k rows; feeds four consumers below
+      val th = sk.groupBy("side")
+        .agg(max(col("h")).as("theta"), count(lit(1)).as("n"))
+      val tmin = th.agg(min(col("theta")).as("tm"))
+      val sides = th.select(concat(lit("side_"), col("side")).as("part"),
+        col("n"), col("theta"))
+      // union sketch: distinct merged hashes strictly below the shared
+      // theta, re-trimmed to k (the DataSketches union rule)
+      val cand = sk.select("h").distinct().crossJoin(broadcast(tmin))
+        .filter(col("h") < col("tm"))
+      val uni = cand.agg(sort_array(collect_list(col("h"))).as("arr"))
+        .crossJoin(broadcast(tmin))
+        .select(lit("union").as("part"),
+          least(lit(k), size(col("arr"))).cast("long").as("n"),
+          when(size(col("arr")) >= k, element_at(col("arr"), k))
+            .otherwise(col("tm")).as("theta"))
+      // intersection: sketch-common hashes below the shared theta
+      val inter = sk.filter(col("side") === 0).select(col("h"))
+        .join(sk.filter(col("side") === 1).select(col("h")), "h")
+        .crossJoin(broadcast(tmin)).filter(col("h") < col("tm"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tmin))
+        .select(lit("intersect").as("part"), col("n"), col("tm").as("theta"))
+      sides.unionByName(uni).unionByName(inter)
+    }),
+
     // -- hashed linear classifier scoring ----------------------------------
     // the INFERENCE half of the x3 hashing-trick vectorizer: score every
     // document under a fixed linear model over the 256 hashed feature
@@ -209,6 +260,38 @@ object Sketches {
     val raw = alpha * m * m / rs.map(r => math.pow(2.0, -r.toDouble)).sum
     val empty = rs.count(_ == 0L)
     if (raw <= 2.5 * m && empty > 0) m * math.log(m.toDouble / empty) else raw
+  }
+
+  /** The k smallest distinct hashes per `side` of a `(side, h)` multiset —
+    * the KMV sketch-build stage of x10, factored out so PlanAuditSpec can
+    * pin its physical shape: dense_rank (not row_number, so duplicate
+    * occurrences of one hash never displace a distinct smaller hash)
+    * under a rank-limit filter, which Spark's WindowGroupLimit rewrite
+    * turns into a per-map-task partial top-k BEFORE the exchange — each
+    * task ships <= k rows per side, so the sketch build needs no
+    * corpus-wide distinct at any scale. */
+  def kmvSketch(hs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    hs.withColumn("rk",
+        dense_rank().over(Window.partitionBy("side").orderBy("h")))
+      .filter(col("rk") <= k).select("side", "h").distinct()
+  }
+
+  /** Fraction of the hash space at or below the 32-hex-char theta —
+    * BigInt-exact division, the one FP conversion at the very end. */
+  def kmvTheta(thetaHex: String): Double =
+    (BigDecimal(BigInt(thetaHex, 16)) /
+      BigDecimal(BigInt(1) << 128)).toDouble
+
+  /** KMV estimators over an x10 row (deliberately driver-side, like
+    * [[hllEstimate]]): a FULL sketch (n == k, theta = kth smallest
+    * retained hash) estimates (k-1)/theta; a sketch or theta-truncated
+    * count with n < k is estimated by n/theta (n hashes observed in a
+    * theta-fraction of the space — for intersections and sparse unions;
+    * exact when theta covers the whole retained range). */
+  def kmvEstimate(n: Long, thetaHex: String, k: Int = 256): Double = {
+    val t = kmvTheta(thetaHex)
+    if (n >= k) (k - 1) / t else n / t
   }
 
   private def sqlCmBucket(tok: String, r: Int): String =
@@ -293,6 +376,30 @@ object Sketches {
         |  MIN(CASE WHEN cum * 2 >= n THEN bin END) * 1000 AS p50_lo,
         |  MIN(CASE WHEN cum * 20 >= n * 19 THEN bin END) * 1000 AS p95_lo
         |FROM cw GROUP BY g, n""".stripMargin,
+    "x10_kmv_theta" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM ws)),
+        |hs AS (SELECT doc_id % 2 AS side, md5(sh) AS h FROM sh),
+        |rk AS (SELECT side, h, dense_rank() OVER (PARTITION BY side ORDER BY h) AS rk FROM hs),
+        |sk AS (SELECT DISTINCT side, h FROM rk WHERE rk <= 256),
+        |th AS (SELECT side, max(h) AS theta, COUNT(*) AS n FROM sk GROUP BY side),
+        |tmin AS (SELECT min(theta) AS tm FROM th),
+        |cand AS (SELECT DISTINCT h FROM sk, tmin WHERE h < tm),
+        |candl AS (SELECT list_sort(list(h)) AS arr FROM cand),
+        |uni AS (SELECT 'union' AS part,
+        |          least(256, coalesce(len(arr), 0)) AS n,
+        |          CASE WHEN coalesce(len(arr), 0) >= 256 THEN arr[256]
+        |               ELSE (SELECT tm FROM tmin) END AS theta
+        |        FROM candl),
+        |inter AS (SELECT 'intersect' AS part,
+        |          (SELECT COUNT(*) FROM sk a JOIN sk b ON a.h = b.h
+        |             AND a.side = 0 AND b.side = 1, tmin WHERE a.h < tm) AS n,
+        |          (SELECT tm FROM tmin) AS theta)
+        |SELECT part, CAST(n AS BIGINT) AS n, theta FROM (
+        |  SELECT 'side_' || CAST(side AS VARCHAR) AS part, n, theta FROM th
+        |  UNION ALL SELECT part, n, theta FROM uni
+        |  UNION ALL SELECT part, n, theta FROM inter)""".stripMargin,
     "x6_linear_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |wtok AS (SELECT doc_id,

@@ -78,6 +78,32 @@ object Zorder {
           col("doc_id").between(100, 2000))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // -- f18: DYNAMIC partition pruning (runtime, join-driven) --------------
+    // f9/f13 prove static pruning (literal predicates reach the directory
+    // listing / manifest); this proves the RUNTIME half — the star-schema
+    // shape that dominates 100 TB fact scans: the fact table is
+    // partitioned by the join key, the dimension filter is only knowable
+    // at run time (here: an md5-derived dim attribute), and Catalyst
+    // injects a `dynamicpruning` subquery into the fact scan's
+    // PartitionFilters so the selected dim keys prune fact DIRECTORIES
+    // before any fact bytes are read (ZorderSpec pins both the plan
+    // fragment and the pruned-partition count). Only the 2 of 5
+    // event_type partitions the dim filter selects are scanned.
+    "f18_dpp_prune" -> ((s, d) => {
+      val dir = s"/root/repo/target/graft_io/${new java.io.File(d).getName}/dpp_events"
+      val ev = events(s, d).select(col("event_type"), col("value"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      val fact = s.read.parquet(dir)
+      val dim = events(s, d).select(col("event_type")).distinct()
+        .withColumn("tag", substring(md5(col("event_type").cast("binary")), 1, 1))
+      val sel = dim.filter(col("tag") < "8").select("event_type")
+      fact.join(broadcast(sel), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("double").as("total"))
     })
   )
 
@@ -86,6 +112,12 @@ object Zorder {
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents
         |WHERE n_chars BETWEEN 200 AND 400 AND doc_id BETWEEN 100 AND 2000
-        |GROUP BY lang""".stripMargin
+        |GROUP BY lang""".stripMargin,
+    "f18_dpp_prune" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
+        |FROM events
+        |WHERE substring(md5(event_type), 1, 1) < '8'
+        |GROUP BY event_type""".stripMargin
   )
 }

@@ -233,4 +233,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "g18 has a cartesian")
     assert(!p.contains("BroadcastNestedLoopJoin"), "g18 has a nested loop")
   }
+
+  test("x10 KMV sketch build gets the WindowGroupLimit partial top-k") {
+    // the rank-limit window must be rewritten into a per-map-task
+    // partial top-k (each task ships <= k rows per side) — without it
+    // the sketch build shuffles the whole hash multiset to 2 partitions
+    import org.apache.spark.sql.functions._
+    val hs = spark.read.parquet(s"$sf/documents.parquet")
+      .select((col("doc_id") % 2).as("side"),
+        md5(col("text").cast("binary")).as("h"))
+    val p = graft.operators.Sketches.kmvSketch(hs, 256)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("f18 fact scan carries a dynamicpruning partition filter") {
+    val p = plan("f18_dpp_prune")
+    assert(p.contains("dynamicpruning"), p.take(4000))
+    assert(p.contains("PartitionFilters"), p.take(4000))
+  }
 }

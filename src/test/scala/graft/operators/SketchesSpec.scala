@@ -46,6 +46,61 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(est - truth) <= 0.10 * truth, s"est $est vs true $truth")
   }
 
+  test("KMV theta estimates land near the true set-op cardinalities") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val rows = Sketches.queries("x10_kmv_theta")(spark, d)
+      .as[(String, Long, String)].collect()
+      .map { case (p, n, t) => p -> ((n, t)) }.toMap
+    // exact truths over the same 3-shingle sets
+    val sh = Shingles.wordNGrams(
+      spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text"), 3)
+      .select((col("doc_id") % 2).as("side"), col("sh")).distinct()
+      .localCheckpoint()
+    val a = sh.filter(col("side") === 0).select("sh")
+    val b = sh.filter(col("side") === 1).select("sh")
+    val trueA = a.count(); val trueB = b.count()
+    val trueI = a.join(b, "sh").count()
+    val trueU = trueA + trueB - trueI
+    def est(p: String): Double = {
+      val (n, t) = rows(p); Sketches.kmvEstimate(n, t)
+    }
+    // k=256 -> sigma ~ 1/sqrt(k-2) ~ 6.3% for full sketches; the
+    // intersection count is a binomial(true_i, theta) sample (~10%).
+    // Bounds are ~4 sigma.
+    assert(math.abs(est("side_0") - trueA) <= 0.25 * trueA,
+      s"A: ${est("side_0")} vs $trueA")
+    assert(math.abs(est("side_1") - trueB) <= 0.25 * trueB,
+      s"B: ${est("side_1")} vs $trueB")
+    assert(math.abs(est("union") - trueU) <= 0.25 * trueU,
+      s"U: ${est("union")} vs $trueU")
+    assert(math.abs(est("intersect") - trueI) <= 0.50 * trueI,
+      s"I: ${est("intersect")} vs $trueI")
+  }
+
+  test("KMV sketches MERGE: union of shard sketches == direct sketch") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text")
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      Shingles.wordNGrams(df, 3)
+        .select(lit(0).as("side"), md5(col("sh").cast("binary")).as("h"))
+    def sketchSet(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      Sketches.kmvSketch(hashes(df), 256).select("h").as[String]
+        .collect().toSeq.sorted
+    // two disjoint shards of the even half vs the even half directly —
+    // merging per-shard sketches (k smallest distinct of their union)
+    // must reproduce the direct sketch exactly: the 100 TB property
+    // (sketch each input split, merge tiny states, never re-scan)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val s1 = sketchSet(even.filter(col("doc_id") % 4 === 0))
+    val s2 = sketchSet(even.filter(col("doc_id") % 4 =!= 0))
+    val merged = (s1 ++ s2).distinct.sorted.take(256)
+    val direct = sketchSet(even)
+    assert(merged == direct)
+  }
+
   test("count-min estimate is an upper bound on the true count") {
     // run the probe query on real testdata: est >= n must hold for every
     // probed token (the sketch can only over-count)

@@ -81,4 +81,29 @@ class ZorderSpec extends AnyFunSuite {
     assert(pruned == full)
     assert(full.size == 11 * 21)
   }
+
+  test("f18 dynamic partition pruning reads only the dim-selected partitions") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Zorder.queries("f18_dpp_prune")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    // the md5-tag filter selects exactly signup + view (2 of 5 types)
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("signup", "view"))
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans)
+    }
+    val factScans = scans(df.queryExecution.executedPlan)
+      .filter(_.partitionFilters.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning])))
+    assert(factScans.nonEmpty, "no scan carries a DynamicPruning filter")
+    val m = factScans.head.metrics
+    // runtime proof: 2 of the 5 event_type directories were actually read
+    assert(m.contains("numPartitions"),
+      s"partition metric missing; have: ${m.keys.mkString(",")}")
+    assert(m("numPartitions").value == 2,
+      s"expected 2 partitions read, got ${m("numPartitions").value}")
+  }
 }
