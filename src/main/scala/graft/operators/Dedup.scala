@@ -51,7 +51,7 @@ object Dedup {
   /** Word 3-shingles, one row each: (doc_id, sh) — via the JIT-compiled
     * [[Shingles.wordNGrams]] generator (the HOF-explode form ran
     * interpreted; see Shingles' doc). */
-  private def shingled(c: DataFrame): DataFrame = Shingles.wordNGrams(c, 3)
+  private[operators] def shingled(c: DataFrame): DataFrame = Shingles.wordNGrams(c, 3)
 
   /** xxhash64-keyed DISTINCT set table of a shingle frame. Always
     * materialized: it has 3-5 consumers in every verify (sizes + both
@@ -100,7 +100,7 @@ object Dedup {
     * sf0.1 than this codegen'd md5 + partial-aggregate pipeline. The
     * shuffle it saves is tiny anyway (64 B/doc of partial mins after
     * map-side combine). */
-  private def signatures(sh: DataFrame): DataFrame = {
+  private[operators] def signatures(sh: DataFrame): DataFrame = {
     val digests = concat(md5(col("sh").cast("binary")),
       md5(concat(col("sh"), lit("|")).cast("binary")))
     val withD = sh.withColumn("dg", digests)
@@ -110,7 +110,7 @@ object Dedup {
   }
 
   /** Banded buckets: (doc_id, bid, bh). */
-  private def bands(sig: DataFrame): DataFrame = {
+  private[operators] def bands(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until NumBands).map(b =>
       struct(lit(b).as("bid"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary")).as("bh")))
@@ -140,6 +140,60 @@ object Dedup {
   def nearDupPairs(docs: DataFrame): DataFrame =
     candidatePairsFrom(bands(signatures(shingled(
       docs.select(col("doc_id"), col("text"))))))
+
+  /** The LSH band table `(doc_id, bid, bh)` computed PER ROW in one typed
+    * pass — byte-identical to `bands(signatures(shingled(docs)))` (spec:
+    * DedupSpec) but with ZERO shuffles: shingling, the two md5 digests,
+    * the 8 window minima and the band hashes all happen inside one task
+    * for each document. Two uses: (a) it is streaming-safe (a stateless
+    * projection, so a readStream of documents can band itself without a
+    * state store — es16 builds its incremental dedup gate on it), and
+    * (b) in batch it removes the shingle-explode shuffle when only the
+    * bands are needed. Docs with fewer than 3 tokens emit nothing — the
+    * same contract as the explode+groupBy form, whose signature
+    * aggregation sees no shingle rows for them. */
+  def bandRows(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val nh = NumHashes; val nb = NumBands
+    docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexc = "0123456789abcdef".toCharArray
+        def md5hex(t: String): String = {
+          val dg = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = hexc((dg(i) >> 4) & 0xf); out(2 * i + 1) = hexc(dg(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        it.flatMap { case (id, text) =>
+          val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
+          if (ws.length < 3) Iterator.empty
+          else {
+            val mins = new Array[String](nh)
+            var i = 0
+            while (i <= ws.length - 3) {
+              val sh = ws(i) + " " + ws(i + 1) + " " + ws(i + 2)
+              val dg = md5hex(sh) + md5hex(sh + "|")
+              var j = 0
+              while (j < nh) {
+                val w = dg.substring(8 * j, 8 * j + 8)
+                if (mins(j) == null || w < mins(j)) mins(j) = w
+                j += 1
+              }
+              i += 1
+            }
+            (0 until nb).iterator.map(b =>
+              (id, b, md5hex(mins(2 * b) + mins(2 * b + 1))))
+          }
+        }
+      }.toDF("doc_id", "bid", "bh")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup: hash-groupBy, keep min doc_id ------------------------
@@ -618,27 +672,34 @@ object Dedup {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       |)""".stripMargin
 
-  private val sqlShingles =
-    """sh AS (
-      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
-      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
-      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus))
-      |)""".stripMargin
-
-  private val sqlSig = {
-    // SQL twin of [[signatures]]: two digests, eight 8-hex-char windows
+  /** shingle/signature/band CTE chain over an arbitrary relation with a
+    * name prefix — ONE definition of the oracle-side LSH arithmetic
+    * (the SQL twin of [[signatures]]/[[bands]]: two digests per shingle,
+    * eight 8-hex-char windows, four 2-row bands), parameterized so
+    * oracles that band TWO corpora (es16's index + stream) compose it
+    * twice without hand-copied drift. */
+  private[operators] def sqlBandCtesSeq(rel: String, p: String): Seq[String] = {
+    val shingles =
+      s"""${p}sh AS (
+         |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $rel))
+         |)""".stripMargin
     val mins = (0 until NumHashes)
       .map(j => s"min(substring(md5(sh) || md5(sh || '|'), ${8 * j + 1}, 8)) AS h$j")
       .mkString(", ")
-    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+    val sig = s"${p}sig AS (SELECT doc_id, $mins FROM ${p}sh GROUP BY doc_id)"
+    val rows = (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS bid, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM ${p}sig")
+      .mkString("\n  UNION ALL ")
+    val band = s"${p}band AS (\n  $rows\n)"
+    Seq(shingles, sig, band)
   }
 
-  private val sqlBand = {
-    val rows = (0 until NumBands)
-      .map(b => s"SELECT doc_id, $b AS bid, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
-      .mkString("\n  UNION ALL ")
-    s"band AS (\n  $rows\n)"
-  }
+  private val bandPieces = sqlBandCtesSeq("corpus", "")
+  private val sqlShingles = bandPieces(0)
+  private val sqlSig = bandPieces(1)
+  private val sqlBand = bandPieces(2)
 
   private val sqlPairs =
     """pairs AS (

@@ -257,6 +257,36 @@ object Events {
       s.table(name).select(col("h"), col("doc_id").as("keeper"))
     }),
 
+    // -- es16: streaming LSH near-dup gate through the oracle gate ---------
+    // [[EventStreams.lshGateStream]]: the INCREMENTAL ingestion shape —
+    // the even-id half of the corpus is the already-ingested static LSH
+    // band index (built in batch, [[Dedup.bandRows]]); the stream replays
+    // the odd half (novel) plus truncated near-dup copies of indexed
+    // docs arriving in the last microbatches
+    // ([[graft.streaming.Replay.incrementalDocsDir]]). es4 dedups EXACT
+    // content hashes; this gate catches NEAR-dups a content hash never
+    // sees. Complete-mode fixpoint must match the batch band left-join.
+    "es16_stream_lsh_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val streamDir = graft.streaming.Replay.incrementalDocsDir(s, d)
+      val sch = s.read.parquet(streamDir).schema
+      val docs = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      val idx = Dedup.bandRows(
+          documents(s, d).filter(col("doc_id") % 2 === 0)
+            .select("doc_id", "text"))
+        .localCheckpoint() // static side: materialized once, probed per batch
+      val name = "es16_lsh_mem"
+      s.catalog.dropTempView(name)
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams.lshGateStream(docs, idx)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
+    }),
+
     // -- es5: streaming ingest curation through the oracle gate ------------
     // [[EventStreams.curateStream]]: per-row quality gates (token count,
     // stopword presence — same thresholds as the batch quality_ok verdict)
@@ -833,6 +863,30 @@ object Events {
           |          w -> w IN ('the', 'a', 'of', 'and', 'in', 'to'))) >= 1)
           |SELECT md5(text) AS h, MIN(doc_id) AS keeper
           |FROM q GROUP BY md5(text)""".stripMargin) +
+      // streaming LSH near-dup gate: the band arithmetic is ONE shared
+      // builder (Dedup.sqlBandCtesSeq) applied to the static index
+      // corpus and the replayed stream corpus; the gate's answer is the
+      // batch band left-join over the two
+      ("es16_stream_lsh_dedup" -> {
+        val corpora = Seq(
+          "idxc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
+          """strc AS (
+            |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+            |  UNION ALL
+            |  SELECT doc_id + (SELECT GREATEST(MAX(doc_id) + 1, 100000) FROM documents)
+            |    AS doc_id,
+            |         array_to_string(ws[1:greatest(len(ws)-3, 1)], ' ') AS text
+            |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            |        WHERE doc_id % 2 = 0 AND doc_id % 10 = 0)
+            |)""".stripMargin)
+        "WITH " + (corpora ++ Dedup.sqlBandCtesSeq("idxc", "i") ++
+          Dedup.sqlBandCtesSeq("strc", "s")).mkString(",\n") +
+          """
+            |SELECT s.doc_id, CAST(COUNT(i.doc_id) AS BIGINT) AS n_hits,
+            |       CASE WHEN COUNT(i.doc_id) = 0 THEN 1 ELSE 0 END AS novel
+            |FROM sband s LEFT JOIN iband i ON s.bid = i.bid AND s.bh = i.bh
+            |GROUP BY s.doc_id""".stripMargin
+      }) +
       // streaming k-mer counter == batch g1 (same oracle, same hash)
       ("es6_stream_kmer_count" -> Genomics.oracles("g1_kmer_count")) +
       // running user stats fixpoint == plain batch GROUP BY (e1's

@@ -136,6 +136,28 @@ object EventStreams {
     * state (duplicates arriving later than the watermark may pass, which
     * is the standard state-size/completeness trade at 100 TB/day rates —
     * the batch d1 pass downstream catches stragglers). */
+  /** Incremental near-dup ADMISSION GATE: band the incoming document
+    * stream per row ([[graft.operators.Dedup.bandRows]] — a stateless
+    * typed projection, no state store, no shuffle on the stream side)
+    * and probe a STATIC MinHash-LSH band index of the already-ingested
+    * corpus with a stream-static equi-join on (bid, bh). Per streamed
+    * doc: the count of index band hits; `novel = 1` (zero hits in all
+    * four bands) means safe to admit. This is how a 100 TB corpus takes
+    * deliveries: the index is a bucketed table maintained in batch, each
+    * microbatch probes it by hash, and nothing ever compares documents
+    * pairwise. The es16 gate proves the emitted classification matches
+    * the batch band join exactly. */
+  def lshGateStream(docs: DataFrame, indexBands: DataFrame): DataFrame = {
+    val sb = graft.operators.Dedup.bandRows(docs)
+    val ib = indexBands.select(col("bid").as("ibid"), col("bh").as("ibh"),
+      col("doc_id").as("idx_doc"))
+    sb.join(ib, sb("bid") === ib("ibid") && sb("bh") === ib("ibh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("idx_doc").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"),
+        when(col("n_hits") === 0, 1).otherwise(0).as("novel"))
+  }
+
   def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
                   watermark: String = "1 hour"): DataFrame =
     docs

@@ -148,6 +148,42 @@ object Replay {
     * `injectDups = false` replays the corpus verbatim (still ordered and
     * bucketed) — the input for streaming operators whose batch twin runs
     * over the unmodified table (es6's k-mer counter vs g1). */
+  /** Materialize the INCREMENTAL-ingestion stream for es16: the odd-id
+    * half of the corpus (novel material) plus truncated near-dup copies
+    * of every 10th even-id document — near-dups of the EVEN half, which
+    * the query holds as its static LSH index. Copies are offset past the
+    * live id range (the d-family GREATEST(MAX+1, 100000) convention) and
+    * ordered AFTER all novel docs, so the gate classifies novel and
+    * duplicate traffic in the same replay, the duplicates arriving in
+    * the last microbatches. */
+  def incrementalDocsDir(s: SparkSession, sfDir: String, buckets: Int = 4): String = {
+    val key =
+      s"documents_incr:${new java.io.File(sfDir).getCanonicalPath}:$buckets"
+    cache.get(key) match {
+      case Some(d) if Files.exists(Paths.get(d, "_replay_done")) => d
+      case _ =>
+        val docs = graft.Tables.documents(s, sfDir).select("doc_id", "text")
+        val statsRow = docs.agg(max("doc_id"), count(lit(1))).first()
+        val stream =
+          if (statsRow.getLong(1) == 0L) docs.withColumn("ord", col("doc_id"))
+          else {
+            val hi = statsRow.getLong(0)
+            val off = math.max(hi + 1, 100000L)
+            val ws = split(col("text"), " ")
+            val odd = docs.filter(col("doc_id") % 2 === 1)
+              .withColumn("ord", col("doc_id"))
+            val dups = docs
+              .filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 === 0)
+              .select((col("doc_id") + off).as("doc_id"),
+                concat_ws(" ",
+                  slice(ws, lit(1), greatest(size(ws) - 3, lit(1)))).as("text"))
+              .withColumn("ord", col("doc_id") - off + hi + 1)
+            odd.unionByName(dups)
+          }
+        materialize(key, stream, Seq("doc_id", "text"), buckets, None)
+    }
+  }
+
   def documentsDir(s: SparkSession, sfDir: String, buckets: Int = 4,
                    injectDups: Boolean = true): String = {
     val key =

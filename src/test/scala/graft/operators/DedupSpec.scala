@@ -38,6 +38,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bandRows (per-row, shuffle-free) == bands(signatures(shingled)) exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // real corpus plus the contract edges: <3 tokens (emit nothing),
+    // exactly 3 tokens (one shingle), empty text, multibyte text
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (900001L, ""), (900002L, "one two"), (900003L, "a b c"),
+        (900004L, "汉字 émoji 🎉 mixed bytes here"))
+        .toDF("doc_id", "text"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, String)].collect().toSet
+    val perRow = key(Dedup.bandRows(docs))
+    val batch = key(Dedup.bands(Dedup.signatures(Dedup.shingled(docs))))
+    assert(perRow == batch)
+    assert(perRow.exists(_._1 == 900003L)) // 3-token doc does band
+    assert(!perRow.exists(_._1 == 900002L)) // <3 tokens emits nothing
+  }
+
   test("repeatedSpans merges adjacent duplicated n-grams into maximal passages") {
     import spark.implicits._
     // doc 1 and doc 2 share a 6-token passage (>= n=4 tokens -> 3 gram
