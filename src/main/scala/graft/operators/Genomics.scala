@@ -348,6 +348,46 @@ object Genomics {
         col("node") % 5 === 0, maxHops = 4)
     }),
 
+    // -- g21: community modularity over the overlap graph ------------------
+    // the partition-quality score (Newman Q) every clustering pass needs
+    // as its acceptance metric: Q = sum_c [ m_in(c)/m - (deg(c)/2m)^2 ].
+    // The partition under test is one hash-to-min round (lbl(v) =
+    // min(v, min neighbor) — the first step of g16's CC reduction), which
+    // genuinely fragments components, so internal AND cross edges are
+    // both live and the two Q terms really compete. Emitted per community
+    // (integers + one rounded double from fixed-order integer arithmetic)
+    // so a driver sums q_contrib for the global Q. At scale: the label is
+    // ONE map-side-combined aggregation, every modularity term is an
+    // equi-join on v/lbl, and m rides a 1-row broadcast — nothing holds
+    // the graph in one place.
+    "g21_modularity" -> ((s, d) => {
+      val pairs = queries("g14_minimizer_overlap")(s, d)
+        .select(col("ra").as("x"), col("rb").as("y")).localCheckpoint()
+      val edges = pairs.union(pairs.select(col("y"), col("x")))
+        .toDF("x", "y")
+      val deg = edges.groupBy(col("x").as("v")).agg(count(lit(1)).as("deg"))
+      val lbl = edges.groupBy(col("x").as("v")).agg(min(col("y")).as("mn"))
+        .select(col("v"), least(col("v"), col("mn")).as("lbl"))
+        .localCheckpoint()
+      val m = broadcast(pairs.agg(count(lit(1)).as("m")))
+      val inte = pairs
+        .join(lbl.select(col("v").as("x"), col("lbl").as("la")), "x")
+        .join(lbl.select(col("v").as("y"), col("lbl").as("lb")), "y")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("m_in"))
+      val qc = (col("m_in").cast("double") / col("m")) -
+        (col("deg_sum").cast("double") / (col("m") * 2)) *
+          (col("deg_sum").cast("double") / (col("m") * 2))
+      lbl.join(deg, "v")
+        .groupBy("lbl")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+        .join(inte, Seq("lbl"), "left_outer")
+        .withColumn("m_in", coalesce(col("m_in"), lit(0L)))
+        .crossJoin(m)
+        .select(col("lbl").as("community"), col("n_nodes"), col("m_in"),
+          col("deg_sum"), (round(qc, 6) + lit(0.0)).as("q_contrib"))
+    }),
+
     // -- P7: forward sub-kmer split (prefix key, marker, extension base) ---
     "g7_subkmer_split" -> ((s, d) => {
       import s.implicits._
@@ -580,6 +620,28 @@ object Genomics {
          |  WHERE w.dist < 4)
          |SELECT node AS rid, CAST(MIN(dist) AS BIGINT) AS dist
          |FROM walk GROUP BY node""".stripMargin),
+    // one-round hash-to-min partition + Newman Q terms over it; the
+    // (x*x) form (not pow) keeps the doubles bit-identical across engines
+    "g21_modularity" ->
+      (sqlOverlapPairs + """,
+         |edges AS (SELECT ra AS x, rb AS y FROM pairs
+         |          UNION ALL SELECT rb, ra FROM pairs),
+         |deg AS (SELECT x AS v, COUNT(*) AS deg FROM edges GROUP BY x),
+         |lbl AS (SELECT x AS v, LEAST(x, MIN(y)) AS lbl FROM edges GROUP BY x),
+         |mm AS (SELECT COUNT(*) AS m FROM pairs),
+         |inte AS (SELECT la.lbl AS lbl, COUNT(*) AS m_in
+         |         FROM pairs p
+         |         JOIN lbl la ON p.ra = la.v
+         |         JOIN lbl lb ON p.rb = lb.v AND la.lbl = lb.lbl
+         |         GROUP BY la.lbl),
+         |agg AS (SELECT l.lbl, COUNT(*) AS n_nodes, CAST(SUM(d.deg) AS BIGINT) AS deg_sum
+         |        FROM lbl l JOIN deg d ON l.v = d.v GROUP BY l.lbl)
+         |SELECT a.lbl AS community, a.n_nodes,
+         |  CAST(coalesce(i.m_in, 0) AS BIGINT) AS m_in, a.deg_sum,
+         |  round(CAST(coalesce(i.m_in, 0) AS DOUBLE) / mm.m -
+         |        (CAST(a.deg_sum AS DOUBLE) / (mm.m * 2)) *
+         |        (CAST(a.deg_sum AS DOUBLE) / (mm.m * 2)), 6) + 0.0 AS q_contrib
+         |FROM agg a LEFT JOIN inte i ON a.lbl = i.lbl CROSS JOIN mm""".stripMargin),
     "g16_component_census" ->
       ("WITH RECURSIVE " + sqlOverlapPairs.stripPrefix("WITH ") + """,
          |edges AS (SELECT ra AS x, rb AS y FROM pairs
