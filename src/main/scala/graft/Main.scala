@@ -354,10 +354,19 @@ object Main {
           .groupBy("bucket").agg(max(col("rho")).cast("long").as("r"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val est = operators.Sketches.hllEstimate(regs)
+        // the KMV theta sketch next to HLL: same job (distinct estimate)
+        // but mergeable under INTERSECTION too (x10's set algebra)
+        val kmvRow = operators.Sketches.kmvSketch(
+            dtok.select(lit(0).as("side"),
+              md5(col("tok").cast("binary")).as("h")), 256)
+          .agg(count(lit(1)).as("n"), max(col("h")).as("theta")).first()
+        val kmvEst =
+          if (kmvRow.isNullAt(1)) 0.0
+          else operators.Sketches.kmvEstimate(kmvRow.getLong(0), kmvRow.getString(1))
         val top = tok.groupBy("tok").count().orderBy(col("count").desc, col("tok"))
           .limit(5).collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(", ")
         println(f"[graft] stats: docs=$nDocs tokens=$nTok distinct=$nDistinct " +
-          f"hll_estimate=$est%.1f top5=[$top]")
+          f"hll_estimate=$est%.1f kmv_estimate=$kmvEst%.1f top5=[$top]")
 
       case "curate" =>
         // training-corpus curation over a parquet documents table:
@@ -416,17 +425,22 @@ object Main {
           Tables.customer(spark, sfDir))
         val cont = operators.DataQuality.continuityAudit(
           Tables.events(spark, sfDir))
+        val kanon = operators.DataQuality.kAnonymityRisks(
+          Tables.customer(spark, sfDir))
         cons.write.mode("overwrite").parquet(s"$out/dq_constraints")
         refs.write.mode("overwrite").parquet(s"$out/dq_referential")
         cont.write.mode("overwrite").parquet(s"$out/dq_continuity")
+        kanon.write.mode("overwrite").parquet(s"$out/dq_k_anonymity")
         val failed = cons.filter(col("pass") === 0)
           .select("check_name").collect().map(_.getString(0))
         val orphanTotal = refs.agg(sum(col("orphan_rows"))).collect()(0).getLong(0)
         val c = cont.collect()(0)
+        val risky = kanon.count()
         println(s"[graft] dq: constraints ${if (failed.isEmpty) "ALL PASS"
           else s"FAILED: ${failed.mkString(", ")}"}; " +
           s"referential orphan rows=$orphanTotal; " +
-          s"days=${c.getLong(0)} missing=${c.getLong(3)} max_gap=${c.getLong(4)}" +
+          s"days=${c.getLong(0)} missing=${c.getLong(3)} max_gap=${c.getLong(4)}; " +
+          s"k-anonymity risk groups=$risky" +
           s" -> $out/dq_*")
       case other =>
         sys.error(s"unknown subcommand '$other' " +

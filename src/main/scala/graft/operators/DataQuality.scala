@@ -128,10 +128,41 @@ object DataQuality {
     "dq2_referential" -> ((s, d) =>
       referentialAudit(lineitem(s, d), orders(s, d), customer(s, d))),
     // -- dq3: event-time calendar continuity ------------------------------
-    "dq3_continuity" -> ((s, d) => continuityAudit(events(s, d)))
+    "dq3_continuity" -> ((s, d) => continuityAudit(events(s, d))),
+
+    // -- dq4: k-anonymity audit (re-identification risk) ------------------
+    // the governance gate a training-data release runs: every
+    // quasi-identifier combination (here nation x market segment x
+    // account-balance bucket) that fewer than k=5 individuals share is a
+    // re-identification risk and must be suppressed or generalized
+    // before the data ships. One map-side-combined aggregation; the
+    // report is bounded by the number of RISKY groups (small by
+    // definition — a group that is large is not in it), so nothing
+    // scales with table volume after the scan. floor() before the cast
+    // in both engines (the x7 convention: DuckDB's double->bigint cast
+    // rounds, Spark's truncates).
+    "dq4_k_anonymity" -> ((s, d) => kAnonymityRisks(customer(s, d)))
   )
 
+  /** Quasi-identifier groups of `cust` shared by fewer than `k`
+    * individuals — the rows a release must suppress or generalize.
+    * See dq4's doc for the scale argument. */
+  def kAnonymityRisks(cust: DataFrame, k: Int = 5): DataFrame =
+    cust
+      .groupBy(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+
   def oracles: Map[String, String] = Map(
+    "dq4_k_anonymity" ->
+      """SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |  COUNT(*) AS n
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |HAVING COUNT(*) < 5""".stripMargin,
     "dq1_constraints" ->
       """WITH wide AS (SELECT COUNT(*) AS n_rows,
         |  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,

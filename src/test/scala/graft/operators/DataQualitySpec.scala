@@ -85,4 +85,22 @@ class DataQualitySpec extends AnyFunSuite {
     assert(r.getLong(4) === 4L) // max gap
     assert(r.getLong(5) === 6L) // events
   }
+
+  test("dq4: QI groups below k are flagged, groups at k are not") {
+    import spark.implicits._
+    // 5 identical QI rows (exactly k -> safe), 2 identical (risk),
+    // 1 singleton (risk); bucket edges: -0.5 lands in bucket -1
+    val cust = (
+      Seq.fill(5)((1, "AUTO", 1500.0)) ++
+      Seq.fill(2)((2, "AUTO", 500.0)) ++
+      Seq((3, "RAIL", -0.5))
+    ).zipWithIndex.map { case ((n, seg, bal), i) => (i.toLong, n, seg, bal) }
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = DataQuality.kAnonymityRisks(cust)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got.size == 2)
+    assert(got((2, "AUTO", 0L)) == 2L)
+    assert(got((3, "RAIL", -1L)) == 1L) // floor(-0.0005) bucket, not round
+  }
 }
