@@ -42,7 +42,7 @@ object Events {
     * at sf0.1 vs 8 partitions, every other es* equal-or-faster, oracle
     * hashes identical); a production deployment sizes it to sustained
     * events/sec the same way. Restores the session default afterwards. */
-  private def withStreamPartitions[T](s: SparkSession, n: Int = 4)(body: => T): T = {
+  private[operators] def withStreamPartitions[T](s: SparkSession, n: Int = 4)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)

@@ -342,8 +342,14 @@ object Lakehouse {
           ()
         }
         .option("checkpointLocation", s"$root/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // size the per-batch merge like the other bounded replays (the
+      // foreachBatch groupBy + snapshot write inherit the session's
+      // shuffle width; 32 tasks per 4-batch merge of a 15k-row snapshot
+      // is pure per-task overhead — values are partition-independent)
+      Events.withStreamPartitions(s) {
+        val started = q.trigger(Trigger.AvailableNow()).start()
+        started.awaitTermination()
+      }
       s.read.parquet(current.get())
         .filter(col("op") =!= "D")
         .select(col("okey"), col("status"), col("price").cast("double").as("price"))
