@@ -58,6 +58,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!perRow.exists(_._1 == 900002L)) // <3 tokens emits nothing
   }
 
+  test("bandRows == batch bands on seeded random corpora (3 seeds)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val alphabet = Seq("the", "of", "and", "in", "to", "a", "智能", "数据",
+      "café", "🚀", "x" * 30, "1", "-", "@", "%s", "", "w1", "w2", "w3")
+    for (seed <- Seq(211L, 223L, 227L)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 100).map { i =>
+        val n = rnd.nextInt(40)
+        (i.toLong, (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Int, String)].collect().toSet
+      assert(key(Dedup.bandRows(docs)) ==
+        key(Dedup.bands(Dedup.signatures(Dedup.shingled(docs)))),
+        s"divergence at seed $seed")
+    }
+  }
+
   test("repeatedSpans merges adjacent duplicated n-grams into maximal passages") {
     import spark.implicits._
     // doc 1 and doc 2 share a 6-token passage (>= n=4 tokens -> 3 gram

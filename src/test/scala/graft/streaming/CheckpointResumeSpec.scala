@@ -205,4 +205,46 @@ class CheckpointResumeSpec extends AnyFunSuite {
     assert(ids.distinct.length == 35, "resume duplicated records")
     assert(ids.sorted == (0 until 35).map(i => f"r$i%04d"))
   }
+
+  test("checkpointed LSH gate re-emits pre-stop verdicts from restored state") {
+    // es16's durability class: a COMPLETE-mode aggregation. After a
+    // restart, docs whose input files were consumed before the stop can
+    // only reappear in the output from the RESTORED aggregation state —
+    // the checkpoint marks their files committed, so they are never
+    // re-read.
+    import spark.implicits._
+    val src = tmp("graft_lsh_src")
+    val cp = tmp("graft_lsh_cp")
+    val t0 = System.currentTimeMillis()
+    val idxText = (1 to 12).map(i => s"w$i").mkString(" ")
+    val idx = graft.operators.Dedup.bandRows(
+      Seq((100L, idxText)).toDF("doc_id", "text")).localCheckpoint()
+    // doc 1 duplicates indexed content (all 4 bands hit); doc 2 is novel
+    writeBatch(src, "b0",
+      Seq(1L -> idxText, 2L -> "zz yy xx ww vv uu tt ss rr"), t0)
+    val schema = spark.read.parquet(src.toString).schema
+    def gate() = EventStreams.lshGateStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+        .select("doc_id", "text"), idx)
+    def run(name: String): Map[Long, (Long, Int)] = {
+      val q = gate().writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", cp.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).as[(Long, Long, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    }
+    val first = run("lsh_cp_1")
+    assert(first.keySet == Set(1L, 2L))
+    assert(first(1L) == ((4L, 0)), s"dup doc must hit all 4 bands: $first")
+    assert(first(2L) == ((0L, 1)), s"novel doc must pass: $first")
+    writeBatch(src, "b1", Seq(3L -> "aa bb cc dd ee ff gg"), t0 + 4000)
+    val second = run("lsh_cp_2") // restart: only b1 is read
+    assert(second.keySet == Set(1L, 2L, 3L),
+      "pre-stop verdicts lost across restart")
+    assert(second(1L) == first(1L) && second(2L) == first(2L))
+    assert(second(3L) == ((0L, 1)))
+  }
 }
