@@ -109,6 +109,46 @@ object Lakehouse {
         .withColumn("total", col("total").cast("double"))
     }),
 
+    // -- x11: incremental view maintenance of a JOIN ------------------------
+    // the join half of the IVM story (x8 maintains an AGGREGATE): a
+    // materialized orders⋈customer view is brought up to date after both
+    // sides receive an insert batch, WITHOUT re-running the big×big join.
+    // The insert-only delta rule is exact for inner joins:
+    //   ΔV = ΔO⋈C₀ ∪ O₀⋈ΔC ∪ ΔO⋈ΔC,  V' = V₀ ∪ ΔV.
+    // Every maintenance join has a DELTA on one side, so it is planned as
+    // a broadcast hash join of the delta against the base (pinned in
+    // PlanAuditSpec — the base×base join runs ZERO times during
+    // maintenance; V₀ is read back from its materialized parquet exactly
+    // as a lake view would be). At 100 TB the deltas are a day's
+    // ingestion against years of base — this plan shape is the entire
+    // point of materializing the view. Result must equal the from-scratch
+    // join of the full tables (the oracle states exactly that).
+    "x11_join_ivm" -> ((s, d) => {
+      val viewDir = s"${ioDir(d)}/x11_view"
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(D2).as("price"))
+      val c = customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment").as("segment"))
+      val oBase = o.filter(col("o_orderkey") % 10 =!= 9)
+      val oDelta = o.filter(col("o_orderkey") % 10 === 9)
+      val cBase = c.filter(col("c_custkey") % 10 =!= 4)
+      val cDelta = c.filter(col("c_custkey") % 10 === 4)
+      // the pre-existing materialized view (built once, read from disk)
+      oBase.join(cBase, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("segment"), col("price"))
+        .write.mode("overwrite").parquet(viewDir)
+      val v0 = s.read.parquet(viewDir)
+      val dv =
+        broadcast(oDelta).join(cBase, col("o_custkey") === col("c_custkey"))
+          .unionByName(
+            oBase.join(broadcast(cDelta), col("o_custkey") === col("c_custkey")))
+          .unionByName(
+            broadcast(oDelta).join(cDelta, col("o_custkey") === col("c_custkey")))
+          .select(col("o_orderkey"), col("o_custkey"), col("segment"), col("price"))
+      v0.unionByName(dv)
+        .withColumn("price", col("price").cast("double"))
+    }),
+
     // -- x9: CDC upsert — MERGE a change batch into a snapshot -------------
     // the lake-table maintenance primitive (Delta/Iceberg MERGE INTO):
     // a base snapshot plus a change batch of upserts and deletes becomes
@@ -414,6 +454,10 @@ object Lakehouse {
         |FROM r GROUP BY event_type, bucket""".stripMargin,
     // latest-version-wins merge, deletes dropped — stated as the plain
     // windowed form (the engine's max_by-struct is the agg equivalent)
+    "x11_join_ivm" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment AS segment,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "x9_cdc_upsert" ->
       """WITH base AS (
         |  SELECT o_orderkey AS okey, o_orderstatus AS status,

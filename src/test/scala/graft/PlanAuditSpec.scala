@@ -252,4 +252,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), p.take(4000))
     assert(p.contains("PartitionFilters"), p.take(4000))
   }
+
+  test("x11 join maintenance broadcasts the deltas; no base-x-base join") {
+    // the maintenance plan (what runs after the view exists) must be
+    // delta-broadcast hash joins only — a sort-merge join here would mean
+    // the base table is being joined at full width during maintenance
+    val p = plan("x11_join_ivm")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
