@@ -88,6 +88,34 @@ object Events {
           col("n"), col("total"))
     }),
 
+    // -- es17: NATIVE session_window aggregation in streaming --------------
+    // the one stateful operator class the es-family had not exercised:
+    // Spark's session-window state store, which MERGES windows as events
+    // arrive (a late bridging event collapses two open sessions into
+    // one). es2 sessionizes with hand-written flatMapGroupsWithState
+    // logic; es17 lets the engine's native merge do it and must land
+    // exactly batch e8's answer (same oracle, same hash) after the
+    // ordered replay runs to completion in Complete mode.
+    "es17_stream_session_window" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val streamDir = graft.streaming.Replay.eventsDir(s, d)
+      val sch = s.read.parquet(streamDir).schema
+      val ev = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      val name = "es17_sw_mem"
+      s.catalog.dropTempView(name)
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams.sessionWindowTotals(ev)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name).select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_dec").cast("double").as("sum_value"))
+    }),
+
     // -- es13: the SAME pipeline on the RocksDB state-store backend --------
     // at 100 TB the windowed/joined state no longer fits executor heaps —
     // the deployment answer is Spark's RocksDB state store (state lives
@@ -841,6 +869,8 @@ object Events {
     base +
       ("es2_stream_sessionize" -> base("e2_sessionize")) +
       ("es3_stream_funnel" -> base("e10_funnel")) +
+      // native session-window streaming agg == batch e8 (same oracle)
+      ("es17_stream_session_window" -> base("e8_session_window")) +
       // streaming exact dedup under ordered replay (with every 10th doc
       // re-ingested later at doc_id+1e6) == batch min-doc_id dedup
       ("es4_stream_dedup" ->

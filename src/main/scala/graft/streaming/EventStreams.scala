@@ -136,6 +136,20 @@ object EventStreams {
     * state (duplicates arriving later than the watermark may pass, which
     * is the standard state-size/completeness trade at 100 TB/day rates —
     * the batch d1 pass downstream catches stragglers). */
+  /** Streaming analogue of e8: NATIVE session_window aggregation — the
+    * state store MERGES session windows as events arrive (two sessions
+    * that a late bridging event joins collapse into one), which is a
+    * different stateful-operator class from the flatMapGroupsWithState
+    * sessionizer (es2): there the merge logic is hand-written, here it is
+    * Spark's session-window state store. Exact decimal sums, so the
+    * merged state is arrival-order-independent and the Complete-mode
+    * fixpoint equals the batch session_window answer. */
+  def sessionWindowTotals(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_dec"))
+
   /** Incremental near-dup ADMISSION GATE: band the incoming document
     * stream per row ([[graft.operators.Dedup.bandRows]] — a stateless
     * typed projection, no state store, no shuffle on the stream side)

@@ -297,4 +297,30 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(row() == ((3L, 1L, 1L)))
     } finally q.stop()
   }
+
+  test("native session_window MERGES two open sessions on a bridging event") {
+    // the behavior that distinguishes the session-window state store
+    // (es17) from a tumbling window: two sessions 40 min apart are
+    // separate until a LATER microbatch lands an event between them
+    // within the gap of both — the store must collapse them into one
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val q = sessionWindowTotals(
+        in.toDF().toDF("ts", "user_id", "value"), gap = "30 minutes")
+      .writeStream.format("memory").queryName("swmerge")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts(0), 1L, 1.0), (ts(40), 1L, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("swmerge").count() == 2) // two separate sessions
+      in.addData((ts(20), 1L, 1.0)) // bridges: 0-20 and 20-40 both in-gap
+      q.processAllAvailable()
+      val rows = spark.table("swmerge")
+        .selectExpr("sw.start", "sw.end", "n_events")
+        .as[(Timestamp, Timestamp, Long)].collect().toSeq
+      assert(rows == Seq((ts(0), new Timestamp(ts(40).getTime + 30 * 60000L), 3L)),
+        s"sessions did not merge: $rows")
+    } finally q.stop()
+  }
 }
