@@ -362,7 +362,7 @@ object Main {
           .agg(count(lit(1)).as("n"), max(col("h")).as("theta")).first()
         val kmvEst =
           if (kmvRow.isNullAt(1)) 0.0
-          else operators.Sketches.kmvEstimate(kmvRow.getLong(0), kmvRow.getString(1))
+          else operators.Sketches.kmvSketchEstimate(kmvRow.getLong(0), kmvRow.getString(1))
         val top = tok.groupBy("tok").count().orderBy(col("count").desc, col("tok"))
           .limit(5).collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(", ")
         println(f"[graft] stats: docs=$nDocs tokens=$nTok distinct=$nDistinct " +

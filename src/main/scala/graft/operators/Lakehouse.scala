@@ -133,7 +133,10 @@ object Lakehouse {
       val oDelta = o.filter(col("o_orderkey") % 10 === 9)
       val cBase = c.filter(col("c_custkey") % 10 =!= 4)
       val cDelta = c.filter(col("c_custkey") % 10 === 4)
-      // the pre-existing materialized view (built once, read from disk)
+      // the demo SETUP: materialize the view this run (a real lake has it
+      // already). The RETURNED frame — what the plan pin and the delta
+      // rule are about — reads it back from parquet; the from-scratch
+      // join below happens once, at view creation, never at maintenance.
       oBase.join(cBase, col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("o_custkey"), col("segment"), col("price"))
         .write.mode("overwrite").parquet(viewDir)

@@ -187,7 +187,7 @@ object Sketches {
     // sketches is constant-size. Hashes are md5 hex (fixed-width, so
     // string order == numeric order); thetas are RETAINED hashes and
     // counts are integers — the estimator (the one FP step) stays
-    // driver-side in [[kmvEstimate]], outside the oracle-checked query.
+    // driver-side in [[kmvSketchEstimate]]/[[kmvBelowThetaEstimate]], outside the oracle-checked query.
     "x10_kmv_theta" -> ((s, d) => {
       val k = 256
       val sh = Shingles.wordNGrams(
@@ -283,16 +283,21 @@ object Sketches {
     (BigDecimal(BigInt(thetaHex, 16)) /
       BigDecimal(BigInt(1) << 128)).toDouble
 
-  /** KMV estimators over an x10 row (deliberately driver-side, like
-    * [[hllEstimate]]): a FULL sketch (n == k, theta = kth smallest
-    * retained hash) estimates (k-1)/theta; a sketch or theta-truncated
-    * count with n < k is estimated by n/theta (n hashes observed in a
-    * theta-fraction of the space — for intersections and sparse unions;
-    * exact when theta covers the whole retained range). */
-  def kmvEstimate(n: Long, thetaHex: String, k: Int = 256): Double = {
-    val t = kmvTheta(thetaHex)
-    if (n >= k) (k - 1) / t else n / t
-  }
+  /** KMV estimators over x10 rows (deliberately driver-side, like
+    * [[hllEstimate]]). Two distinct regimes that must not be conflated:
+    * a FULL sketch (n == k) estimates (k-1)/theta from its kth-smallest
+    * retained hash; a sketch that absorbed the whole set (n < k, theta =
+    * its own max retained hash) IS the set — the answer is exactly n
+    * (n/theta here would over-estimate by ~1 element). */
+  def kmvSketchEstimate(n: Long, thetaHex: String, k: Int = 256): Double =
+    if (n < k) n.toDouble else (k - 1) / kmvTheta(thetaHex)
+
+  /** Estimate for a theta-TRUNCATED count: n hashes observed strictly
+    * below an externally-imposed theta (x10's intersect row, and its
+    * union row when the merged candidates stay under k) scale up by the
+    * sampled fraction of the hash space. */
+  def kmvBelowThetaEstimate(n: Long, thetaHex: String): Double =
+    n / kmvTheta(thetaHex)
 
   private def sqlCmBucket(tok: String, r: Int): String =
     s"substring(md5($tok || '$r'), 1, 3)"

@@ -23,6 +23,11 @@ import graft.Tables._
   */
 object Zorder {
 
+  /** Per-sf scratch root for layout demos (same convention as
+    * [[Lakehouse]]/GenomicsIO). */
+  private def ioDir(d: String) =
+    s"/root/repo/target/graft_io/${new java.io.File(d).getName}"
+
   /** Morton (Z-curve) interleave of the low `bits` bits of two
     * non-negative columns: bit i of `a` lands at position 2i, bit i of
     * `b` at 2i+1. Pure shift/mask arithmetic — codegen'd, no UDF. */
@@ -68,7 +73,7 @@ object Zorder {
     // ZorderSpec pins the structural half (fewer files than the layout
     // total; a linearly-sorted layout fails to prune the doc_id box).
     "f13_zorder_prune" -> ((s, d) => {
-      val dir = s"/root/repo/target/graft_io/${new java.io.File(d).getName}/zorder"
+      val dir = s"${ioDir(d)}/zorder"
       val docs = documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
       val manifest = writeZordered(docs, "n_chars", "doc_id", dir, nFiles = 16)
       val picked = pruneFiles(manifest, 200, 400, 100, 2000)
@@ -92,7 +97,7 @@ object Zorder {
     // fragment and the pruned-partition count). Only the 2 of 5
     // event_type partitions the dim filter selects are scanned.
     "f18_dpp_prune" -> ((s, d) => {
-      val dir = s"/root/repo/target/graft_io/${new java.io.File(d).getName}/dpp_events"
+      val dir = s"${ioDir(d)}/dpp_events"
       val ev = events(s, d).select(col("event_type"), col("value"))
       ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
       val fact = s.read.parquet(dir)

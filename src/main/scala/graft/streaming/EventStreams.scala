@@ -131,11 +131,6 @@ object EventStreams {
         col("pts") <= col("cts") + expr(s"interval $windowMs milliseconds"),
       joinType)
 
-  /** Streaming exact dedup for an ingestion pipeline: keep the first
-    * occurrence of each content hash; the watermark bounds the dedup
-    * state (duplicates arriving later than the watermark may pass, which
-    * is the standard state-size/completeness trade at 100 TB/day rates —
-    * the batch d1 pass downstream catches stragglers). */
   /** Streaming analogue of e8: NATIVE session_window aggregation — the
     * state store MERGES session windows as events arrive (two sessions
     * that a late bridging event joins collapse into one), which is a
@@ -172,6 +167,11 @@ object EventStreams {
         when(col("n_hits") === 0, 1).otherwise(0).as("novel"))
   }
 
+  /** Streaming exact dedup for an ingestion pipeline: keep the first
+    * occurrence of each content hash; the watermark bounds the dedup
+    * state (duplicates arriving later than the watermark may pass, which
+    * is the standard state-size/completeness trade at 100 TB/day rates —
+    * the batch d1 pass downstream catches stragglers). */
   def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
                   watermark: String = "1 hour"): DataFrame =
     docs

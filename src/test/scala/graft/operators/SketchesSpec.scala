@@ -63,7 +63,13 @@ class SketchesSpec extends AnyFunSuite {
     val trueI = a.join(b, "sh").count()
     val trueU = trueA + trueB - trueI
     def est(p: String): Double = {
-      val (n, t) = rows(p); Sketches.kmvEstimate(n, t)
+      val (n, t) = rows(p)
+      // sides are sketches (their own kth-smallest/max as theta; exact
+      // when n < k); the intersect row — and a union that stayed under
+      // k — are counts below the externally-shared truncation theta
+      if (p.startsWith("side_")) Sketches.kmvSketchEstimate(n, t)
+      else if (n == 256) Sketches.kmvSketchEstimate(n, t)
+      else Sketches.kmvBelowThetaEstimate(n, t)
     }
     // k=256 -> sigma ~ 1/sqrt(k-2) ~ 6.3% for full sketches; the
     // intersection count is a binomial(true_i, theta) sample (~10%).
