@@ -690,6 +690,44 @@ object TextOps {
           lit(0)).cast("long"))
         .select(col("shard"), col("pos"), col("doc_id"), col("n_tok"),
           col("tok_offset"))
+    }),
+
+    // -- t33: Unicode NFC normalization ------------------------------------
+    // the canonicalization step that runs BEFORE any hash-based dedup on
+    // real multilingual crawl data: "café" with a combining acute and
+    // "café" precomposed are the same document to a human but different
+    // md5s to d1 — normalize-then-hash closes that hole. The engine
+    // kernel is java.text.Normalizer (JVM-resident, per-row, zero
+    // shuffle); the oracle is DuckDB's utf8proc nfc_normalize — two
+    // INDEPENDENT Unicode implementations that must agree codepoint-for-
+    // codepoint (verified up front on composition exclusions, canonical
+    // reordering, Hangul jamo and non-BMP singletons). The corpus is
+    // augmented with twins carrying a DECOMPOSED literal suffix (stated
+    // identically in both engines), so changed=1 rows exist at every sf.
+    "t33_nfc_normalize" -> ((s, d) => {
+      import s.implicits._
+      val doc = documents(s, d)
+      val off = broadcast(doc.agg(
+        greatest(max(col("doc_id")) + 1, lit(100000L)).as("o")))
+      // decomposed on purpose (combining marks as explicit escapes so
+      // no editor/tool can silently NFC the source): e+U+0301, A+U+030A,
+      // o+U+0308 -> NFC composes them to e-acute, A-ring, o-diaeresis
+      val dec = "e\u0301cole A\u030Angstro\u0308m"
+      val aug = doc.select(col("doc_id"), col("text"))
+        .union(doc.filter(col("doc_id") % 10 === 0).crossJoin(off)
+          .select((col("doc_id") + col("o")).as("doc_id"),
+            concat(col("text"), lit(" " + dec)).as("text")))
+      aug.select(col("doc_id").cast("long"), col("text").cast("string"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          val nt =
+            if (t == null) null
+            else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+          (id, if (t == null || t == nt) 0 else 1, nt)
+        })
+        .toDF("doc_id", "changed", "norm")
+        .select(col("doc_id"), col("changed"),
+          md5(col("norm").cast("binary")).as("norm_hash"))
     })
   )
 
@@ -697,6 +735,23 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), w -> w IN (${set.map(w => s"'$w'").mkString(", ")}))) AS $name"
 
   def oracles: Map[String, String] = Map(
+    // the decomposed suffix is restated codepoint-by-codepoint via chr():
+    // 769=U+0301 combining acute, 778=U+030A ring above, 776=U+0308
+    // diaeresis — byte-identical to the engine's escaped literal
+    "t33_nfc_normalize" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT GREATEST(MAX(doc_id) + 1, 100000) FROM documents)
+        |      AS doc_id,
+        |    text || ' e' || chr(769) || 'cole A' || chr(778) || 'ngstro' ||
+        |      chr(776) || 'm' AS text
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN text IS NULL OR nfc_normalize(text) = text THEN 0 ELSE 1 END
+        |    AS changed,
+        |  md5(nfc_normalize(text)) AS norm_hash
+        |FROM aug""".stripMargin,
     "t21_vocab" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |v AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok HAVING COUNT(*) >= 5)

@@ -349,4 +349,34 @@ class GenericOpsSpec extends AnyFunSuite {
     // past the total mass bound
     assert(pr.forall(r => r._2 >= 1500 && r._2 < 10000L * pr.length))
   }
+
+  test("t33 NFC kernel: composition, exclusions, reordering, changed flag") {
+    import spark.implicits._
+    // (input, expected-NFC) as codepoint escapes: basic composition,
+    // canonical REORDERING before composition (dot-below U+0323 sorts
+    // before dot-above U+0307), a composition EXCLUSION (DEVANAGARI QA
+    // U+0958 decomposes to U+0915+U+093C and must NOT recompose), Hangul
+    // jamo -> syllable, and the Angstrom singleton U+212B -> U+00C5
+    val cases = Seq(
+      ("e\u0301", "\u00e9"),
+      ("q\u0307\u0323", "q\u0323\u0307"),
+      ("\u0915\u093c", "\u0915\u093c"),
+      ("\u1100\u1161\u11a8", "\uac01"),
+      ("\u212b", "\u00c5"),
+      ("plain ascii", "plain ascii"))
+    val out = cases.zipWithIndex
+      .map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val nt = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+        (id, if (t == nt) 0 else 1, nt)
+      })
+      .collect().sortBy(_._1)
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(out(i)._3 == want,
+        s"case $i: ${in.map(c => f"U+$c%04X").mkString(" ")}")
+      assert(out(i)._2 == (if (in == want) 0 else 1), s"changed flag, case $i")
+    }
+  }
 }
