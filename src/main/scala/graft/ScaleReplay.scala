@@ -68,7 +68,7 @@ object ScaleReplay {
     def enlarge(t: String, offsets: Map[String, Long]): Unit =
       (0 until factor).map { i =>
         val df = spark.read.parquet(s"$sfDir/$t.parquet")
-        df.select(df.columns.map { c =>
+        df.select(df.columns.toIndexedSeq.map { c =>
           offsets.get(c) match {
             case Some(off) => (col(c) + lit(i * off)).as(c)
             case None      => col(c)

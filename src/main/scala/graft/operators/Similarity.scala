@@ -146,8 +146,8 @@ object Similarity {
       greatest(max(col("vec_id")) + 1, lit(10000L)).as("aug_off")))
     base.unionByName(
       base.crossJoin(off)
-        .select((col("vec_id") + col("aug_off")).as("vec_id") +:
-          base.columns.filter(_ != "vec_id").map(col): _*))
+        .select(((col("vec_id") + col("aug_off")).as("vec_id") +:
+          base.columns.filter(_ != "vec_id").toIndexedSeq.map(col)): _*))
   }
 
   /** 8-bit sign bucket over the first 8 dimensions (raw float sign tests —

@@ -18,7 +18,7 @@ object Skew {
     require(r > 0)
     val bigCols = big.columns.map(col)
     val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(bigCols: _*), lit(r)).cast("int"))
+      pmod(xxhash64(bigCols.toIndexedSeq: _*), lit(r)).cast("int"))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(r - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
@@ -30,7 +30,7 @@ object Skew {
     * explicit intermediate (e.g. before a window) is wanted. */
   def twoPhaseCount(df: DataFrame, key: String, r: Int): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(r)).cast("int"))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(r)).cast("int"))
     salted.groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_partial"))
       .groupBy(col(key)).agg(sum(col("_partial")).as("n"))
   }
