@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[...] runs (ClusterSmoke) fork REAL executor JVMs whose
+// command is built by launcher.AbstractCommandBuilder from the driver
+// JVM's environment: Worker.sparkHome defaults to "." and
+// getScalaVersion() demands a source-tree build dir when these are
+// absent. bin/spark-class exports both; a bare `sbt runMain` must be
+// equally self-contained, so pin them here next to the unmanagedBase
+// contract they mirror.
+val sparkEnv = Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
+run / envVars ++= sparkEnv
+Test / envVars ++= sparkEnv
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -44,6 +44,14 @@ object ClusterSmoke {
     s"${r.get(0)}:${r.getLong(1)}"
   }
 
+  /** `<spark home>/jars/spark-core*.jar` is where SparkContext loaded
+    * from, so two `getParentFile`s give a SPARK_HOME that is valid even
+    * when the calling shell exported nothing. */
+  private def sparkHomeFromClasspath: String =
+    new java.io.File(classOf[org.apache.spark.SparkContext]
+      .getProtectionDomain.getCodeSource.getLocation.toURI)
+      .getParentFile.getParentFile.getAbsolutePath
+
   private def session(master: String, jar: Option[String]): SparkSession = {
     val b = SparkSession.builder()
       .master(master)
@@ -51,6 +59,19 @@ object ClusterSmoke {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Self-contained executor launch: the in-process Worker builds the
+      // executor command via launcher.AbstractCommandBuilder, whose
+      // getScalaVersion()/getSparkHome() consult childEnv (seeded from
+      // spark.executorEnv.*) before System.getenv and otherwise demand a
+      // source-tree launcher/target/scala-* build dir. bin/spark-class
+      // exports both vars in shell launches, but a bare `sbt runMain` has
+      // no such ambient env — without these configs a fresh shell dies
+      // with "Cannot find any build directories" / a cwd-relative
+      // assembly dir. SPARK_HOME is derived from the jar that loaded
+      // SparkContext (<home>/jars/spark-core*.jar), so nothing here
+      // depends on the caller's shell profile.
+      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+      .config("spark.executorEnv.SPARK_HOME", sparkHomeFromClasspath)
       // forked executors need the JDK17 opens the driver already has
       .config("spark.executor.extraJavaOptions",
         "--add-opens=java.base/java.lang=ALL-UNNAMED " +
