@@ -151,7 +151,16 @@ object Dedup {
     * (b) in batch it removes the shingle-explode shuffle when only the
     * bands are needed. Docs with fewer than 3 tokens emit nothing — the
     * same contract as the explode+groupBy form, whose signature
-    * aggregation sees no shingle rows for them. */
+    * aggregation sees no shingle rows for them.
+    *
+    * PRECONDITION: `doc_id` must be unique in `docs`. The batch twin
+    * aggregates shingles across ALL rows sharing a doc_id into one
+    * signature, while this per-row kernel bands each input row
+    * independently — duplicate ids would yield duplicate (or, for
+    * differing texts, conflicting) band rows and silently diverge from
+    * the batch result. Current callers (es16's stream, whose replay ids
+    * are unique by construction; batch frames keyed by doc_id) satisfy
+    * this; a caller that might replay an id must dedupe by id first. */
   def bandRows(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

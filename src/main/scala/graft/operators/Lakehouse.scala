@@ -22,6 +22,16 @@ object Lakehouse {
   private def ioDir(d: String) =
     s"/root/repo/target/graft_io/${new java.io.File(d).getName}"
 
+  /** Demo-setup writes (the materialized views x11/x12 maintain) run once
+    * per (path) per JVM — a real lake HAS the view already; re-paying the
+    * from-scratch join on every invocation would make bench warm-ups and
+    * plan-audit calls measure setup+maintenance instead of the
+    * maintenance path being claimed. JVM-local (not a `_SUCCESS` probe)
+    * so a code change can never be masked by a stale on-disk view. */
+  private val viewWritten = scala.collection.mutable.Set[String]()
+  private def writeViewOnce(path: String)(write: => Unit): Unit =
+    synchronized { if (viewWritten.add(path)) write }
+
   /** Mergeable per-(event_type, user-bucket) summary state: row counts and
     * exact decimal cents merge by SUM, the HLL register by MAX — the three
     * merge laws that make the state composable across arbitrary batch
@@ -133,13 +143,17 @@ object Lakehouse {
       val oDelta = o.filter(col("o_orderkey") % 10 === 9)
       val cBase = c.filter(col("c_custkey") % 10 =!= 4)
       val cDelta = c.filter(col("c_custkey") % 10 === 4)
-      // the demo SETUP: materialize the view this run (a real lake has it
-      // already). The RETURNED frame — what the plan pin and the delta
-      // rule are about — reads it back from parquet; the from-scratch
-      // join below happens once, at view creation, never at maintenance.
-      oBase.join(cBase, col("o_custkey") === col("c_custkey"))
-        .select(col("o_orderkey"), col("o_custkey"), col("segment"), col("price"))
-        .write.mode("overwrite").parquet(viewDir)
+      // the demo SETUP: materialize the view ONCE per JVM (a real lake
+      // has it already). The RETURNED frame — what the plan pin and the
+      // delta rule are about — reads it back from parquet; the
+      // from-scratch join below happens at view creation, never at
+      // maintenance, and repeated invocations (bench retimes, plan-audit
+      // calls) exercise only the delta-broadcast maintenance path.
+      writeViewOnce(viewDir) {
+        oBase.join(cBase, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("segment"), col("price"))
+          .write.mode("overwrite").parquet(viewDir)
+      }
       val v0 = s.read.parquet(viewDir)
       val dv =
         broadcast(oDelta).join(cBase, col("o_custkey") === col("c_custkey"))
@@ -149,6 +163,73 @@ object Lakehouse {
             broadcast(oDelta).join(cDelta, col("o_custkey") === col("c_custkey")))
           .select(col("o_orderkey"), col("o_custkey"), col("segment"), col("price"))
       v0.unionByName(dv)
+        .withColumn("price", col("price").cast("double"))
+    }),
+
+    // -- x12: join IVM with RETRACTIONS (deletes + updates) -----------------
+    // the half x11's insert-only rule cannot express: both sides receive a
+    // MIXED batch (inserts, deletes, updates = delete+insert), and the
+    // view is maintained by the signed-multiset delta rule
+    //   Δ(O⋈C) = ΔO⋈C₀ + O₀⋈ΔC + ΔO⋈ΔC       (signs multiply),
+    // which is exact for inner joins: expanding (O₀+ΔO)⋈(C₀+ΔC) leaves
+    // precisely these three cross terms, and interaction cases (an updated
+    // order whose customer was deleted in the same batch) cancel to net 0
+    // by the sign algebra alone — no special-casing. Applying ΔV touches
+    // only delta-bounded state: the affected keys are broadcast, untouched
+    // view rows pass through an anti-join unread, and the net-multiplicity
+    // consolidation groups ONLY the touched rows — maintenance cost is
+    // O(|Δ|), never O(|V|). Every join broadcasts a delta (or the key set
+    // derived from one); the base×base join runs zero times (plan-pinned
+    // like x11). Result must equal the from-scratch join of the POST-state
+    // tables — the oracle states exactly that.
+    "x12_ivm_retract" -> ((s, d) => {
+      val viewDir = s"${ioDir(d)}/x12_view"
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(D2).as("price"))
+      val c = customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment").as("segment"))
+      // pre-state: orders ending in 9 are the incoming inserts
+      val oBase = o.filter(col("o_orderkey") % 10 =!= 9)
+      val cBase = c
+      writeViewOnce(viewDir) {
+        oBase.join(cBase, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("segment"), col("price"))
+          .write.mode("overwrite").parquet(viewDir)
+      }
+      val v0 = s.read.parquet(viewDir)
+      // signed deltas: insert +1 / delete -1 / update = -old +new
+      val dO = o.filter(col("o_orderkey") % 10 === 9).withColumn("osign", lit(1L))
+        .unionByName(oBase.filter(col("o_orderkey") % 10 === 2)
+          .withColumn("osign", lit(-1L)))
+        .unionByName(oBase.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("osign", lit(-1L)))
+        .unionByName(oBase.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("price", (col("price") + lit(1).cast(D2)).cast(D2))
+          .withColumn("osign", lit(1L)))
+      val dC = cBase.filter(col("c_custkey") % 10 === 4).withColumn("csign", lit(-1L))
+        .unionByName(cBase.filter(col("c_custkey") % 10 === 6)
+          .withColumn("csign", lit(-1L)))
+        .unionByName(cBase.filter(col("c_custkey") % 10 === 6)
+          .withColumn("segment", lit("UPDATED")).withColumn("csign", lit(1L)))
+      val dv =
+        broadcast(dO).join(cBase.withColumn("csign", lit(1L)),
+            col("o_custkey") === col("c_custkey"))
+          .unionByName(oBase.withColumn("osign", lit(1L))
+            .join(broadcast(dC), col("o_custkey") === col("c_custkey")))
+          .unionByName(broadcast(dO)
+            .join(dC, col("o_custkey") === col("c_custkey")))
+          .select(col("o_orderkey"), col("o_custkey"), col("segment"),
+            col("price"), (col("osign") * col("csign")).as("sign"))
+      // apply ΔV per affected key: untouched rows never enter a shuffle
+      val keys = dv.select(col("o_orderkey")).distinct()
+      val untouched = v0.join(broadcast(keys), Seq("o_orderkey"), "left_anti")
+      val touched = v0.join(broadcast(keys), Seq("o_orderkey"), "left_semi")
+        .withColumn("sign", lit(1L))
+        .unionByName(dv)
+        .groupBy(col("o_orderkey"), col("o_custkey"), col("segment"), col("price"))
+        .agg(sum(col("sign")).as("net"))
+        .filter(col("net") > 0).drop("net")
+      untouched.unionByName(touched)
         .withColumn("price", col("price").cast("double"))
     }),
 
@@ -461,6 +542,22 @@ object Lakehouse {
       """SELECT o_orderkey, o_custkey, c_mktsegment AS segment,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // from-scratch join of the POST-state tables: orders ending in 2
+    // deleted, in 3 price-bumped; customers ending in 4 deleted, in 6
+    // resegmented — the incremental signed-delta maintenance must land here
+    "x12_ivm_retract" ->
+      """WITH o2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) +
+        |         CASE WHEN o_orderkey % 10 = 3 THEN 1 ELSE 0 END
+        |         AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 10 <> 2),
+        |c2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 6 THEN 'UPDATED' ELSE c_mktsegment END AS segment
+        |  FROM customer WHERE c_custkey % 10 <> 4)
+        |SELECT o_orderkey, o_custkey, segment, CAST(price AS DOUBLE) AS price
+        |FROM o2 JOIN c2 ON o_custkey = c_custkey""".stripMargin,
     "x9_cdc_upsert" ->
       """WITH base AS (
         |  SELECT o_orderkey AS okey, o_orderstatus AS status,

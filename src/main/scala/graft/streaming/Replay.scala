@@ -154,8 +154,13 @@ object Replay {
     * the query holds as its static LSH index. Copies are offset past the
     * live id range (the d-family GREATEST(MAX+1, 100000) convention) and
     * ordered AFTER all novel docs, so the gate classifies novel and
-    * duplicate traffic in the same replay, the duplicates arriving in
-    * the last microbatches. */
+    * duplicate traffic in the same replay, with duplicates skewed toward
+    * the tail. (Range bucketing over `ord` guarantees only the global
+    * order — the boundary bucket may mix tail-end novels with early
+    * dups in one microbatch. The gate is an order-independent
+    * complete-mode aggregation, so this is a replay-shape note, not a
+    * correctness condition; an order-sensitive consumer would need to
+    * bucket novels and dups separately.) */
   def incrementalDocsDir(s: SparkSession, sfDir: String, buckets: Int = 4): String = {
     val key =
       s"documents_incr:${new java.io.File(sfDir).getCanonicalPath}:$buckets"

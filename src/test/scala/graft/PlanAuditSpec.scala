@@ -256,8 +256,24 @@ class PlanAuditSpec extends AnyFunSuite {
   test("x11 join maintenance broadcasts the deltas; no base-x-base join") {
     // the maintenance plan (what runs after the view exists) must be
     // delta-broadcast hash joins only — a sort-merge join here would mean
-    // the base table is being joined at full width during maintenance
+    // the base table is being joined at full width during maintenance.
+    // NOTE: building this plan (like f18's) executes the query builder,
+    // which performs the one-time view/table write as setup IO — a failure
+    // here before the assert lines is a setup-write failure, not a
+    // plan-shape regression.
     val p = plan("x11_join_ivm")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x12 retraction maintenance broadcasts deltas/keys; no base-x-base join") {
+    // same contract as x11 extended to the delete/update path: every join
+    // in the maintenance plan has a broadcast delta (or the key set
+    // derived from one) on one side; the untouched view rows flow through
+    // a broadcast anti-join, and the net-sign consolidation groups only
+    // delta-bounded rows. Setup-IO caveat as above.
+    val p = plan("x12_ivm_retract")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"))

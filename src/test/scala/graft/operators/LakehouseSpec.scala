@@ -172,4 +172,39 @@ class LakehouseSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toList
     assert(langs === List("de"), s"static overwrite kept $langs")
   }
+
+  test("x12 retraction IVM equals a from-scratch recompute of the post-state join") {
+    // the signed-delta maintenance (insert/delete/update on BOTH sides,
+    // incl. the cancellation interactions: updated order x deleted
+    // customer nets to zero) must land exactly on the direct join of the
+    // post-state tables — the same claim the DuckDB oracle states, proven
+    // here in-engine so a gate-side SQL drift can never mask a rule bug
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val ivm = graft.SparkEntry.queries("x12_ivm_retract")(s, d)
+    val oPost = graft.Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 =!= 2)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") +
+          when(col("o_orderkey") % 10 === 3, 1).otherwise(0).cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("price"))
+    val cPost = graft.Tables.customer(s, d)
+      .filter(col("c_custkey") % 10 =!= 4)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 6, "UPDATED")
+          .otherwise(col("c_mktsegment")).as("segment"))
+    val scratch = oPost.join(cPost, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("segment"),
+        col("price").cast("double").as("price"))
+    assert(canon(ivm) == canon(scratch))
+    // the mixed batch really exercised every verb: some view keys deleted,
+    // some updated, some inserted relative to v0
+    val v0Keys = graft.Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 =!= 9)
+      .join(graft.Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val outKeys = ivm.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert((v0Keys -- outKeys).nonEmpty, "no deletes took effect")
+    assert((outKeys -- v0Keys).nonEmpty, "no inserts took effect")
+  }
 }
