@@ -42,6 +42,13 @@ object Events {
     * at sf0.1 vs 8 partitions, every other es* equal-or-faster, oracle
     * hashes identical); a production deployment sizes it to sustained
     * events/sec the same way. Restores the session default afterwards. */
+  /** Scratch-dir reset for the per-batch capture sinks (bounded: replay
+    * checkpoint + a handful of microbatch partitions). */
+  private[operators] def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
+  }
+
   private[operators] def withStreamPartitions[T](s: SparkSession, n: Int = 4)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
@@ -214,6 +221,53 @@ object Events {
       }
       val byStart = Window.partitionBy(col("userId")).orderBy(col("startMs"))
       s.table(name)
+        .withColumn("session_id", row_number().over(byStart).cast("long"))
+        .select(col("userId").as("user_id"), col("session_id"),
+          col("nEvents").as("n_events"),
+          (col("endMs") - col("startMs")).as("dur_ms"),
+          fmt(timestamp_millis(col("startMs"))).as("start_ts"))
+    }),
+
+    // -- es2a: APPEND-MODE EMISSION TIMING for the sessionizer -------------
+    // es2 proves the accumulated append-mode result; es2a additionally
+    // RECORDS WHEN each session was emitted: every microbatch is written
+    // to its own batch_id=<n> parquet partition by a foreachBatch sink
+    // (the per-batch landing a real pipeline does — distributed write,
+    // nothing collected to the driver). The union across partitions must
+    // still hash-match batch e2's oracle, and EventStreamsSpec pins the
+    // timing half on the capture dir: the replay ran >= 4 microbatches,
+    // sessions were emitted incrementally across >= 3 distinct batches
+    // (not all at the end), and no session row was ever re-emitted —
+    // Append mode's exactly-once emission contract, per batch, on disk.
+    "es2a_sessionize_batches" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val gapMs = 30L * 60 * 1000
+      val streamDir = graft.streaming.Replay.eventsDir(s, d, sentinelGapMs = gapMs)
+      val root = s"/root/repo/target/graft_io/${new java.io.File(d).getName}/es2a"
+      rmTree(new java.io.File(root))
+      val sch = s.read.parquet(streamDir).schema
+      val ev = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams.sessionize(ev, gapMs)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.ClosedSession],
+             id: Long) =>
+              b.write.mode("overwrite").parquet(f"$root/out/batch_id=$id%03d")
+              ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val byStart = Window.partitionBy(col("userId")).orderBy(col("startMs"))
+      s.read.parquet(s"$root/out").drop("batch_id")
         .withColumn("session_id", row_number().over(byStart).cast("long"))
         .select(col("userId").as("user_id"), col("session_id"),
           col("nEvents").as("n_events"),
@@ -494,6 +548,50 @@ object Events {
         q.awaitTermination()
       }
       s.table(name)
+    }),
+
+    // -- es9a: APPEND-MODE EMISSION TIMING for the stream-stream join ------
+    // es9 proves the accumulated inner-join result; es9a additionally
+    // records WHICH microbatch emitted each matched pair (foreachBatch ->
+    // one batch_id=<n> parquet partition per batch, distributed write).
+    // Inner-join matches emit as soon as both sides have arrived, so on
+    // the 4-bucket replay the pairs must surface incrementally across
+    // batches — EventStreamsSpec pins that, the no-re-emission contract,
+    // AND state eviction (numRowsRemoved > 0 in the progress metrics: the
+    // advancing watermark really discards buffered rows mid-replay, the
+    // property that bounds join state at 100 TB/day). The union across
+    // partitions hash-matches the same DuckDB interval-join oracle as es9.
+    "es9a_ssjoin_batches" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val streamDir = graft.streaming.Replay.eventsDir(s, d)
+      val root = s"/root/repo/target/graft_io/${new java.io.File(d).getName}/es9a"
+      rmTree(new java.io.File(root))
+      val sch = s.read.parquet(streamDir).schema
+      def src() = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+        .withWatermark("cts", "3 days")
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("pts"))
+        .withWatermark("pts", "3 days")
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams
+          .clickAttribution(clicks, purchases, 2L * 86400 * 1000)
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            expr("(unix_micros(pts) - unix_micros(cts)) div 1000").as("gap_ms"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.write.mode("overwrite").parquet(f"$root/out/batch_id=$id%03d")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$root/out").drop("batch_id")
     }),
 
     // -- es10: stream-stream LEFT OUTER join -------------------------------
@@ -868,6 +966,9 @@ object Events {
     // the batch oracles verbatim — same SQL string, same hash
     base +
       ("es2_stream_sessionize" -> base("e2_sessionize")) +
+      // per-batch capture variant: union across batch_id partitions must
+      // STILL be exactly the batch answer (timing pinned in spec)
+      ("es2a_sessionize_batches" -> base("e2_sessionize")) +
       ("es3_stream_funnel" -> base("e10_funnel")) +
       // native session-window streaming agg == batch e8 (same oracle)
       ("es17_stream_session_window" -> base("e8_session_window")) +
@@ -928,6 +1029,16 @@ object Events {
       // stream-stream interval join on a bounded ordered replay == the
       // batch interval join (micros-exact bounds, 2-day window)
       ("es9_stream_stream_join" ->
+        """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+          |  c.user_id, (epoch_us(p.ts) - epoch_us(c.ts)) // 1000 AS gap_ms
+          |FROM events c JOIN events p
+          |  ON c.user_id = p.user_id
+          | AND c.event_type = 'click' AND p.event_type = 'purchase'
+          | AND epoch_us(p.ts) >= epoch_us(c.ts)
+          | AND epoch_us(p.ts) <= epoch_us(c.ts)
+          |       + CAST(2 AS BIGINT) * 86400 * 1000000""".stripMargin) +
+      // per-batch capture variant of es9 — same interval-join oracle
+      ("es9a_ssjoin_batches" ->
         """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
           |  c.user_id, (epoch_us(p.ts) - epoch_us(c.ts)) // 1000 AS gap_ms
           |FROM events c JOIN events p

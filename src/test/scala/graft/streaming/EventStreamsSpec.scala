@@ -323,4 +323,86 @@ class EventStreamsSpec extends AnyFunSuite {
         s"sessions did not merge: $rows")
     } finally q.stop()
   }
+
+  // ---- append-mode EMISSION TIMING pins (es2a / es9a) ----------------------
+  // The es* oracle gates prove the accumulated result; these tests pin the
+  // per-batch emission record the es2a/es9a capture sinks leave on disk:
+  // the replay really ran >= 4 microbatches, rows surfaced INCREMENTALLY
+  // across batches (not all at the end), and no row was ever re-emitted —
+  // the Append-mode contract (outputMode("append") in both builders; a
+  // Complete-mode sink would re-emit every row each batch and trip the
+  // exactly-once assertion below).
+
+  private def batchCounts(capDir: String): Seq[(Int, Long)] = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(capDir).groupBy("batch_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+  }
+
+  test("es2a: sessions emitted incrementally across >=3 batches, exactly once") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("es2a_sessionize_batches")(spark, sf)
+    val batch = graft.SparkEntry.queries("e2_sessionize")(spark, sf)
+    assert(out.collect().map(_.toString).toSet ==
+      batch.collect().map(_.toString).toSet,
+      "per-batch capture union != batch sessionization")
+    val capDir = "/root/repo/target/graft_io/sf0.001/es2a/out"
+    val parts = new java.io.File(capDir).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+    assert(parts.length >= 4, s"replay ran < 4 microbatches: $parts")
+    val counts = batchCounts(capDir)
+    val emitting = counts.filter(_._2 > 0)
+    assert(emitting.size >= 3,
+      s"sessions not emitted incrementally across batches: $counts")
+    assert(emitting.head._1 < parts.length - 1,
+      s"all emission happened in the final batch: $counts")
+    // exactly-once: a closed session never reappears in a later batch
+    val dup = spark.read.parquet(capDir)
+      .groupBy("userId", "startMs")
+      .agg(countDistinct(col("batch_id")).as("nb"))
+      .filter(col("nb") > 1).count()
+    assert(dup == 0, s"$dup sessions re-emitted across batches")
+  }
+
+  test("es9a: join matches emit across batches, exactly once, with state eviction") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val sf = "/root/testdata/sf0.001"
+    // numRowsRemoved > 0 proves the advancing watermark really discarded
+    // buffered join rows MID-REPLAY — the property that bounds
+    // stream-stream join state by the in-window rate, not stream length
+    val removed = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        removed.addAndGet(e.progress.stateOperators.map(_.numRowsRemoved).sum)
+        ()
+      }
+      override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val out = graft.SparkEntry.queries("es9a_ssjoin_batches")(spark, sf)
+      assert(out.count() > 0)
+      val capDir = "/root/repo/target/graft_io/sf0.001/es9a/out"
+      val counts = batchCounts(capDir)
+      assert(counts.length >= 4, s"replay ran < 4 microbatches: $counts")
+      assert(counts.count(_._2 > 0) >= 3,
+        s"matches not emitted incrementally: $counts")
+      val dup = spark.read.parquet(capDir)
+        .groupBy("click_id", "purchase_id")
+        .agg(countDistinct(col("batch_id")).as("nb"))
+        .filter(col("nb") > 1).count()
+      assert(dup == 0, s"$dup matched pairs re-emitted across batches")
+      // listener delivery is async — poll briefly
+      val deadline = System.currentTimeMillis() + 30000
+      while (removed.get() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(removed.get() > 0, "watermark never evicted buffered join state")
+    } finally spark.streams.removeListener(listener)
+  }
 }
