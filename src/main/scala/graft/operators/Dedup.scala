@@ -36,7 +36,7 @@ object Dedup {
     * outgrows it, silently binding two different texts to one id while
     * the oracle (which states the same GREATEST(MAX+1, 100000)) stays
     * green — the planted-near-dup ground truth must hold at EVERY sf. */
-  private def corpus(s: SparkSession, d: String): DataFrame = {
+  private[operators] def corpus(s: SparkSession, d: String): DataFrame = {
     val doc = documents(s, d)
     val off = broadcast(doc.agg(
       greatest(max(col("doc_id")) + 1, lit(100000L)).as("aug_off")))
@@ -109,6 +109,51 @@ object Dedup {
     withD.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The AT-SCALE MinHash family: xxhash64 end to end — 8-byte longs
+    * where [[signatures]] carries 8-hex-char substrings of md5 digests.
+    * The md5 family exists ONLY because DuckDB can reproduce it for the
+    * oracle gate; at 100 TB the hashing cost and the shuffled signature
+    * width both matter, and xxhash64 is a codegen'd native expression
+    * (one long per hash, seed = the hash index) with no hex-string
+    * materialization anywhere in the plan. Same plan shape as the md5
+    * path: explode -> partial-aggregated min per doc -> banded equi-join;
+    * the FINAL verified near-dup set is hash-invariant (DedupSpec proves
+    * set equality; d18 proves it through the d4 oracle), because exact
+    * Jaccard verification depends only on the shingle sets, and both
+    * families band the planted near-dups together. */
+  private[operators] def signaturesFast(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(j =>
+      min(xxhash64(lit(j), col("sh"))).as(s"h$j"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+  }
+
+  /** Banded buckets for the xxhash64 family: bh = xxhash64(bid, h2b,
+    * h2b+1) — a long, so the candidate self-join shuffles 8-byte keys. */
+  private[operators] def bandsFast(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map(b =>
+      struct(lit(b).as("bid"),
+        xxhash64(lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bh")))
+    sig.select(col("doc_id"), explode(array(bandStructs.toIndexedSeq: _*)).as("band"))
+      .select(col("doc_id"), col("band.bid").as("bid"), col("band.bh").as("bh"))
+  }
+
+  /** d4's full verify pipeline with a selectable hash family — the
+    * `fastHash` flag swaps the md5 oracle family for the at-scale
+    * xxhash64 one. The two families' CANDIDATE sets differ at the
+    * low-similarity tail (LSH recall at 2-row/4-band is probabilistic
+    * per family: each misses a different handful of J≈0.6–0.77 pairs),
+    * but in the high-confidence regime the per-pair miss probability
+    * (1-J²)⁴ is small enough that both families recall every pair —
+    * DedupSpec measures the tail divergence and proves set equality at
+    * J ≥ 0.8, which is what d18 gates through the md5 oracle. */
+  private[operators] def jaccardVerified(docs: DataFrame, fastHash: Boolean,
+                                         minScore: Double = 0.5): DataFrame = {
+    val sh = shingled(docs).localCheckpoint()
+    val bd = if (fastHash) bandsFast(signaturesFast(sh)) else bands(signatures(sh))
+    verifyPairs(setsOf(sh), candidatePairsFrom(bd),
+      "jaccard", minScore)((i, na, nb) => i / (na + nb - i))
+  }
+
   /** Banded buckets: (doc_id, bid, bh). */
   private[operators] def bands(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until NumBands).map(b =>
@@ -136,10 +181,15 @@ object Dedup {
   /** Library surface: MinHash-LSH near-dup candidate pairs `(a, b)`,
     * a < b, over an arbitrary `(doc_id, text)` frame — the banded
     * plan the d2/d3 queries demonstrate, callable on real data
-    * (used by [[Curation.curate]] and the `curate` CLI). */
-  def nearDupPairs(docs: DataFrame): DataFrame =
-    candidatePairsFrom(bands(signatures(shingled(
-      docs.select(col("doc_id"), col("text"))))))
+    * (used by [[Curation.curate]] and the `curate` CLI).
+    * `fastHash = true` selects the at-scale xxhash64 family
+    * ([[signaturesFast]]) — the default stays md5 so existing callers
+    * remain byte-compatible with the oracle-gated queries. */
+  def nearDupPairs(docs: DataFrame, fastHash: Boolean = false): DataFrame = {
+    val sh = shingled(docs.select(col("doc_id"), col("text")))
+    candidatePairsFrom(
+      if (fastHash) bandsFast(signaturesFast(sh)) else bands(signatures(sh)))
+  }
 
   /** The LSH band table `(doc_id, bid, bh)` computed PER ROW in one typed
     * pass — byte-identical to `bands(signatures(shingled(docs)))` (spec:
@@ -218,14 +268,21 @@ object Dedup {
     "d3_lsh_pairs" -> ((s, d) => candidatePairs(s, d)),
 
     // -- exact Jaccard verification of LSH candidates ----------------------
-    "d4_jaccard_verify" -> ((s, d) => {
-      // one materialization of the shingle table feeds signatures, set
-      // sizes, and the intersection join (4 consumers — without it the
-      // explode+md5 chain re-runs per consumer)
-      val sh = shingled(corpus(s, d)).localCheckpoint()
-      verifyPairs(setsOf(sh), candidatePairsFrom(bands(signatures(sh))),
-        "jaccard", 0.5)((i, na, nb) => i / (na + nb - i))
-    }),
+    "d4_jaccard_verify" -> ((s, d) => jaccardVerified(corpus(s, d), fastHash = false)),
+
+    // -- d18: the AT-SCALE hash family through the md5 oracle ---------------
+    // the xxhash64 MinHash/band pipeline (8-byte long hashes end to end;
+    // NO md5 anywhere in the plan — pinned in DedupSpec) verified with
+    // exact Jaccard at the high-confidence threshold 0.8. In that regime
+    // the per-pair LSH miss probability (1-J²)⁴ ≤ 0.17% makes both hash
+    // families recall every pair, so the verified output is
+    // hash-invariant and gates against the md5-reproducible DuckDB
+    // oracle even though the signatures themselves are irreproducible in
+    // SQL. (At the 0.5 tail the families each miss a different handful
+    // of borderline candidates — DedupSpec documents that divergence;
+    // it is inherent to LSH, not to the hash swap.) */
+    "d18_minhash_xx_verify" ->
+      ((s, d) => jaccardVerified(corpus(s, d), fastHash = true, minScore = 0.8)),
 
     // -- near-dup clusters: connected components over LSH pairs ------------
     // the step real pipelines run after candidate generation: group
@@ -755,6 +812,13 @@ object Dedup {
       (withAll(sqlVerifyCtes: _*) +
         sqlVerifySelect("CAST(i.i AS DOUBLE) / (za.nsz + zb.nsz - i.i)",
           "jaccard", "0.5")),
+    // the xxhash64 family lands the identical verified set at the 0.8
+    // high-confidence threshold (DedupSpec), so it shares d4's oracle
+    // shape — md5 banding in SQL, threshold 0.8
+    "d18_minhash_xx_verify" ->
+      (withAll(sqlVerifyCtes: _*) +
+        sqlVerifySelect("CAST(i.i AS DOUBLE) / (za.nsz + zb.nsz - i.i)",
+          "jaccard", "0.8")),
     "d10_containment" ->
       (withAll(sqlVerifyCtes: _*) +
         sqlVerifySelect("CAST(i.i AS DOUBLE) / least(za.nsz, zb.nsz)",

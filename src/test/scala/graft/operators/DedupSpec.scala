@@ -165,4 +165,52 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("ns") > 1).count()
     assert(docStraddle > 0, "doc-keyed bucketing should leak across splits")
   }
+
+  test("xxhash64 family == md5 family on verified pairs at J >= 0.8 " +
+       "(tail divergence measured, confined below the threshold)") {
+    // signatures and band hashes differ completely between the md5 oracle
+    // family and the xxhash64 deployment family; exact Jaccard
+    // verification depends only on the shingle sets, so any divergence
+    // can come ONLY from LSH candidate recall. At 2 rows x 4 bands the
+    // per-pair miss probability is (1-J^2)^4 — material at J~0.6 (each
+    // family misses a different handful of borderline pairs), negligible
+    // at J>=0.8 (<=0.17%). The test measures exactly that: full-tail
+    // sets MAY diverge, but every divergent pair sits below 0.8, and the
+    // J>=0.8 sets are IDENTICAL — the claim that lets d18 gate the fast
+    // family through d4's md5-reproducible DuckDB oracle at 0.8.
+    val sf = "/root/testdata/sf0.001"
+    val docs = Dedup.corpus(spark, sf)
+    def pairs(fast: Boolean): Map[(Long, Long), Double] =
+      Dedup.jaccardVerified(docs, fastHash = fast)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val md = pairs(fast = false)
+    val xx = pairs(fast = true)
+    assert(md.nonEmpty)
+    val divergent = (md.keySet diff xx.keySet).map(md) ++
+      (xx.keySet diff md.keySet).map(xx)
+    assert(divergent.forall(_ < 0.8),
+      s"a high-confidence pair was missed by one family: " +
+        s"${divergent.filter(_ >= 0.8)}")
+    val mdHi = md.filter(_._2 >= 0.8)
+    val xxHi = xx.filter(_._2 >= 0.8)
+    assert(mdHi.nonEmpty)
+    assert(mdHi == xxHi, "J>=0.8 verified sets diverged")
+  }
+
+  test("xxhash64 band pipeline shuffles longs only — no md5 column exists") {
+    // plan pin lives here (not PlanAuditSpec) because the d18 query
+    // localCheckpoints its stages, which hides the hash construction from
+    // the end-to-end explain; this explains the band stage directly. The
+    // absence of any md5 in the plan is the scale claim: every shuffled
+    // hash is an 8-byte long, and the signature min() is still a
+    // partial-aggregated (map-side combined) hash aggregate.
+    import org.apache.spark.sql.execution.ExplainMode
+    val sf = "/root/testdata/sf0.001"
+    val p = Dedup.bandsFast(Dedup.signaturesFast(
+        Dedup.shingled(Dedup.corpus(spark, sf))))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("xxhash64"), p.take(3000))
+    assert(!p.toLowerCase.contains("md5"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
 }
