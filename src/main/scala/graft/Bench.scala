@@ -44,7 +44,7 @@ object Bench {
     // prefixes — local iteration tool; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = (SparkEntry.queries ++ SparkEntry.localQueries).toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // per-query codegen warmup: run every selected query once at sf0.001
     // before timing. Generated code is PLAN-specific, so the global warmup

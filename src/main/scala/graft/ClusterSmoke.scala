@@ -94,10 +94,11 @@ object ClusterSmoke {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val all = SparkEntry.queries ++ SparkEntry.localQueries
     val picks = args.lift(1) match {
-      case Some("ALL") => SparkEntry.queries.keys.toSeq.sorted
-      case Some(list)  => list.split(",").toSeq.filter(SparkEntry.queries.contains)
-      case None        => DefaultPicks.filter(SparkEntry.queries.contains)
+      case Some("ALL") => all.keys.toSeq.sorted
+      case Some(list)  => list.split(",").toSeq.filter(all.contains)
+      case None        => DefaultPicks.filter(all.contains)
     }
 
     val jar = new java.io.File("target/scala-2.13").listFiles()
@@ -109,7 +110,7 @@ object ClusterSmoke {
       val spark = session(master, jar)
       spark.sparkContext.setLogLevel("WARN")
       val out = picks.map { name =>
-        name -> (try Right(digest(SparkEntry.queries(name)(spark, sfDir)))
+        name -> (try Right(digest(all(name)(spark, sfDir)))
         catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         })

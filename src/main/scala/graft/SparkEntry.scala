@@ -23,6 +23,14 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ TextOps.queries ++ Sketches.queries ++
       Events.queries ++ Multimodal.queries ++ GenomicsIO.queries ++ Dynamic.queries ++ Rescue.queries ++ Patching.queries ++ GraphOps.queries ++ SamConsensus.queries ++ Pipelines.queries ++ Curation.queries ++ ErrorCorrect.queries ++ Lakehouse.queries ++ Zorder.queries ++ DataQuality.queries ++ Sampling.queries
 
+  /** Operators with NO SQL-expressible oracle (the driver contract's
+    * "omit" case): excluded from [[queries]] so the SQL gate stays
+    * 100% green, but still first-class library surface — gated locally
+    * with Python-computed references (tools/oracle_check.py), covered
+    * by Bench and ClusterSmoke. Currently just the zlib deflate ratio. */
+  def localQueries: Map[String, (SparkSession, String) => DataFrame] =
+    TextOps.localQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =

@@ -114,6 +114,40 @@ object TextOps {
   private val esWords = Seq("el", "la", "de", "los", "que")
   private val frWords = Seq("le", "la", "et", "les", "des")
 
+  /** Operators whose reference computation has NO DuckDB SQL twin — gated
+    * by the LOCAL harness only (tools/oracle_check.py computes the
+    * reference in Python; CompressRatioSpec pins the deflate-stream
+    * parity in-suite). Kept out of [[queries]] so the driver's SQL-only
+    * gate records zero `no_oracle` rows: the driver contract says
+    * "omit for non-SQL-expressible ops", and a permanently-weak row
+    * conveys less than a separate, fully-gated local surface. Bench and
+    * ClusterSmoke still cover these. */
+  def localQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deflate compression ratio (zlib level 6) per document — the
+    // classic repetition/quality signal. Python-zlib oracle in
+    // tools/oracle_check.py; byte-size parity Deflater-vs-zlib pinned by
+    // CompressRatioSpec.
+    "t20_compress_ratio" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val deflater = new java.util.zip.Deflater(6)
+          val buf = new Array[Byte](1 << 16)
+          it.map { case (id, text) =>
+            val in = text.getBytes("UTF-8")
+            deflater.reset()
+            deflater.setInput(in)
+            deflater.finish()
+            var out = 0L
+            while (!deflater.finished()) out += deflater.deflate(buf)
+            (id, in.length.toLong, out,
+              math.rint(out.toDouble / math.max(in.length, 1) * 10000) / 10000)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "n_compressed", "ratio")
+        .withColumn("repetitive", (col("ratio") < 0.35).cast("int"))
+    }))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- token counting (whitespace + distinct + max token length) ---------
     "t1_token_stats" -> ((s, d) =>
@@ -507,27 +541,6 @@ object TextOps {
             array_sort(collect_list(struct(col("pos").as("p"),
               coalesce(col("id"), lit(0L)).as("i")))),
             t => t.getField("i"))).as("ids"))
-    }),
-
-    "t20_compress_ratio" -> ((s, d) => {
-      import s.implicits._
-      documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions { it =>
-          val deflater = new java.util.zip.Deflater(6)
-          val buf = new Array[Byte](1 << 16)
-          it.map { case (id, text) =>
-            val in = text.getBytes("UTF-8")
-            deflater.reset()
-            deflater.setInput(in)
-            deflater.finish()
-            var out = 0L
-            while (!deflater.finished()) out += deflater.deflate(buf)
-            (id, in.length.toLong, out,
-              math.rint(out.toDouble / math.max(in.length, 1) * 10000) / 10000)
-          }
-        }
-        .toDF("doc_id", "n_bytes", "n_compressed", "ratio")
-        .withColumn("repetitive", (col("ratio") < 0.35).cast("int"))
     }),
 
     // -- repetition filter (quality heuristic a la Gopher): flag documents

@@ -22,7 +22,7 @@ class CompressRatioSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("t20").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     def run() =
-      TextOps.queries("t20_compress_ratio")(spark, dir)
+      TextOps.localQueries("t20_compress_ratio")(spark, dir)
         .as[(Long, Long, Long, Double, Int)].collect()
         .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
     val a = run()

@@ -71,7 +71,14 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.loads((out_dir / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
-    for qdir in sorted(p for p in out_dir.iterdir() if p.is_dir()):
+    # non-SQL-expressible ops (PY_ORACLES) land in a SIBLING <out>_local
+    # dir — Verify keeps them out of the driver-scanned tree, but the
+    # local gate still hash-compares them against Python references
+    local_dir = Path(str(out_dir).rstrip("/") + "_local")
+    qdirs = sorted(p for p in out_dir.iterdir() if p.is_dir())
+    if local_dir.is_dir():
+        qdirs += sorted(p for p in local_dir.iterdir() if p.is_dir())
+    for qdir in qdirs:
         name = qdir.name
         got = pd.read_parquet(qdir)
         if name not in oracles and name not in PY_ORACLES:
