@@ -12,7 +12,9 @@ import org.apache.hadoop.util.LineReader
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.{GeneralScalarExpression, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -79,17 +81,145 @@ private[sources] class FastqTable(props: Map[String, String])
 }
 
 private[sources] class FastqScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownV2Filters {
   private var required: StructType = FastqDataSource.schema
+  private var pushed: Array[V2Predicate] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new FastqScan(options, required)
+  override def pushPredicates(predicates: Array[V2Predicate]): Array[V2Predicate] = {
+    // accept exactly the predicates the record evaluator can prove it
+    // handles (compile() is total on them); everything else is returned
+    // as residual for Spark to evaluate post-scan — never claim what the
+    // reader cannot honor
+    val (sup, unsup) = predicates.partition(p => FastqPredicates.compile(p).isDefined)
+    pushed = sup
+    unsup
+  }
+  override def pushedPredicates(): Array[V2Predicate] = pushed
+  override def build(): Scan = new FastqScan(options, required, pushed)
+}
+
+/** Driver-side compiler from V2 [[V2Predicate]] trees to serializable
+  * record evaluators `(id, seq, qual) => Boolean`, evaluated inside
+  * [[FastqPartitionReader]] BEFORE an InternalRow is built — a
+  * non-matching record costs three line reads and nothing downstream.
+  * Covers the pushable shapes a genomics filter actually takes:
+  * comparisons (string-lexicographic id ranges, numeric CHAR_LENGTH
+  * sequence-length bounds), STARTS_WITH/ENDS_WITH/CONTAINS, IN,
+  * IS (NOT) NULL, and AND/OR/NOT compositions. The V1 Filter API cannot
+  * carry `length(seq) >= k` at all (it only pushes bare column
+  * references), which is why this is SupportsPushDownV2Filters. */
+private[sources] object FastqPredicates {
+  private type Rec = (String, String, String) // (id, seq, qual)
+
+  /** Value sub-expressions: field refs, literals, CHAR_LENGTH(field). */
+  private def compileVal(e: V2Expression): Option[Rec => Any] = e match {
+    case f: NamedReference => f.fieldNames() match {
+      case Array("id")   => Some(r => r._1)
+      case Array("seq")  => Some(r => r._2)
+      case Array("qual") => Some(r => r._3)
+      case _ => None
+    }
+    case l: Literal[_] =>
+      val v: Any = l.value() match {
+        case u: UTF8String => u.toString
+        case x => x
+      }
+      Some(_ => v)
+    case g: GeneralScalarExpression if g.name == "CHAR_LENGTH" &&
+        g.children().length == 1 =>
+      compileVal(g.children()(0)).map(f => (r: Rec) => f(r) match {
+        // code points, matching Spark's char_length on UTF8String
+        case s: String => s.codePointCount(0, s.length)
+        case _ => null
+      })
+    case _ => None
+  }
+
+  /** Lexicographic for strings, widened-numeric for numbers — the same
+    * orderings Spark itself would apply post-scan to these types. */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+    case _ => None
+  }
+
+  private def binCmp(p: V2Predicate)(test: Int => Boolean): Option[Rec => Boolean] =
+    for {
+      l <- compileVal(p.children()(0))
+      r <- compileVal(p.children()(1))
+    } yield (rec: Rec) => cmp(l(rec), r(rec)).exists(test)
+
+  private def strOp(p: V2Predicate)(test: (String, String) => Boolean): Option[Rec => Boolean] =
+    for {
+      l <- compileVal(p.children()(0))
+      r <- compileVal(p.children()(1))
+    } yield (rec: Rec) => (l(rec), r(rec)) match {
+      case (a: String, b: String) => test(a, b)
+      case _ => false
+    }
+
+  def compile(p: V2Predicate): Option[Rec => Boolean] = p.name() match {
+    case "AND" | "OR" =>
+      (p.children()(0), p.children()(1)) match {
+        case (lp: V2Predicate, rp: V2Predicate) =>
+          for (l <- compile(lp); r <- compile(rp))
+            yield if (p.name() == "AND") (rec: Rec) => l(rec) && r(rec)
+                  else (rec: Rec) => l(rec) || r(rec)
+        case _ => None
+      }
+    case "NOT" => p.children()(0) match {
+      case c: V2Predicate => compile(c).map(f => (rec: Rec) => !f(rec))
+      case _ => None
+    }
+    case "ALWAYS_TRUE"  => Some(_ => true)
+    case "ALWAYS_FALSE" => Some(_ => false)
+    // FASTQ fields are never null, but evaluate honestly off the value
+    case "IS_NULL"     => compileVal(p.children()(0)).map(f => (r: Rec) => f(r) == null)
+    case "IS_NOT_NULL" => compileVal(p.children()(0)).map(f => (r: Rec) => f(r) != null)
+    case "="   => binCmp(p)(_ == 0)
+    case "<>"  => binCmp(p)(_ != 0)
+    case "<"   => binCmp(p)(_ < 0)
+    case "<="  => binCmp(p)(_ <= 0)
+    case ">"   => binCmp(p)(_ > 0)
+    case ">="  => binCmp(p)(_ >= 0)
+    case "STARTS_WITH" => strOp(p)(_ startsWith _)
+    case "ENDS_WITH"   => strOp(p)(_ endsWith _)
+    case "CONTAINS"    => strOp(p)(_ contains _)
+    case "IN" =>
+      val lits = p.children().drop(1).toSeq
+      if (!lits.forall(_.isInstanceOf[Literal[_]])) None
+      else {
+        val set: Set[Any] = lits.map { l =>
+          l.asInstanceOf[Literal[_]].value() match {
+            case u: UTF8String => (u.toString: Any)
+            case x => (x: Any)
+          }
+        }.toSet
+        compileVal(p.children()(0)).map(f => (rec: Rec) => set.contains(f(rec)))
+      }
+    case _ => None
+  }
+
+  /** Conjunction of all pushed predicates, compiled once on the driver
+    * into one serializable closure. */
+  def evaluator(pushed: Array[V2Predicate]): Rec => Boolean = {
+    val fns = pushed.flatMap(compile)
+    rec => fns.forall(_(rec))
+  }
 }
 
 private[sources] class FastqScan(options: CaseInsensitiveStringMap,
-                                 required: StructType) extends Scan with Batch {
+                                 required: StructType,
+                                 pushed: Array[V2Predicate]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // surface the pushdown in `explain` the same way file scans do
+  override def description(): String =
+    s"fastq ${options.get("path")} PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      s"ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -113,11 +243,11 @@ private[sources] class FastqScan(options: CaseInsensitiveStringMap,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    new FastqReaderFactory(conf, required)
+    new FastqReaderFactory(conf, required, FastqPredicates.evaluator(pushed))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FastqMicroBatchStream(options, required)
+    new FastqMicroBatchStream(options, required, pushed)
 }
 
 private[sources] object FastqScan {
@@ -159,7 +289,8 @@ private[sources] object FastqScan {
   * this; at the ingestion rates FASTQ shards arrive (one per lane-cycle,
   * not thousands/sec) monotone naming is the cheaper invariant. */
 private[sources] class FastqMicroBatchStream(options: CaseInsensitiveStringMap,
-                                             required: StructType)
+                                             required: StructType,
+                                             pushed: Array[V2Predicate] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   private val conf = new SerializableConfiguration(
@@ -214,7 +345,7 @@ private[sources] class FastqMicroBatchStream(options: CaseInsensitiveStringMap,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FastqReaderFactory(conf, required)
+    new FastqReaderFactory(conf, required, FastqPredicates.evaluator(pushed))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -227,16 +358,19 @@ private[sources] case class FastqInputPartition(path: String, start: Long,
                                                 end: Long) extends InputPartition
 
 private[sources] class FastqReaderFactory(conf: SerializableConfiguration,
-                                          required: StructType)
+                                          required: StructType,
+                                          accept: ((String, String, String)) => Boolean =
+                                            _ => true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FastqPartitionReader(partition.asInstanceOf[FastqInputPartition],
-      conf.value, required)
+      conf.value, required, accept)
 }
 
 private[sources] class FastqPartitionReader(part: FastqInputPartition,
                                             conf: Configuration,
-                                            required: StructType)
+                                            required: StructType,
+                                            accept: ((String, String, String)) => Boolean)
     extends PartitionReader[InternalRow] {
   private val fs = new Path(part.path).getFileSystem(conf)
   private val raw = fs.open(new Path(part.path))
@@ -277,25 +411,31 @@ private[sources] class FastqPartitionReader(part: FastqInputPartition,
     // a record whose header starts exactly AT `end` belongs to THIS split:
     // the next reader's seek lands on that header and discards it as its
     // "partial first line" (the Hadoop line-split convention), so emitting
-    // on `<= end` here reads the boundary record exactly once
-    if (eof || window.length < 3 || window.head._1 > part.end) return false
-    val qual = readLine()
-    if (qual == null) return false // truncated trailing record: drop
-    val id = window.head._2.drop(1)
-    val seq = window(1)._2
-    row = InternalRow.fromSeq(required.fieldNames.toSeq.map {
-      case "id" => UTF8String.fromString(id)
-      case "seq" => UTF8String.fromString(seq)
-      case "qual" => UTF8String.fromString(qual)
-    })
-    // refill the window with the next record's first three lines
-    window = Nil
-    while (!eof && window.length < 3) {
-      val p = pos
-      val l = readLine()
-      if (l == null) eof = true else window = window :+ (p, l)
+    // on `<= end` here reads the boundary record exactly once. Records
+    // failing a pushed predicate are skipped HERE — three line reads and
+    // no InternalRow, nothing reaches Spark.
+    while (!(eof || window.length < 3 || window.head._1 > part.end)) {
+      val qual = readLine()
+      if (qual == null) return false // truncated trailing record: drop
+      val id = window.head._2.drop(1)
+      val seq = window(1)._2
+      // refill the window with the next record's first three lines
+      window = Nil
+      while (!eof && window.length < 3) {
+        val p = pos
+        val l = readLine()
+        if (l == null) eof = true else window = window :+ (p, l)
+      }
+      if (accept((id, seq, qual))) {
+        row = InternalRow.fromSeq(required.fieldNames.toSeq.map {
+          case "id" => UTF8String.fromString(id)
+          case "seq" => UTF8String.fromString(seq)
+          case "qual" => UTF8String.fromString(qual)
+        })
+        return true
+      }
     }
-    true
+    false
   }
 
   override def get(): InternalRow = row
