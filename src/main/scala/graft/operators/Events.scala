@@ -123,6 +123,36 @@ object Events {
         col("n_events"), col("sum_dec").cast("double").as("sum_value"))
     }),
 
+    // -- es17b: session-window store under OUT-OF-ORDER bridging arrival ---
+    // es17 replays in event-time order, so a window only ever EXTENDS.
+    // This variant defers every 5th event past the whole stream
+    // (Replay.eventsDir deferOutOfOrder — times untouched, arrival order
+    // scrambled), so the state store now receives late mid-session events
+    // that land BETWEEN two already-open windows within the gap of both
+    // and must MERGE them (SessionCoherenceSpec proves such bridging
+    // shapes exist in the deferred set). The Complete-mode fixpoint must
+    // still hash-match the same batch session_window oracle as es17 —
+    // merge correctness proven through the gate, not by argument.
+    "es17b_stream_session_ooo" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val streamDir = graft.streaming.Replay.eventsDir(s, d, deferOutOfOrder = true)
+      val sch = s.read.parquet(streamDir).schema
+      val ev = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      val name = "es17b_sw_mem"
+      s.catalog.dropTempView(name)
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams.sessionWindowTotals(ev)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name).select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_dec").cast("double").as("sum_value"))
+    }),
+
     // -- es13: the SAME pipeline on the RocksDB state-store backend --------
     // at 100 TB the windowed/joined state no longer fits executor heaps —
     // the deployment answer is Spark's RocksDB state store (state lives
@@ -972,6 +1002,8 @@ object Events {
       ("es3_stream_funnel" -> base("e10_funnel")) +
       // native session-window streaming agg == batch e8 (same oracle)
       ("es17_stream_session_window" -> base("e8_session_window")) +
+      // out-of-order bridging replay converges to the SAME fixpoint
+      ("es17b_stream_session_ooo" -> base("e8_session_window")) +
       // streaming exact dedup under ordered replay (with every 10th doc
       // re-ingested later at doc_id+1e6) == batch min-doc_id dedup
       ("es4_stream_dedup" ->

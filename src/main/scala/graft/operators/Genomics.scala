@@ -360,33 +360,10 @@ object Genomics {
     // ONE map-side-combined aggregation, every modularity term is an
     // equi-join on v/lbl, and m rides a 1-row broadcast — nothing holds
     // the graph in one place.
-    "g21_modularity" -> ((s, d) => {
-      val pairs = queries("g14_minimizer_overlap")(s, d)
-        .select(col("ra").as("x"), col("rb").as("y")).localCheckpoint()
-      val edges = pairs.union(pairs.select(col("y"), col("x")))
-        .toDF("x", "y")
-      val deg = edges.groupBy(col("x").as("v")).agg(count(lit(1)).as("deg"))
-      val lbl = edges.groupBy(col("x").as("v")).agg(min(col("y")).as("mn"))
-        .select(col("v"), least(col("v"), col("mn")).as("lbl"))
-        .localCheckpoint()
-      val m = broadcast(pairs.agg(count(lit(1)).as("m")))
-      val inte = pairs
-        .join(lbl.select(col("v").as("x"), col("lbl").as("la")), "x")
-        .join(lbl.select(col("v").as("y"), col("lbl").as("lb")), "y")
-        .filter(col("la") === col("lb"))
-        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("m_in"))
-      val qc = (col("m_in").cast("double") / col("m")) -
-        (col("deg_sum").cast("double") / (col("m") * 2)) *
-          (col("deg_sum").cast("double") / (col("m") * 2))
-      lbl.join(deg, "v")
-        .groupBy("lbl")
-        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
-        .join(inte, Seq("lbl"), "left_outer")
-        .withColumn("m_in", coalesce(col("m_in"), lit(0L)))
-        .crossJoin(m)
-        .select(col("lbl").as("community"), col("n_nodes"), col("m_in"),
-          col("deg_sum"), (round(qc, 6) + lit(0.0)).as("q_contrib"))
-    }),
+    "g21_modularity" -> ((s, d) =>
+      GraphOps.modularityCommunities(
+        queries("g14_minimizer_overlap")(s, d)
+          .select(col("ra").as("x"), col("rb").as("y")))),
 
     // -- P7: forward sub-kmer split (prefix key, marker, extension base) ---
     "g7_subkmer_split" -> ((s, d) => {

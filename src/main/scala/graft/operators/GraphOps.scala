@@ -266,6 +266,38 @@ object GraphOps {
   private def sqlCanon(e: String) =
     s"least($e, reverse(translate($e, 'ACGT', 'TGCA')))"
 
+  /** Newman modularity contributions per community under the one-round
+    * hash-to-min label (lbl(v) = min(v, min neighbor)) — the g21 kernel,
+    * extracted so crafted graphs can hit its seams directly (GraphOpsSpec
+    * plants a ZERO-internal-edge community whose Q term rounds to -0.0:
+    * the `+ 0.0` below is what normalizes that to the oracle's +0.0).
+    * `pairs` is the undirected edge list, one row per edge, a != b. */
+  def modularityCommunities(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.toDF("x", "y").localCheckpoint()
+    val edges = pairs.union(pairs.select(col("y"), col("x"))).toDF("x", "y")
+    val deg = edges.groupBy(col("x").as("v")).agg(count(lit(1)).as("deg"))
+    val lbl = edges.groupBy(col("x").as("v")).agg(min(col("y")).as("mn"))
+      .select(col("v"), least(col("v"), col("mn")).as("lbl"))
+      .localCheckpoint()
+    val m = broadcast(pairs.agg(count(lit(1)).as("m")))
+    val inte = pairs
+      .join(lbl.select(col("v").as("x"), col("lbl").as("la")), "x")
+      .join(lbl.select(col("v").as("y"), col("lbl").as("lb")), "y")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("m_in"))
+    val qc = (col("m_in").cast("double") / col("m")) -
+      (col("deg_sum").cast("double") / (col("m") * 2)) *
+        (col("deg_sum").cast("double") / (col("m") * 2))
+    lbl.join(deg, "v")
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+      .join(inte, Seq("lbl"), "left_outer")
+      .withColumn("m_in", coalesce(col("m_in"), lit(0L)))
+      .crossJoin(m)
+      .select(col("lbl").as("community"), col("n_nodes"), col("m_in"),
+        col("deg_sum"), (round(qc, 6) + lit(0.0)).as("q_contrib"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- J12: node classification — degree-based repeat/branch detection ---
     "j12_node_classify" -> ((s, d) => {

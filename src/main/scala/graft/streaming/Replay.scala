@@ -103,22 +103,73 @@ object Replay {
   /** The events-table column order every replay file carries. */
   private val EventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  /** The e8/es17 session gap (30 min) — the bridge rule in
+    * [[eventsDir]]'s deferred mode and SessionCoherenceSpec's replica
+    * must agree on it. */
+  val DeferGapUs: Long = 30L * 60 * 1000000
+
   /** Materialize (once per JVM) `sfDir`'s events as `buckets` time-ordered
     * parquet files; `sentinelGapMs >= 0` appends a final flush file with
     * one `__flush` event per user at max(ts) + gap + 2 ms. Returns the
     * directory to `readStream` from (with `maxFilesPerTrigger=1`). */
+  /** `deferOutOfOrder = true` builds the ADVERSARIAL arrival order: the
+    * deferred set — every event with `event_id % 5 == 2` (volume chaos)
+    * PLUS every BRIDGE-shaped event relative to the remaining timeline (a
+    * mid-session event whose kept neighbours sit more than one session
+    * gap apart while each is within the gap of it) — is pushed past the
+    * whole rest of the stream (ord shifted by the full time span + 1 h,
+    * relative ts order preserved). Event TIMES are untouched — only
+    * arrival order changes — so any order-independent fixpoint (es17b)
+    * must still converge to the batch answer, but the session-window
+    * state store now takes late events that land BETWEEN two
+    * already-open windows and force real state merges; the bridge rule
+    * is data-driven precisely because the testdata's sparse per-user
+    * timelines make mod-sampling alone miss every such shape
+    * (SessionCoherenceSpec recomputes the same rule and proves the
+    * deferred set contains merging bridges). Incompatible with the
+    * sentinel flush (the hand-rolled es2 sessionizer needs ordered
+    * arrival). */
   def eventsDir(s: SparkSession, sfDir: String, buckets: Int = 4,
-                sentinelGapMs: Long = -1L): String = {
+                sentinelGapMs: Long = -1L,
+                deferOutOfOrder: Boolean = false): String = {
+    require(!(deferOutOfOrder && sentinelGapMs >= 0),
+      "deferred replay has no sentinel support")
     val key =
-      s"events:${new java.io.File(sfDir).getCanonicalPath}:$buckets:$sentinelGapMs"
+      s"events:${new java.io.File(sfDir).getCanonicalPath}:$buckets:" +
+        s"$sentinelGapMs:$deferOutOfOrder"
     cache.get(key) match {
       case Some(d) if Files.exists(Paths.get(d, "_replay_done")) => d
       case _ =>
         // normalized read (handles the NANOS/NTZ testdata generations) —
         // replay files are Spark-written TimestampType, so the streaming
         // side never touches the schema-generation seam
-        val ev = graft.Tables.events(s, sfDir)
-          .withColumn("ord", unix_micros(col("ts")))
+        val base0 = graft.Tables.events(s, sfDir)
+        val ev =
+          if (!deferOutOfOrder) base0.withColumn("ord", unix_micros(col("ts")))
+          else {
+            val gapUs = DeferGapUs
+            val withUs = base0.withColumn("us", unix_micros(col("ts")))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+            val bridges = withUs.filter(col("event_id") % 5 =!= 2)
+              .withColumn("prev", lag(col("us"), 1).over(w))
+              .withColumn("next", lead(col("us"), 1).over(w))
+              .filter(col("prev").isNotNull && col("next").isNotNull &&
+                col("next") - col("prev") > gapUs &&
+                col("us") - col("prev") <= gapUs &&
+                col("next") - col("us") <= gapUs)
+              .select(col("event_id").as("beid"), lit(true).as("bridge"))
+            val span = broadcast(base0.agg(
+              (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))) +
+                3600L * 1000000L).as("defer_span")))
+            withUs.join(bridges, col("event_id") === col("beid"), "left")
+              .crossJoin(span)
+              .withColumn("ord", col("us") +
+                when(col("event_id") % 5 === 2 ||
+                  coalesce(col("bridge"), lit(false)), col("defer_span"))
+                  .otherwise(lit(0L)))
+              .drop("us", "beid", "bridge", "defer_span")
+          }
         // the flush file is built from materialize's own max(ord), so the
         // events table is aggregated exactly once
         val tail =

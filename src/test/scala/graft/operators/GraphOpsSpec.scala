@@ -184,4 +184,31 @@ class GraphOpsSpec extends AnyFunSuite {
     val t4 = truss(k4, 4)
     assert(t4.size == 6 && t4.values.forall(_ == 2L))
   }
+
+  test("modularity: zero-internal-edge community lands on +0.0, never -0.0") {
+    // the g21 seam: a community with m_in = 0 has Q term
+    // 0 - (deg/2m)^2 < 0, and with m large enough the 6-decimal rounding
+    // yields NEGATIVE ZERO — which DuckDB prints as -0.0 and Spark's
+    // normalization must fold to +0.0 or every hash compare breaks.
+    // Shape: 1-10, 5-10 (node 5 labels itself: 5 < its only neighbor 10;
+    // 10 labels 1; so community {5} has one cross edge and no internal
+    // ones) plus 1500 disjoint filler edges to push (1/2m)^2 below the
+    // rounding threshold.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val filler = (0 until 1500).map(i => (1000L + 2 * i, 1001L + 2 * i))
+    val pairs = (Seq((1L, 10L), (5L, 10L)) ++ filler).toDF("x", "y")
+    val rows = GraphOps.modularityCommunities(pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val (nNodes, mIn, degSum, q) = rows(5L)
+    assert((nNodes, mIn, degSum) == ((1L, 0L, 1L)),
+      s"crafted community shape drifted: ${rows(5L)}")
+    // the unrounded term is genuinely negative...
+    assert(-math.pow(degSum.toDouble / (2.0 * 1502), 2) < 0)
+    // ...and rounds to zero — which must be POSITIVE zero bit-for-bit
+    assert(q == 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(q) == 0L,
+      "q_contrib is -0.0: the +0.0 normalization regressed")
+  }
 }

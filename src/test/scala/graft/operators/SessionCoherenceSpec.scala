@@ -48,4 +48,43 @@ class SessionCoherenceSpec extends AnyFunSuite {
           s"only-native: ${(native -- manual).take(5)}")
     }
   }
+
+  test("es17b's deferred replay really plants window-MERGING bridge events") {
+    // the es17b gate is only adversarial if the deferred set contains
+    // events that arrive AFTER both of their session neighbours and land
+    // within the gap of each while the neighbours sit further than one
+    // gap apart — exactly the shape that forces the session-window state
+    // store to merge two already-open windows. Count those shapes on the
+    // gate corpus; zero would mean the out-of-order gate degenerated back
+    // to extend-only arrival.
+    // independent replica of Replay.eventsDir's deferred-set rule:
+    // deferred = (event_id % 5 == 2) UNION bridge-shaped events relative
+    // to the mod-kept timeline; then verify that, against the FINAL kept
+    // timeline, at least one deferred event still merges two windows
+    val sf = "/root/testdata/sf0.001"
+    val gapUs = graft.streaming.Replay.DeferGapUs
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def isBridge(t: Long, kept: Seq[Long]): Boolean = {
+      val prev = kept.filter(_ < t).lastOption
+      val next = kept.find(_ > t)
+      (prev, next) match {
+        case (Some(p), Some(n)) =>
+          n - p > gapUs && t - p <= gapUs && n - t <= gapUs
+        case _ => false
+      }
+    }
+    val bridges = evs.groupBy(_._1).valuesIterator.map { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val modKept = sorted.filter(_._3 % 5 != 2)
+      val deferred = sorted.filter(r =>
+        r._3 % 5 == 2 || isBridge(r._2, modKept.map(_._2).toSeq))
+      val deferredIds = deferred.map(_._3).toSet
+      val kept = sorted.filterNot(r => deferredIds(r._3)).map(_._2).toSeq
+      deferred.count(r => isBridge(r._2, kept))
+    }.sum
+    assert(bridges > 0,
+      "no deferred event bridges two open windows — es17b is not adversarial")
+  }
 }

@@ -85,6 +85,22 @@ def build_corpus(out_dir: Path) -> None:
     for i in range(20, 40):                        # volume for sampling ops
         add(i, f"filler doc {i} with the common words of and in to a plus word{i}",
             ["en", "fr", "es", "de", "zh"][i % 5], f"src{i % 3}")
+    # x10 regime flip: the KMV sketch (k=256) has two estimator regimes —
+    # a side whose distinct shingle count stays UNDER k absorbs the whole
+    # set (exact n), a side over k estimates (k-1)/theta. The docs below
+    # force the split: every EVEN id carries the SAME duplicate-heavy text
+    # (one shingle set, added once — the even side stays absorbed no
+    # matter how many copies), while each ODD id contributes ~30 unique
+    # shingles so the odd side crosses k and must estimate. Both regimes
+    # then live in one x10 answer and the shared-theta set algebra is
+    # exercised across them.
+    dup_text = "dup heavy corpus doc repeated verbatim for the even side of the sketch"
+    for i in range(40, 70):
+        if i % 2 == 0:
+            add(i, dup_text, "en", "srcDup")
+        else:
+            uniq = " ".join(f"u{i}t{j}" for j in range(32))
+            add(i, uniq, "en", "srcUniq")
     tbl = pa.table({
         "doc_id": pa.array([d[0] for d in docs], pa.int64()),
         "text": pa.array([d[1] for d in docs], pa.string()),
@@ -221,6 +237,21 @@ def main() -> int:
     build_embeddings(sf)
     print(f"[patho] corpus at {sf}"
           + (f" (random seed {RANDOM_SEED})" if RANDOM_SEED is not None else ""))
+    if RANDOM_SEED is None:
+        # the crafted corpus must really split x10's estimator regimes:
+        # even parity absorbed (distinct shingles < k), odd estimating
+        import duckdb
+        k = 256
+        sides = dict(duckdb.connect().execute(f"""
+            WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+                        FROM '{sf}/documents.parquet'),
+            sh AS (SELECT doc_id % 2 AS side, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+                   FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM ws))
+            SELECT side, COUNT(DISTINCT sh) FROM sh GROUP BY side""").fetchall())
+        assert sides.get(0, 0) < k < sides.get(1, 0), (
+            f"x10 regime split lost: distinct shingles per side {sides}, k={k}")
+        print(f"[patho] x10 regimes split: even(absorbed)={sides.get(0)} "
+              f"< k={k} < odd(estimating)={sides.get(1)}")
     v = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Verify {sf} {out}"],
         cwd="/root/repo", capture_output=True, text=True)
