@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   *   runMain graft.ScaleReplay /root/testdata/sf0.1 8 d3_lsh_pairs t16_tfidf
   *
   * Prints one JSON line compatible with Bench's shape.
+  *
+  * With NO query names it only materializes the scaled corpus and prints
+  * its directory — `runMain graft.ScaleReplay /root/testdata/sf0.1 10`
+  * builds the sf1-equivalent tables that a full
+  * `SPARK_GRAFT_SF_DIR=<dir> runMain graft.Bench` pass then consumes
+  * (VERDICT r8 #5: the whole-bench memory/spill story at 10x, not just
+  * per-query replays).
   */
 object ScaleReplay {
   def main(args: Array[String]): Unit = {
@@ -85,6 +92,11 @@ object ScaleReplay {
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
 
+    if (names.isEmpty) {
+      println(s"""{"metric":"scale_corpus_x$factor","dir":"$dir","sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     var times = Vector.empty[(String, Double)]
     names.foreach { n =>
       val t0 = System.nanoTime()

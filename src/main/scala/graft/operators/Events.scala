@@ -481,6 +481,55 @@ object Events {
           (col("m.totalCents") / 100.0).as("total"))
     }),
 
+    // -- es7a: UPDATE-MODE EMISSION TIMING for the running stats -----------
+    // completes the emission-timing triad (es2a/es9a pin Append, the es*
+    // fixpoints pin Complete): Update mode's contract is SUPERSESSION —
+    // each batch emits one row per UPDATED key and the chronologically
+    // LAST emission for a key is the final state. The per-batch rows land
+    // in batch_id=<n> parquet partitions (foreachBatch, distributed
+    // write), and reconstruction takes max-by-BATCH-ID per user — NOT
+    // es7's monotone max-by-nEvents trick, so a sink that replayed stale
+    // rows late or dropped a final update would hash-mismatch even where
+    // the monotone reduction hides it. Must land on es7's plain GROUP BY
+    // oracle; EventStreamsSpec pins the timing half (>= 4 batches, users
+    // re-emitted across batches, intermediate emissions genuinely
+    // superseded).
+    "es7a_user_stats_batches" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val streamDir = graft.streaming.Replay.eventsDir(s, d)
+      val root = s"/root/repo/target/graft_io/${new java.io.File(d).getName}/es7a"
+      rmTree(new java.io.File(root))
+      val sch = s.read.parquet(streamDir).schema
+      val ev = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams.runningUserStats(ev)
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.UserStats],
+             id: Long) =>
+              b.write.mode("overwrite").parquet(f"$root/out/batch_id=$id%03d")
+              ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // last-write-wins: batch_id leads the struct, so max == the row
+      // from the latest batch that updated this user (one row per
+      // (user, batch) — mapGroupsWithState emits each group at most once
+      // per batch, so the ordering is total)
+      s.read.parquet(s"$root/out").groupBy(col("userId"))
+        .agg(max(struct(col("batch_id"), col("nEvents"), col("totalCents"))).as("m"))
+        .select(col("userId").as("user_id"), col("m.nEvents").as("n_events"),
+          (col("m.totalCents") / 100.0).as("total"))
+    }),
+
     // -- es8: stream-static enrichment join through the oracle gate --------
     // [[EventStreams.enrich]]: the event stream left-joins a BROADCAST
     // static customer dimension per microbatch (the standard reference-
@@ -1055,6 +1104,12 @@ object Events {
       // running user stats fixpoint == plain batch GROUP BY (e1's
       // decimal(18,2) summing convention)
       ("es7_stream_user_stats" ->
+        """SELECT user_id, COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM events GROUP BY user_id""".stripMargin) +
+      // update-mode per-batch capture, last-write-wins reconstruction —
+      // the final emission per user must be the plain batch GROUP BY
+      ("es7a_user_stats_batches" ->
         """SELECT user_id, COUNT(*) AS n_events,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM events GROUP BY user_id""".stripMargin) +

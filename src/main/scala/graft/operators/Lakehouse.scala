@@ -233,6 +233,72 @@ object Lakehouse {
         .withColumn("price", col("price").cast("double"))
     }),
 
+    // -- x13: aggregate IVM with RETRACTIONS (deletes + updates) -----------
+    // completes the IVM matrix: x8 = aggregate/insert-only, x11 =
+    // join/insert-only, x12 = join/retractions, x13 = aggregate under a
+    // MIXED signed batch. COUNT/SUM are abelian-group aggregates, so the
+    // signed delta folds in directly: ΔV = Σ sign over the delta rows per
+    // group, V' = V₀ + ΔV with groups whose count reaches ZERO removed —
+    // the seam insert-only maintenance never exercises (a MAX/MIN view
+    // would need per-group recompute on retraction; COUNT/SUM never do).
+    // The batch includes a whole-group purge (every 'signup' event
+    // retracted, inserts filtered to re-add none), so maintained groups
+    // genuinely vanish rather than linger at n=0. Maintenance touches
+    // only delta-bounded state: ΔV aggregates the delta rows alone, the
+    // touched group keys broadcast, untouched view groups pass through an
+    // anti-join unread — O(|Δ| + touched groups), never O(|V|). Result
+    // must equal the from-scratch aggregate of the POST-state events (the
+    // oracle states exactly that).
+    "x13_agg_ivm_retract" -> ((s, d) => {
+      val viewDir = s"${ioDir(d)}/x13_view"
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value").cast(D2).as("cents"))
+      val base = ev.filter(col("event_id") % 10 =!= 9)
+      def state(rows: DataFrame): DataFrame =
+        rows.groupBy(col("event_type"), (col("user_id") % 8).as("bucket"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cents")).cast("decimal(38,2)").as("total"))
+      writeViewOnce(viewDir) {
+        state(base).write.mode("overwrite").parquet(viewDir)
+      }
+      val v0 = s.read.parquet(viewDir)
+      // the signed change batch: inserts (+1, arriving rows ending in 9,
+      // none of them signups), point deletes (-1, base rows ending in 2),
+      // value updates (-old +new, base rows ending in 3), and the
+      // whole-type purge (-1 for EVERY base signup row)
+      val notSignup = col("event_type") =!= "signup"
+      val ins = ev.filter(col("event_id") % 10 === 9 && notSignup)
+        .withColumn("sign", lit(1L))
+      val del = base.filter(col("event_id") % 10 === 2 && notSignup)
+        .withColumn("sign", lit(-1L))
+      val purge = base.filter(col("event_type") === "signup")
+        .withColumn("sign", lit(-1L))
+      val updOld = base.filter(col("event_id") % 10 === 3 && notSignup)
+        .withColumn("sign", lit(-1L))
+      val updNew = updOld
+        .withColumn("cents", (col("cents") + lit(1).cast(D2)).cast(D2))
+        .withColumn("sign", lit(1L))
+      val delta = ins.unionByName(del).unionByName(purge)
+        .unionByName(updOld).unionByName(updNew)
+      val dAgg = delta
+        .groupBy(col("event_type"), (col("user_id") % 8).as("bucket"))
+        .agg(sum(col("sign")).as("n_events"),
+          sum((col("cents") * col("sign")).cast("decimal(38,2)"))
+            .cast("decimal(38,2)").as("total"))
+      val keys = dAgg.select(col("event_type"), col("bucket")).distinct()
+      val untouched = v0.join(broadcast(keys),
+        Seq("event_type", "bucket"), "left_anti")
+      val touched = v0.join(broadcast(keys),
+          Seq("event_type", "bucket"), "left_semi")
+        .unionByName(dAgg)
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("total")).cast("decimal(38,2)").as("total"))
+        .filter(col("n_events") > 0)
+      untouched.unionByName(touched)
+        .withColumn("total", col("total").cast("double"))
+    }),
+
     // -- x9: CDC upsert — MERGE a change batch into a snapshot -------------
     // the lake-table maintenance primitive (Delta/Iceberg MERGE INTO):
     // a base snapshot plus a change batch of upserts and deletes becomes
@@ -558,6 +624,27 @@ object Lakehouse {
         |  FROM customer WHERE c_custkey % 10 <> 4)
         |SELECT o_orderkey, o_custkey, segment, CAST(price AS DOUBLE) AS price
         |FROM o2 JOIN c2 ON o_custkey = c_custkey""".stripMargin,
+    // from-scratch aggregate of the POST-state events: rows ending in 9
+    // inserted, in 2 deleted, in 3 value-bumped, every signup retracted —
+    // the signed incremental maintenance must land exactly here (and with
+    // zero signup groups: the purge drives their counts to 0 and the
+    // maintained view removes them, not parks them at n=0)
+    "x13_agg_ivm_retract" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(value AS DECIMAL(18,2)) AS cents
+        |  FROM events WHERE event_id % 10 <> 9),
+        |post AS (
+        |  SELECT user_id, event_type,
+        |    CAST(cents + CASE WHEN event_id % 10 = 3 THEN 1 ELSE 0 END
+        |         AS DECIMAL(18,2)) AS cents
+        |  FROM base WHERE event_id % 10 <> 2 AND event_type <> 'signup'
+        |  UNION ALL
+        |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS cents
+        |  FROM events WHERE event_id % 10 = 9 AND event_type <> 'signup')
+        |SELECT event_type, user_id % 8 AS bucket, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(cents) AS DECIMAL(38,2)) AS DOUBLE) AS total
+        |FROM post GROUP BY event_type, user_id % 8""".stripMargin,
     "x9_cdc_upsert" ->
       """WITH base AS (
         |  SELECT o_orderkey AS okey, o_orderstatus AS status,

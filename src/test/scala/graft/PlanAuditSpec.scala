@@ -278,4 +278,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("x13 aggregate retraction maintenance touches only delta-bounded state") {
+    // the aggregate half of x12's contract: the view parquet feeds ONLY
+    // broadcast anti/semi joins against the touched-key set (never a
+    // sort-merge join or a re-aggregation of the base), and the one
+    // events-side aggregate in the plan is over the filtered delta rows.
+    // Setup-IO caveat as for x11/x12.
+    val p = plan("x13_agg_ivm_retract")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -405,4 +405,30 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(removed.get() > 0, "watermark never evicted buffered join state")
     } finally spark.streams.removeListener(listener)
   }
+
+  test("es7a: update-mode emissions supersede across batches, last write wins") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("es7a_user_stats_batches")(spark, sf)
+    val batch = graft.SparkEntry.queries("es7_stream_user_stats")(spark, sf)
+    assert(out.collect().map(_.toString).toSet ==
+      batch.collect().map(_.toString).toSet,
+      "last-write-wins reconstruction != running-stats fixpoint")
+    val capDir = "/root/repo/target/graft_io/sf0.001/es7a/out"
+    val counts = batchCounts(capDir)
+    assert(counts.length >= 4, s"replay ran < 4 microbatches: $counts")
+    assert(counts.count(_._2 > 0) >= 3,
+      s"updates not emitted incrementally: $counts")
+    // supersession is REAL: some users were re-emitted in later batches
+    // with a larger cumulative count than their earlier emission — the
+    // exact rows a Complete/Append confusion or a stale-replay sink would
+    // mis-reconstruct
+    val cap = spark.read.parquet(capDir)
+    val superseded = cap.groupBy("userId")
+      .agg(countDistinct(col("batch_id")).as("nb"),
+        (max(col("nEvents")) - min(col("nEvents"))).as("growth"))
+      .filter(col("nb") >= 2 && col("growth") > 0).count()
+    assert(superseded > 0, "no user was ever superseded across batches — " +
+      "the update-mode capture degenerated to a single emission per user")
+  }
 }
