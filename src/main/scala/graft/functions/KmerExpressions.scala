@@ -364,6 +364,7 @@ object GraftFunctions {
     "rolling_hash" -> (args => RollingHash(args.head)),
     "vec_dot" -> (args => VecDot(args(0), args(1))),
     "int8_quant" -> (args => Int8Quant(args.head)),
+    "sign_pack" -> (args => SignPack(args.head)),
     "simhash60" -> (args => SimHash60Agg(args.head)))
 
   def register(spark: SparkSession): Unit = {

@@ -115,6 +115,45 @@ object VecFns {
     new GenericInternalRow(
       Array[Any](amax, UTF8String.fromString(sb.toString), sse))
   }
+
+  /** Sign-bit packing for [[SignPack]]: bit j iff v[j] > 0, dims past 64
+    * ignored. */
+  def signPack(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(arr.numElements(), 64)
+    var code = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.getFloat(i) > 0f) code |= (1L << i)
+      i += 1
+    }
+    code
+  }
+}
+
+/** `sign_pack(v: array<float>)` -> long: bit j set iff v[j] > 0 — the
+  * 1-bit (sign) quantization code for binary Hamming ANN (s15). One
+  * machine word per vector (32x smaller than the float array), so the
+  * Hamming distance between two vectors is a single XOR + POPCNT.
+  * Contract: dim <= 64 (extra elements ignored) and NaN-free input —
+  * the strict `> 0` test sends +0.0/-0.0 to bit 0 in both this kernel
+  * and the oracle's double-widened `v[i] > 0`, keeping the two engines'
+  * codes identical bit for bit. */
+case class SignPack(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"sign_pack requires array<float>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_pack"
+  protected override def nullSafeEval(input: Any): Any =
+    VecFns.signPack(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecFns.signPack($c)")
+  override protected def withNewChildInternal(newChild: Expression): SignPack =
+    copy(child = newChild)
 }
 
 /** `int8_quant(v: array<float>)` -> struct(amax, q, sse): the s6

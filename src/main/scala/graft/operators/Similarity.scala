@@ -528,6 +528,48 @@ object Similarity {
         .agg(count(lit(1)).as("n"),
           round(min(col("m.c")), 6).as("min_c"),
           round(max(col("m.c")), 6).as("max_c"))
+    }),
+
+    // -- s15: 1-bit (sign) quantization + multi-index Hamming ANN ----------
+    // Norouzi/Punjani/Fleet, "Fast Search in Hamming Space with Multi-Index
+    // Hashing" (CVPR'12): each vector's 64 sign bits pack into ONE long
+    // ([[graft.functions.SignPack]], codegen'd — 32x smaller than the
+    // float array) split into 4 disjoint 16-bit banks; by pigeonhole, any
+    // pair within Hamming radius 3 (= banks-1) agrees EXACTLY on at least
+    // one bank, so the bank equi-join is a COMPLETE candidate generator
+    // for r <= 3 — bucketed, never all-pairs (SimilaritySpec proves
+    // completeness against brute force). Distance is bit_count(XOR) on
+    // the packed words — one ALU op per 64 dims, the cheap first-pass
+    // filter a 100 TB ANN deployment runs before exact re-ranking.
+    // Corpus augmented with planted radius-<=3 near-dups (first 3
+    // components negated, past-end id offset) so the flagged class is
+    // live at every SF.
+    "s15_hamming_ann" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val off = broadcast(emb.agg(
+        greatest(max(col("vec_id")) + 1, lit(10000L)).as("aug_off")))
+      val flipped = emb.crossJoin(off).select(
+        (col("vec_id") + col("aug_off")).as("vec_id"),
+        concat(transform(slice(col("embedding"), 1, 3), x => -x),
+          slice(col("embedding"), 4, 61)).as("embedding"))
+      val coded = emb.unionByName(flipped)
+        .select(col("vec_id"),
+          call_function("sign_pack", col("embedding")).as("code"))
+        .localCheckpoint()
+      val banks = coded.select(col("vec_id"), col("code"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("bank"),
+          shiftright(col("code"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bh"))): _*)).as("bb"))
+        .select(col("vec_id"), col("code"),
+          col("bb.bank").as("bank"), col("bb.bh").as("bh"))
+      val r = banks.select(col("bank").as("bank2"), col("bh").as("bh2"),
+        col("vec_id").as("b"), col("code").as("code2"))
+      banks.join(r, col("bank") === col("bank2") && col("bh") === col("bh2") &&
+          col("vec_id") < col("b"))
+        .select(col("vec_id").as("a"), col("b"),
+          bit_count(col("code").bitwiseXOR(col("code2"))).cast("long").as("ham"))
+        .filter(col("ham") <= 3)
+        .distinct()
     })
   )
 
@@ -808,6 +850,34 @@ object Similarity {
         |    FROM sc) WHERE rnk = 1)
         |SELECT label AS true_label, slab AS pred_label, COUNT(*) AS n,
         |  round(MIN(c), 6) AS min_c, round(MAX(c), 6) AS max_c
-        |FROM best GROUP BY label, slab""".stripMargin
+        |FROM best GROUP BY label, slab""".stripMargin,
+    // sign-bit codes as 16-char '0'/'1' bank strings (pure sign tests, no
+    // FP arithmetic — deterministic across engines); bank equi-join
+    // candidates; Hamming distance = count of dimensions whose strict
+    // `> 0` signs differ. Mirrors the engine's packed-long banks exactly:
+    // bank string position j == code bit 16*bank+j.
+    "s15_hamming_ann" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + (SELECT GREATEST(MAX(vec_id) + 1, 10000) FROM base),
+        |         list_concat(list_transform(v[1:3], x -> -x), v[4:]) FROM base),
+        |banks AS (
+        |  SELECT vec_id, v, bk.bank,
+        |    list_aggregate(list_transform(range(16 * bk.bank + 1, 16 * bk.bank + 17),
+        |      i -> CASE WHEN v[i] > 0 THEN '1' ELSE '0' END),
+        |      'string_agg', '') AS bh
+        |  FROM aug, (SELECT UNNEST([0, 1, 2, 3]) AS bank) bk),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM banks x JOIN banks y
+        |    ON x.bank = y.bank AND x.bh = y.bh AND x.vec_id < y.vec_id),
+        |sc AS (
+        |  SELECT c.a, c.b,
+        |    CAST(len(list_filter(range(1, 65),
+        |      i -> (x.v[i] > 0) <> (y.v[i] > 0))) AS BIGINT) AS ham
+        |  FROM cand c JOIN aug x ON x.vec_id = c.a JOIN aug y ON y.vec_id = c.b)
+        |SELECT a, b, ham FROM sc WHERE ham <= 3""".stripMargin
   )
 }

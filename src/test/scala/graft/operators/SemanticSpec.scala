@@ -90,4 +90,35 @@ class SemanticSpec extends AnyFunSuite {
     assert(got.length == 3)
     assert(got.head == ((16L, 1.0)), s"expected exact-copy rank 1, got ${got.toSeq}")
   }
+
+  test("s15: multi-index Hamming is COMPLETE vs brute force at radius 3") {
+    // the pigeonhole claim on real data: every pair the bank equi-join
+    // emits at ham <= 3 must equal the all-pairs brute-force set over the
+    // same augmented corpus (planted sign-flips included). Brute force is
+    // test-only — 1000 vectors -> ~500k pairs, fine here, quadratic at
+    // scale (which is the point of the banks).
+    val sf = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val off = emb.agg(greatest(max(col("vec_id")) + 1, lit(10000L)))
+      .first().getLong(0)
+    val aug = emb.unionByName(emb.select((col("vec_id") + off).as("vec_id"),
+      concat(transform(slice(col("embedding"), 1, 3), x => -x),
+        slice(col("embedding"), 4, 61)).as("embedding")))
+    val coded = aug.select(col("vec_id"),
+      call_function("sign_pack", col("embedding")).as("code")).localCheckpoint()
+    val r = coded.select(col("vec_id").as("b"), col("code").as("code2"))
+    val brute = coded.join(r, col("vec_id") < col("b"))
+      .withColumn("ham", bit_count(col("code").bitwiseXOR(col("code2"))).cast("long"))
+      .filter(col("ham") <= 3)
+      .select(col("vec_id").as("a"), col("b"), col("ham"))
+      .collect().map(_.toString).toSet
+    val banked = graft.SparkEntry.queries("s15_hamming_ann")(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(banked == brute,
+      s"bank join missed ${(brute -- banked).size} / invented ${(banked -- brute).size} pairs")
+    assert(brute.size >= emb.count(),
+      "planted sign-flip near-dups did not survive to the flagged set")
+  }
 }
