@@ -570,6 +570,41 @@ object Lakehouse {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
           count_distinct(col("doc_id")).as("n_keys"))
+    }),
+
+    // -- f19: SCHEMA EVOLUTION across parquet generations -------------------
+    // the drift every long-lived lake table accumulates: generation 0 was
+    // written before `source`/`n_chars` existed, generation 1 added
+    // `source` (and reordered columns — parquet resolves by NAME, not
+    // position), generation 2 added `n_chars`. A mergeSchema read unions
+    // the generations into one frame where pre-schema columns surface as
+    // NULL, and the aggregate accounts for exactly which generation can
+    // be NULL in what — the oracle restates the same accounting from the
+    // raw table, so a read that dropped a column, resolved by position,
+    // or zero-filled instead of NULL-filling hash-mismatches. Footer
+    // merging is a file-count-bounded driver step; the data read itself
+    // is the ordinary pruned scan.
+    "f19_schema_evolution" -> ((s, d) => {
+      val root = s"${ioDir(d)}/schevo"
+      val docs = documents(s, d)
+      writeViewOnce(root) {
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$root/gen=0")
+        docs.filter(col("doc_id") % 3 === 1)
+          .select(col("source"), col("lang"), col("doc_id"))
+          .write.mode("overwrite").parquet(s"$root/gen=1")
+        docs.filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$root/gen=2")
+      }
+      s.read.option("mergeSchema", "true").parquet(root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_null_source"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_null_nchars"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("chars_present"),
+          count_distinct(col("source")).as("n_sources"))
     })
   )
 
@@ -645,6 +680,16 @@ object Lakehouse {
         |SELECT event_type, user_id % 8 AS bucket, COUNT(*) AS n_events,
         |  CAST(CAST(SUM(cents) AS DECIMAL(38,2)) AS DOUBLE) AS total
         |FROM post GROUP BY event_type, user_id % 8""".stripMargin,
+    // generation g = doc_id % 3: gen 0 predates `source` and `n_chars`,
+    // gen 1 predates `n_chars` — the merged-schema read must NULL-fill
+    // exactly those cells and nothing else
+    "f19_schema_evolution" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_source,
+        |  CAST(SUM(CASE WHEN doc_id % 3 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_nchars,
+        |  CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_present,
+        |  COUNT(DISTINCT CASE WHEN doc_id % 3 >= 1 THEN source END) AS n_sources
+        |FROM documents GROUP BY lang""".stripMargin,
     "x9_cdc_upsert" ->
       """WITH base AS (
         |  SELECT o_orderkey AS okey, o_orderstatus AS status,
