@@ -153,6 +153,37 @@ object Events {
         col("n_events"), col("sum_dec").cast("double").as("sum_value"))
     }),
 
+    // -- es18: native session_window FINALIZATION (append + watermark) -----
+    // es17/es17b prove the merged session STATE (Complete-mode fixpoints);
+    // es18 proves session EVICTION: in Append mode the state store emits a
+    // session exactly once — in the batch whose watermark first passes its
+    // end — and drops its state, which is how the operator's memory stays
+    // bounded by OPEN sessions on an unbounded stream (Complete mode keeps
+    // every session ever seen resident). The per-user `__flush` sentinels
+    // drive the watermark past the last real sessions so the bounded
+    // replay finalizes them; the appended union must hash-match the same
+    // batch session_window oracle as es17.
+    "es18_session_window_append" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val gapMs = 30L * 60 * 1000
+      val streamDir = graft.streaming.Replay.eventsDir(s, d, sentinelGapMs = gapMs)
+      val sch = s.read.parquet(streamDir).schema
+      val ev = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      val name = "es18_swa_mem"
+      s.catalog.dropTempView(name)
+      withStreamPartitions(s) {
+        val q = graft.streaming.EventStreams.sessionWindowTotalsAppend(ev)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name).select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_dec").cast("double").as("sum_value"))
+    }),
+
     // -- es13: the SAME pipeline on the RocksDB state-store backend --------
     // at 100 TB the windowed/joined state no longer fits executor heaps —
     // the deployment answer is Spark's RocksDB state store (state lives
@@ -1053,6 +1084,7 @@ object Events {
       ("es17_stream_session_window" -> base("e8_session_window")) +
       // out-of-order bridging replay converges to the SAME fixpoint
       ("es17b_stream_session_ooo" -> base("e8_session_window")) +
+      ("es18_session_window_append" -> base("e8_session_window")) +
       // streaming exact dedup under ordered replay (with every 10th doc
       // re-ingested later at doc_id+1e6) == batch min-doc_id dedup
       ("es4_stream_dedup" ->

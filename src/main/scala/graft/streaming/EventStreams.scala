@@ -145,6 +145,29 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_dec"))
 
+  /** APPEND-mode variant of [[sessionWindowTotals]]: the watermark lets
+    * the session-window state store FINALIZE — a session row is emitted
+    * exactly once, in the microbatch whose watermark first passes the
+    * session's end, and its state is evicted (Complete mode above keeps
+    * every session resident and re-emits the world each batch). Zero
+    * watermark delay is correct on the event-time-ordered replay; the
+    * `__flush` sentinel rows (one per user, gap+2ms past the global max)
+    * advance the watermark past every real session's end. The sentinels
+    * are deliberately NOT filtered out: a pre-aggregation filter on
+    * event_type gets pushed below the EventTimeWatermark node, silently
+    * un-advancing the watermark (observed: the session holding the
+    * global-max event never finalized). They need no filter — a sentinel
+    * session starts 2ms after the last real end (never merges) and ends
+    * gap past the final watermark (never finalizes), so Append mode
+    * self-excludes it; it merely parks in state until shutdown. */
+  def sessionWindowTotalsAppend(events: DataFrame,
+                                gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_dec"))
+
   /** Incremental near-dup ADMISSION GATE: band the incoming document
     * stream per row ([[graft.operators.Dedup.bandRows]] — a stateless
     * typed projection, no state store, no shuffle on the stream side)

@@ -406,6 +406,41 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("es18: append-mode session_window evicts finalized session state") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val sf = "/root/testdata/sf0.001"
+    // the eviction half of the es18 claim: the watermark's passage doesn't
+    // just EMIT a session exactly once, it REMOVES the session's rows from
+    // the state store mid-replay — what bounds the operator's memory by
+    // open sessions instead of all sessions ever seen (Complete-mode es17
+    // removes nothing by design)
+    val removed = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        removed.addAndGet(e.progress.stateOperators.map(_.numRowsRemoved).sum)
+        ()
+      }
+      override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val out = graft.SparkEntry.queries("es18_session_window_append")(spark, sf)
+      val complete = graft.SparkEntry.queries("es17_stream_session_window")(spark, sf)
+      assert(out.collect().map(_.toString).toSet ==
+        complete.collect().map(_.toString).toSet,
+        "append-mode finalized sessions != complete-mode fixpoint")
+      val deadline = System.currentTimeMillis() + 30000
+      while (removed.get() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(removed.get() > 0, "watermark never evicted finalized session state")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("es7a: update-mode emissions supersede across batches, last write wins") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
