@@ -135,6 +135,42 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor"), col("rnk"), col("c"))
   }
 
+  /** Product-quantization reconstruction shared by s10 (PQ alone) and s16
+    * (IVF+PQ): 4 disjoint subspaces, a FIXED 16-entry codebook per
+    * subspace (subvectors of vec_id < 16 — an absolute cap, so the
+    * broadcast stays constant as the corpus grows); each vector's
+    * subvector snaps to the codebook entry minimizing L2 (argmax of
+    * 2·x·c − |c|², cid tie-break) via a broadcast join + max(struct)
+    * partial agg — no window, no n×k shuffle. Returns (vec_id, rv, rn2):
+    * the reconstructed vector and its squared norm, against which ADC
+    * scoring is a plain dot product (dot(q, recon) = Σ_m dot(q_m, cv_m),
+    * exactly the per-subspace lookup-table sum, stated in recomposed
+    * form so the oracle is one expression). */
+  private def pqRecon(all: DataFrame): DataFrame = {
+    def subSlices(vcol: String): Column = explode(array((0 until 4).map(m =>
+      struct(lit(m).as("m"),
+        expr(s"slice($vcol, $m * (size($vcol) / 4) + 1, size($vcol) / 4)")
+          .as("xv"))): _*))
+    val cb = all.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), subSlices("v").as("e"))
+      .select(col("e.m").as("m"), col("cid"), col("e.xv").as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    val codes = all.select(col("vec_id"), subSlices("v").as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.xv").as("xv"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("nd", lit(2) * dot(col("xv"), col("cv")) - col("cn2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max(struct(col("nd"), (-col("cid")).as("ncid"), col("cv"))).as("mm"))
+      .select(col("vec_id"), col("m"), col("mm.cv").as("cv"))
+    codes.groupBy("vec_id")
+      .agg(concat(
+        max(when(col("m") === 0, col("cv"))),
+        max(when(col("m") === 1, col("cv"))),
+        max(when(col("m") === 2, col("cv"))),
+        max(when(col("m") === 3, col("cv")))).as("rv"))
+      .withColumn("rn2", dot(col("rv"), col("rv")))
+  }
+
   /** Corpus augmented with an exact copy of every vector, copies offset
     * PAST the live id range: max(vec_id)+1 computed in-plan (1-row
     * broadcast), floored at 10000 so small corpora keep their historical
@@ -303,28 +339,7 @@ object Similarity {
     // window partitions by q_id over an absolutely-capped query set).
     "s10_pq_adc" -> ((s, d) => {
       val all = vecs(s, d)
-      def subSlices(vcol: String): Column = explode(array((0 until 4).map(m =>
-        struct(lit(m).as("m"),
-          expr(s"slice($vcol, $m * (size($vcol) / 4) + 1, size($vcol) / 4)")
-            .as("xv"))): _*))
-      val cb = all.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), subSlices("v").as("e"))
-        .select(col("e.m").as("m"), col("cid"), col("e.xv").as("cv"))
-        .withColumn("cn2", dot(col("cv"), col("cv")))
-      val codes = all.select(col("vec_id"), subSlices("v").as("e"))
-        .select(col("vec_id"), col("e.m").as("m"), col("e.xv").as("xv"))
-        .join(broadcast(cb), Seq("m"))
-        .withColumn("nd", lit(2) * dot(col("xv"), col("cv")) - col("cn2"))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(max(struct(col("nd"), (-col("cid")).as("ncid"), col("cv"))).as("mm"))
-        .select(col("vec_id"), col("m"), col("mm.cv").as("cv"))
-      val recon = codes.groupBy("vec_id")
-        .agg(concat(
-          max(when(col("m") === 0, col("cv"))),
-          max(when(col("m") === 1, col("cv"))),
-          max(when(col("m") === 2, col("cv"))),
-          max(when(col("m") === 3, col("cv")))).as("rv"))
-        .withColumn("rn2", dot(col("rv"), col("rv")))
+      val recon = pqRecon(all)
       val q = all.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
       val wTop = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
@@ -570,6 +585,37 @@ object Similarity {
           bit_count(col("code").bitwiseXOR(col("code2"))).cast("long").as("ham"))
         .filter(col("ham") <= 3)
         .distinct()
+    }),
+
+    // -- s16: IVF + PQ composed — the production ANN index shape -----------
+    // (Jégou et al., "Product Quantization for Nearest Neighbor Search";
+    // FAISS IVFPQ): the coarse quantizer routes each query to ONE cell
+    // (s5's assignment — broadcast centroids, max(struct) partial agg),
+    // and within the cell candidates are scored by ADC against their PQ
+    // reconstructions ([[pqRecon]]) instead of raw vectors — at 100 TB
+    // the raw floats stay in cold storage and the scan reads 16 codebook
+    // ids per vector; both the routing (n×C with a constant broadcast)
+    // and the scoring (in-cell equi-join) stay linear in n. s5 (IVF over
+    // exact vectors) and s10 (PQ over the full corpus) gate the two
+    // halves; s16 gates their composition — cell-restricted candidate
+    // sets scored with quantized distances.
+    "s16_ivfpq_ann" -> ((s, d) => {
+      val all = vecs(s, d)
+      val assigned = assignCells(all, seedCentroids(all))
+      val recon = pqRecon(all)
+      val q = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("n2").as("qn2"), col("cell"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+      q.join(assigned.select(col("vec_id"), col("cell")), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(recon, "vec_id")
+        .withColumn("c", dot(col("qv"), col("rv")) / sqrt(col("qn2") * col("rn2")))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id").as("neighbor"),
+          col("rnk").cast("long").as("rnk"),
+          (round(col("c"), 4) + lit(0.0)).as("score"))
     })
   )
 
@@ -878,6 +924,49 @@ object Similarity {
         |    CAST(len(list_filter(range(1, 65),
         |      i -> (x.v[i] > 0) <> (y.v[i] > 0))) AS BIGINT) AS ham
         |  FROM cand c JOIN aug x ON x.vec_id = c.a JOIN aug y ON y.vec_id = c.b)
-        |SELECT a, b, ham FROM sc WHERE ham <= 3""".stripMargin
+        |SELECT a, b, ham FROM sc WHERE ham <= 3""".stripMargin,
+    // s5's cell assignment composed with s10's PQ reconstruction: queries
+    // search their own cell only, scored against reconstructed vectors
+    "s16_ivfpq_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+        |cents AS (SELECT vec_id AS cid, v AS cv0, n2 AS cn20 FROM n WHERE vec_id < 32),
+        |assigned AS (
+        |  SELECT vec_id, v, n2, cid AS cell FROM (
+        |    SELECT n.vec_id, n.v, n.n2, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, c.cv0) / sqrt(n.n2 * c.cn20) DESC, c.cid) AS arn
+        |    FROM n CROSS JOIN cents c) WHERE arn = 1),
+        |subs AS (
+        |  SELECT vec_id, m,
+        |         v[(m * (len(v) // 4) + 1):((m + 1) * (len(v) // 4))] AS xv
+        |  FROM n CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS m) ms),
+        |cb AS (
+        |  SELECT m, vec_id AS cid, xv AS cv, list_dot_product(xv, xv) AS cn2
+        |  FROM subs WHERE vec_id < 16),
+        |codes AS (
+        |  SELECT vec_id, m, cv FROM (
+        |    SELECT s.vec_id, s.m, c.cv,
+        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+        |        ORDER BY 2 * list_dot_product(s.xv, c.cv) - c.cn2 DESC, c.cid) AS rn
+        |    FROM subs s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+        |recon AS (
+        |  SELECT c0.vec_id, c0.cv || c1.cv || c2.cv || c3.cv AS rv
+        |  FROM (SELECT vec_id, cv FROM codes WHERE m = 0) c0
+        |  JOIN (SELECT vec_id, cv FROM codes WHERE m = 1) c1 USING (vec_id)
+        |  JOIN (SELECT vec_id, cv FROM codes WHERE m = 2) c2 USING (vec_id)
+        |  JOIN (SELECT vec_id, cv FROM codes WHERE m = 3) c3 USING (vec_id)),
+        |r2 AS (SELECT vec_id, rv, list_dot_product(rv, rv) AS rn2 FROM recon),
+        |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cell FROM assigned
+        |      WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |sc AS (SELECT q.q_id, a.vec_id AS neighbor,
+        |         list_dot_product(q.qv, r.rv) / sqrt(q.qn2 * r.rn2) AS c
+        |       FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.q_id
+        |       JOIN r2 r ON r.vec_id = a.vec_id),
+        |rr AS (SELECT q_id, neighbor, c,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor) AS rnk
+        |      FROM sc)
+        |SELECT q_id, neighbor, rnk, round(c, 4) + 0 AS score
+        |FROM rr WHERE rnk <= 3""".stripMargin
   )
 }
