@@ -572,6 +572,58 @@ object Lakehouse {
           count_distinct(col("doc_id")).as("n_keys"))
     }),
 
+    // -- f20: VACUUM — physical deletion of expired snapshot files ----------
+    // the other half of f14's time travel: snapshots make old files
+    // IMMORTAL until something reclaims them, and the reclaim must be
+    // reference-counted — a file is deletable only when NO retained
+    // manifest references it. Layout: commit c1 + c2 form snapshot v1;
+    // compaction rewrites ONLY c2's fragments into c3, so snapshot v2 =
+    // c1 (SHARED with v1) + c3. Retention expires v1; vacuum deletes
+    // exactly (all files) − (union of retained manifests) = c2's four
+    // files, while the shared c1 files survive — deleting them is the
+    // classic vacuum bug, and LakehouseSpec pins both the survivals and
+    // the deletions on disk. Vacuum itself is a manifest set-difference +
+    // per-file FS deletes: bounded by FILE COUNT, reads no data, at
+    // 100 TB it is a metadata operation. The gated result reads the
+    // retained snapshot AFTER the deletes and must still land on the
+    // full-table oracle — vacuum provably removed nothing live.
+    "f20_vacuum" -> ((s, d) => {
+      val root = s"${ioDir(d)}/vacuum"
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0).repartition(4)
+        .write.mode("overwrite").parquet(s"$root/c1")
+      docs.filter(col("doc_id") % 2 =!= 0).repartition(4)
+        .write.mode("overwrite").parquet(s"$root/c2")
+      def files(sub: String): Seq[String] = {
+        val dir = new java.io.File(s"$root/$sub")
+        if (!dir.exists()) Seq.empty
+        else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).sorted.toSeq
+      }
+      s.read.parquet(files("c2"): _*).repartition(2)
+        .write.mode("overwrite").parquet(s"$root/c3")
+      val v1 = files("c1") ++ files("c2")
+      val v2 = files("c1") ++ files("c3")
+      val log = new java.io.File(s"$root/_manifests")
+      log.mkdirs()
+      java.nio.file.Files.write(log.toPath.resolve("v1.txt"),
+        v1.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(log.toPath.resolve("v2.txt"),
+        v2.mkString("\n").getBytes("UTF-8"))
+      // retention: v1 expired. Live = union of RETAINED manifests (v2);
+      // delete every data file no retained manifest references, then the
+      // expired manifest itself.
+      val live = v2.toSet
+      Seq("c1", "c2", "c3").flatMap(files).filterNot(live)
+        .foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
+      java.nio.file.Files.delete(log.toPath.resolve("v1.txt"))
+      val retained = new String(java.nio.file.Files.readAllBytes(
+        log.toPath.resolve("v2.txt")), "UTF-8").split("\n").toSeq
+      s.read.parquet(retained: _*)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
+
     // -- f19: SCHEMA EVOLUTION across parquet generations -------------------
     // the drift every long-lived lake table accumulates: generation 0 was
     // written before `source`/`n_chars` existed, generation 1 added
@@ -680,6 +732,12 @@ object Lakehouse {
         |SELECT event_type, user_id % 8 AS bucket, COUNT(*) AS n_events,
         |  CAST(CAST(SUM(cents) AS DECIMAL(38,2)) AS DOUBLE) AS total
         |FROM post GROUP BY event_type, user_id % 8""".stripMargin,
+    // post-vacuum read of the retained snapshot == the full table: the
+    // reference-counted delete removed only expired-unique files
+    "f20_vacuum" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
     // generation g = doc_id % 3: gen 0 predates `source` and `n_chars`,
     // gen 1 predates `n_chars` — the merged-schema read must NULL-fill
     // exactly those cells and nothing else

@@ -207,4 +207,33 @@ class LakehouseSpec extends AnyFunSuite {
     assert((v0Keys -- outKeys).nonEmpty, "no deletes took effect")
     assert((outKeys -- v0Keys).nonEmpty, "no inserts took effect")
   }
+
+  test("f20 vacuum deletes exactly the expired-unique files; shared survive") {
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("f20_vacuum")(s, d)
+    val full = graft.Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    assert(canon(out) == canon(full), "retained snapshot lost rows to vacuum")
+    val root = new java.io.File(s"/root/repo/target/graft_io/sf0.001/vacuum")
+    def parquets(sub: String): Seq[String] = {
+      val dir = new java.io.File(root, sub)
+      if (!dir.exists()) Seq.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getName).toSeq
+    }
+    // c1 is shared between the expired v1 and the retained v2 — its files
+    // must survive; c2 is referenced only by v1 — all its data files gone
+    assert(parquets("c1").size == 4,
+      s"shared-commit files vacuumed: ${parquets("c1")}")
+    assert(parquets("c2").isEmpty,
+      s"expired-unique files survived vacuum: ${parquets("c2")}")
+    assert(parquets("c3").size == 2)
+    assert(!new java.io.File(root, "_manifests/v1.txt").exists(),
+      "expired manifest not removed")
+    // idempotent under re-invocation (bench retimes re-run the builder)
+    val again = graft.SparkEntry.queries("f20_vacuum")(s, d)
+    assert(canon(again) == canon(full))
+  }
 }
