@@ -42,6 +42,35 @@ object GenomicsIO {
         Genomics.countCanonical(Fastq.guardReads(reads, minLen = 15), 15), 15)
     }),
 
+    // -- f21: the SPLITTABLE block-LZ4 container through the gate ----------
+    // same counts as f1/f11, but the bytes on disk are one compressed
+    // `.gb4z` container ([[graft.sources.BlockLz4]]: record-aligned LZ4
+    // blocks + footer offset index) and the read is format("fastq") FORCED
+    // through many block-range splits (maxSplitBytes = 8 KiB over ~16 KiB
+    // raw blocks → one task per block) — the capability a generic gzip
+    // member cannot offer (its shard is one task regardless of size,
+    // [[graft.sources.FastqScan]]'s whole-file fallback). The container is
+    // written INSIDE one task (single-writer per file, no driver collect);
+    // Gb4zSpec additionally proves byte parity with the uncompressed read
+    // across a split-size grid and multi-file layouts.
+    "f21_blz4_container" -> ((s, d) => {
+      import s.implicits._
+      val tmp = s"${ioDir(d)}/fastq_blz4"
+      val file = s"$tmp/reads.gb4z"
+      val seqs = documents(s, d).select(Genomics.dna32(col("doc_id")).as("read"))
+      Fastq.toFastqLines(seqs).coalesce(1).foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          graft.sources.BlockLz4.writeFile(
+            new org.apache.hadoop.conf.Configuration(), file,
+            it.map(_.getString(0)), blockBytes = 16 * 1024)
+          ()
+      }
+      val reads = s.read.format("fastq").option("maxSplitBytes", 8192)
+        .load(file).select(col("seq")).as[String]
+      Genomics.decodeCounts(
+        Genomics.countCanonical(Fastq.guardReads(reads, minLen = 15), 15), 15)
+    }),
+
     // -- es12: the DSv2 connector's STREAMING path through the gate --------
     // sequencing-run ingestion: the machine drops FASTQ shards into a
     // directory and the pipeline tails it. Here the same 9000-read corpus
@@ -198,6 +227,7 @@ object GenomicsIO {
     "f1_fastq_roundtrip" -> Genomics.oracles("g1_kmer_count"),
     // the DSv2 multi-split read must land the identical k-mer table
     "f11_fastq_dsv2" -> Genomics.oracles("g1_kmer_count"),
+    "f21_blz4_container" -> Genomics.oracles("g1_kmer_count"),
     // ...and so must its streaming path's Complete-mode fixpoint
     "es12_stream_fastq_dsv2" -> Genomics.oracles("g1_kmer_count"),
     "f7_orc_roundtrip" ->

@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.io.{InputStream, OutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, Path}
+
+/** Block-indexed LZ4 container (`.gb4z`) — a SPLITTABLE compressed text
+  * format, closing the one seam generic stream codecs leave open: a
+  * gzip/zstd member has no addressable interior, so a compressed shard is
+  * one task no matter its size (see [[FastqScan.planInputPartitions]]'s
+  * whole-file fallback). This container makes byte-range splitting legal
+  * again, the same capability the reference delegates to its block-codec
+  * input format (reference: hadoop-4mc — an external artifact; the format
+  * here is our own):
+  *
+  *   header   8 B magic "GB4ZHDR1"
+  *   block*   [compLen: Int BE][rawLen: Int BE][LZ4-compressed payload]
+  *   footer   [blockOffset: Long BE]*n  [n: Int BE]  8 B magic "GB4ZIDX1"
+  *
+  * Two invariants carry the split contract:
+  *  - blocks are RECORD-aligned: the writer only cuts a block at a record
+  *    boundary (`recordLines` lines), so any block decodes to whole
+  *    records and a reader needs no mid-record sync heuristics;
+  *  - the footer indexes every block's byte offset, so the PLANNER (one
+  *    tail read per file, file-count-bounded driver work) can hand each
+  *    task an exact consecutive block range — tasks seek straight to
+  *    their first block and never scan for a boundary.
+  *
+  * At 100 TB this is the difference between one task per shard and
+  * shard-size-independent parallelism on compressed text ingest. LZ4 is
+  * the block codec (lz4-java ships with Spark); the safe decompressor
+  * bounds output by the recorded rawLen, so a corrupt header cannot
+  * balloon allocation.
+  */
+object BlockLz4 {
+  val Extension = ".gb4z"
+  private val HeaderMagic = "GB4ZHDR1".getBytes("US-ASCII")
+  private val FooterMagic = "GB4ZIDX1".getBytes("US-ASCII")
+
+  private def factory = net.jpountz.lz4.LZ4Factory.fastestInstance()
+
+  /** Stream `lines` into a container at `path` (created/overwritten),
+    * cutting blocks at record boundaries once `blockBytes` of raw text
+    * has accumulated. Single-writer (call per task with a task-unique
+    * path); returns the block count. */
+  def writeFile(conf: Configuration, path: String, lines: Iterator[String],
+                blockBytes: Int = 256 * 1024, recordLines: Int = 4): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try writeStream(out, lines, blockBytes, recordLines)
+    finally out.close()
+  }
+
+  private def writeInt(out: OutputStream, v: Int): Unit = {
+    out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+    out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+  }
+  private def writeLong(out: OutputStream, v: Long): Unit = {
+    writeInt(out, (v >>> 32).toInt); writeInt(out, v.toInt)
+  }
+
+  private def writeStream(out: OutputStream, lines: Iterator[String],
+                          blockBytes: Int, recordLines: Int): Int = {
+    val comp = factory.fastCompressor()
+    out.write(HeaderMagic)
+    var offset = HeaderMagic.length.toLong
+    var offsets = Vector.empty[Long]
+    val buf = new java.io.ByteArrayOutputStream(blockBytes + 4096)
+    var lineInRecord = 0
+    def flush(): Unit = if (buf.size() > 0) {
+      val raw = buf.toByteArray
+      val packed = comp.compress(raw)
+      offsets :+= offset
+      writeInt(out, packed.length)
+      writeInt(out, raw.length)
+      out.write(packed)
+      offset += 8L + packed.length
+      buf.reset()
+    }
+    lines.foreach { l =>
+      buf.write(l.getBytes("UTF-8")); buf.write('\n')
+      lineInRecord = (lineInRecord + 1) % recordLines
+      if (lineInRecord == 0 && buf.size() >= blockBytes) flush()
+    }
+    flush()
+    offsets.foreach(writeLong(out, _))
+    writeInt(out, offsets.length)
+    out.write(FooterMagic)
+    offsets.length
+  }
+
+  /** Footer read: (block offsets, first footer byte). One 12-byte tail
+    * read + one offsets read — the planner's whole per-file cost. */
+  def footerOffsets(conf: Configuration, path: String): (Seq[Long], Long) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      require(len >= 20L, s"$path: too short for a $Extension container")
+      in.seek(len - 12)
+      val n = in.readInt()
+      val magic = new Array[Byte](8)
+      in.readFully(magic)
+      require(java.util.Arrays.equals(magic, FooterMagic),
+        s"$path: missing $Extension footer magic")
+      val footerStart = len - 12 - 8L * n
+      in.seek(footerStart)
+      val offs = (0 until n).map(_ => in.readLong())
+      (offs, footerStart)
+    } finally in.close()
+  }
+
+  /** Decompressed view of the consecutive blocks whose offsets lie in
+    * [start, end): seeks to `start` (a block boundary from the footer)
+    * and serves raw bytes block by block. The caller owns `raw`. */
+  def rangeStream(raw: FSDataInputStream, start: Long, end: Long): InputStream =
+    new InputStream {
+      private val decomp = factory.safeDecompressor()
+      private var pos = start
+      private var block: Array[Byte] = Array.emptyByteArray
+      private var at = 0
+      private def readInt(): Int = {
+        val b = new Array[Byte](4)
+        raw.readFully(b)
+        ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) |
+          ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+      }
+      private def advance(): Boolean = {
+        if (pos >= end) return false
+        raw.seek(pos)
+        val compLen = readInt()
+        val rawLen = readInt()
+        val packed = new Array[Byte](compLen)
+        raw.readFully(packed)
+        block = decomp.decompress(packed, rawLen)
+        at = 0
+        pos += 8L + compLen
+        true
+      }
+      override def read(): Int = {
+        while (at >= block.length) if (!advance()) return -1
+        val b = block(at) & 0xff
+        at += 1
+        b
+      }
+      override def read(dst: Array[Byte], off: Int, len: Int): Int = {
+        while (at >= block.length) if (!advance()) return -1
+        val n = math.min(len, block.length - at)
+        System.arraycopy(block, at, dst, off, n)
+        at += n
+        n
+      }
+    }
+}

@@ -229,7 +229,28 @@ private[sources] class FastqScan(options: CaseInsensitiveStringMap,
     val codecs = new CompressionCodecFactory(conf)
     FastqScan.listFiles(conf, options).flatMap { f =>
       val p = f.getPath.toString
-      if (codecs.getCodec(f.getPath) != null)
+      if (p.endsWith(BlockLz4.Extension)) {
+        // block-indexed container: the footer names every block's byte
+        // offset (one tail read per file, driver-side), so splits are
+        // EXACT consecutive block ranges — record-aligned blocks mean no
+        // sync heuristics, and a compressed shard parallelizes like plain
+        // text instead of collapsing to one whole-file task
+        val (offs, footerStart) = BlockLz4.footerOffsets(conf, p)
+        if (offs.isEmpty) Seq.empty
+        else {
+          var parts = Vector.empty[FastqInputPartition]
+          var rangeStart = offs.head
+          offs.zipWithIndex.foreach { case (o, i) =>
+            val next = if (i + 1 < offs.length) offs(i + 1) else footerStart
+            if (next - rangeStart >= maxSplit || next == footerStart) {
+              parts :+= FastqInputPartition(p, rangeStart, next)
+              rangeStart = next
+            }
+          }
+          parts
+        }
+      }
+      else if (codecs.getCodec(f.getPath) != null)
         // compressed member: byte offsets are meaningless in the
         // decompressed stream — one whole-file partition through the codec
         Seq(FastqInputPartition(p, 0L, Long.MaxValue))
@@ -374,14 +395,33 @@ private[sources] class FastqPartitionReader(part: FastqInputPartition,
     extends PartitionReader[InternalRow] {
   private val fs = new Path(part.path).getFileSystem(conf)
   private val raw = fs.open(new Path(part.path))
-  private val codec = new CompressionCodecFactory(conf)
+  private val isBlz4 = part.path.endsWith(BlockLz4.Extension)
+  private val codec = if (isBlz4) null else new CompressionCodecFactory(conf)
     .getCodec(new Path(part.path))
   private val reader = {
-    if (codec == null && part.start > 0) raw.seek(part.start)
-    new LineReader(if (codec == null) raw else codec.createInputStream(raw))
+    if (isBlz4) {
+      // container split: [start, end) is an exact block range from the
+      // footer index — record-aligned, so no sync and no partial line.
+      // A whole-file partition (streaming plans one per file) resolves
+      // its range from the footer here instead.
+      val (s0, e0) =
+        if (part.start == 0L && part.end == Long.MaxValue) {
+          val (offs, footerStart) = BlockLz4.footerOffsets(conf, part.path)
+          (offs.headOption.getOrElse(footerStart), footerStart)
+        } else (part.start, part.end)
+      new LineReader(BlockLz4.rangeStream(raw, s0, e0))
+    }
+    else {
+      if (codec == null && part.start > 0) raw.seek(part.start)
+      new LineReader(if (codec == null) raw else codec.createInputStream(raw))
+    }
   }
-  // byte position of the next unread line (plain-text splits only)
-  private var pos = if (codec == null) part.start else 0L
+  // byte position of the next unread line (plain-text splits only);
+  // container/codec reads count decompressed bytes, which never bound
+  // emission (their split ownership is exact by construction)
+  private val plainSplit = codec == null && !isBlz4
+  private var pos = if (plainSplit) part.start else 0L
+  private val posBound = if (plainSplit) part.end else Long.MaxValue
   private val text = new Text()
 
   private def readLine(): String = {
@@ -393,7 +433,7 @@ private[sources] class FastqPartitionReader(part: FastqInputPartition,
   // 3-line window until (buf0 @..., buf2 +...) marks a true header
   private var window: List[(Long, String)] = Nil
   private var eof = false
-  if (part.start > 0 && codec == null && readLine() == null) eof = true
+  if (part.start > 0 && plainSplit && readLine() == null) eof = true
   while (!eof && window.length < 3) {
     val p = pos
     val l = readLine()
@@ -414,7 +454,7 @@ private[sources] class FastqPartitionReader(part: FastqInputPartition,
     // on `<= end` here reads the boundary record exactly once. Records
     // failing a pushed predicate are skipped HERE — three line reads and
     // no InternalRow, nothing reaches Spark.
-    while (!(eof || window.length < 3 || window.head._1 > part.end)) {
+    while (!(eof || window.length < 3 || window.head._1 > posBound)) {
       val qual = readLine()
       if (qual == null) return false // truncated trailing record: drop
       val id = window.head._2.drop(1)

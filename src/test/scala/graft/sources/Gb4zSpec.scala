@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The `.gb4z` block-indexed LZ4 container ([[BlockLz4]]): byte parity
+  * with the uncompressed read across a split-size grid (one task per
+  * block down to all-in-one), genuine multi-partition planning on ONE
+  * compressed file (the capability a gzip member lacks), footer/offset
+  * integrity, adversarial '@'-leading quality lines, predicate pushdown
+  * through the container read path, and the streaming whole-file
+  * partition resolving its block range from the footer. */
+class Gb4zSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def record(i: Int): String = {
+    val id = f"read_$i%05d" + "x" * 13
+    val seq = ("ACGT" * 10) + "ACGTACGTACGTA"
+    val qual = "@" + "I" * 20
+    s"@$id\n$seq\n+\n$qual\n"
+  }
+
+  private def writeBoth(n: Int, blockBytes: Int): (String, String) = {
+    val dir = Files.createTempDirectory("graft_gb4z").toString
+    val plainDir = s"$dir/plain"; val packedDir = s"$dir/packed"
+    Files.createDirectories(Paths.get(plainDir))
+    Files.createDirectories(Paths.get(packedDir))
+    Files.writeString(Paths.get(plainDir, "reads.fastq"),
+      (0 until n).map(record).mkString)
+    val lines = (0 until n).iterator.flatMap(i => record(i).stripSuffix("\n")
+      .split("\n", -1).iterator)
+    BlockLz4.writeFile(new Configuration(), s"$packedDir/reads.gb4z",
+      lines, blockBytes = blockBytes)
+    (plainDir, packedDir)
+  }
+
+  test("container read == uncompressed read across the split grid") {
+    val (plain, packed) = writeBoth(300, blockBytes = 1024)
+    val want = spark.read.format("fastq").load(plain)
+      .collect().map(_.toString).sorted.toSeq
+    for (split <- Seq(1, 512, 4096, 1 << 20)) {
+      val got = spark.read.format("fastq")
+        .option("maxSplitBytes", split).load(packed)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"split=$split diverged from the uncompressed read")
+    }
+  }
+
+  test("one compressed file genuinely plans MANY partitions") {
+    val (_, packed) = writeBoth(300, blockBytes = 1024)
+    val df = spark.read.format("fastq").option("maxSplitBytes", 1).load(packed)
+    val parts = df.rdd.getNumPartitions
+    assert(parts > 10, s"expected one task per block, got $parts partitions")
+    assert(df.count() == 300)
+    // and the coarse grid really coalesces blocks into fewer tasks
+    val one = spark.read.format("fastq")
+      .option("maxSplitBytes", 1 << 30).load(packed)
+    assert(one.rdd.getNumPartitions == 1)
+  }
+
+  test("pushed predicates evaluate inside the container read") {
+    val (_, packed) = writeBoth(100, blockBytes = 1024)
+    val df = spark.read.format("fastq").option("maxSplitBytes", 1024)
+      .load(packed).filter(col("id") < "read_00010")
+    assert(df.queryExecution.executedPlan.toString.contains("PushedFilters: [id"),
+      "predicate not pushed into the container scan")
+    assert(df.count() == 10)
+  }
+
+  test("streaming whole-file partition resolves its block range from the footer") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (_, packed) = writeBoth(120, blockBytes = 2048)
+    val name = "gb4z_stream_mem"
+    spark.catalog.dropTempView(name)
+    val q = spark.readStream.format("fastq").option("maxFilesPerTrigger", "1")
+      .load(packed).groupBy().count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table(name).collect().head.getLong(0) == 120L)
+  }
+
+  test("footer round-trip: offsets are monotone block starts") {
+    val (_, packed) = writeBoth(50, blockBytes = 512)
+    val (offs, footerStart) = BlockLz4.footerOffsets(
+      new Configuration(), s"$packed/reads.gb4z")
+    assert(offs.nonEmpty && offs.head == 8L, "first block must follow the header")
+    assert(offs == offs.sorted && offs.distinct == offs)
+    assert(offs.last < footerStart)
+  }
+}
