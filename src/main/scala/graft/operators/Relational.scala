@@ -18,6 +18,25 @@ import graft.Tables._
   *  - no AVG (DuckDB returns double for decimal avg) — emit sum+count.
   */
 object Relational {
+
+  /** q32's join, conf-free: a selective urgent-finished order filter on
+    * the creation side, the lineitem fact on the application side — the
+    * shape InjectRuntimeFilter turns into a Bloom pre-shuffle prune.
+    * Separated from the query's conf scope so PlanAuditSpec can pin the
+    * bloom markers on this exact plan under the same configuration. */
+  private[graft] def bloomJoinFrame(s: SparkSession, d: String): DataFrame = {
+    val ord = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(D2)).cast("decimal(38,2)")
+          .cast("double").as("sum_qty"))
+  }
   private val D2 = "decimal(18,2)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -488,6 +507,37 @@ object Relational {
           coalesce(col("n_orders"), lit(0L)).as("n_orders"))
     }),
 
+    // -- q32: RUNTIME BLOOM-FILTER join (InjectRuntimeFilter) ---------------
+    // the shuffle-join analogue of f18's dynamic partition pruning: when a
+    // selective filter sits on one join side, Catalyst builds a Bloom
+    // filter of its join keys at runtime and pushes a might_contain()
+    // probe into the OTHER side's scan, so the big side discards
+    // non-joining rows BEFORE the shuffle instead of shipping them. At
+    // 100 TB this is the difference between shuffling a full fact table
+    // and shuffling the ~3% that can possibly join. Broadcast is disabled
+    // for this query (a broadcast join subsumes the filter) and the
+    // application-side size threshold dropped so the injection triggers
+    // at test scale — on a real lake both defaults already fire.
+    // PlanAuditSpec pins bloom_filter_agg + might_contain in the plan;
+    // the result must equal the plain join (the filter is pure pruning).
+    "q32_bloom_join" -> ((s, d) => {
+      val confs = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      // the confs must be live at EXECUTION (InjectRuntimeFilter is an
+      // optimizer rule), so the tiny post-agg result is materialized
+      // eagerly inside the scope; the restored session never sees them
+      try bloomJoinFrame(s, d).localCheckpoint()
+      finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // -- per-group arg-max via window (scalar-subquery shape) --------------
     "q14_top_account" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -702,6 +752,13 @@ object Relational {
         |  COUNT(*) AS n_items,
         |  CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |GROUP BY l.l_suppkey, s.s_name""".stripMargin
+        |GROUP BY l.l_suppkey, s.s_name""".stripMargin,
+    // the bloom filter is pure pruning — the result is the plain join
+    "q32_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -279,6 +279,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q32 injects a runtime Bloom filter into the fact side") {
+    // under the query's own confs (broadcast off, application-side size
+    // floor dropped) InjectRuntimeFilter must build a bloom_filter_agg
+    // over the filtered orders keys and push a might_contain probe into
+    // the lineitem side — the pre-shuffle prune q32 exists to prove
+    val s = spark
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val f = graft.operators.Relational.bloomJoinFrame(s, "/root/testdata/sf0.001")
+      val opt = f.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg") || opt.contains("BloomFilterAggregate"),
+        opt.take(3000))
+      assert(opt.contains("might_contain") || opt.contains("BloomFilterMightContain"),
+        opt.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("x13 aggregate retraction maintenance touches only delta-bounded state") {
     // the aggregate half of x12's contract: the view parquet feeds ONLY
     // broadcast anti/semi joins against the touched-key set (never a
