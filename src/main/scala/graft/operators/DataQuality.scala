@@ -130,6 +130,46 @@ object DataQuality {
     // -- dq3: event-time calendar continuity ------------------------------
     "dq3_continuity" -> ((s, d) => continuityAudit(events(s, d))),
 
+    // -- dq5: corrupt-record QUARANTINE routing ----------------------------
+    // the ingest-boundary pattern every production loader needs: parse
+    // dirty delimited input in PERMISSIVE mode, route rows that fail the
+    // schema to a quarantine sidecar (raw line preserved for forensics),
+    // and let the clean rows flow — one malformed row must never abort a
+    // 100 TB load (FAILFAST) or silently vanish (DROPMALFORMED). The
+    // dirty input is fabricated from documents (every 13th doc_id gets an
+    // unparseable key), the quarantine lands as a parquet sidecar via an
+    // ordinary distributed write, and the gated report accounts for both
+    // populations — so a loader that dropped, double-counted, or
+    // mis-routed a row hash-mismatches. DataQualitySpec pins the sidecar
+    // contents (exactly the malformed raw lines).
+    "dq5_quarantine" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val root = s"/root/repo/target/graft_io/${new java.io.File(d).getName}/dq5"
+      documents(s, d).select(concat_ws(",",
+          when(col("doc_id") % 13 === 0, concat(lit("X"), col("doc_id")))
+            .otherwise(col("doc_id").cast("string")),
+          col("lang"), col("n_chars")).as("value"))
+        .write.mode("overwrite").text(s"$root/dirty_csv")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType), StructField("_bad", StringType)))
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(s"$root/dirty_csv")
+        .cache()
+      parsed.filter(col("_bad").isNotNull).select(col("_bad").as("raw_line"))
+        .write.mode("overwrite").parquet(s"$root/quarantine")
+      val good = parsed.filter(col("_bad").isNull)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      val bad = s.read.parquet(s"$root/quarantine")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("__quarantined").as("lang"), col("n_docs"),
+          lit(0L).as("total_chars"))
+      good.unionByName(bad)
+    }),
+
     // -- dq4: k-anonymity audit (re-identification risk) ------------------
     // the governance gate a training-data release runs: every
     // quasi-identifier combination (here nation x market segment x
@@ -156,6 +196,16 @@ object DataQuality {
       .filter(col("n") < k)
 
   def oracles: Map[String, String] = Map(
+    // every 13th doc_id was made unparseable: good rows aggregate by
+    // lang, the quarantine row accounts for the rest — totals must
+    // reconcile exactly against the raw table
+    "dq5_quarantine" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id % 13 <> 0 GROUP BY lang
+        |UNION ALL
+        |SELECT '__quarantined', COUNT(*), 0
+        |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
     "dq4_k_anonymity" ->
       """SELECT c_nationkey AS nation, c_mktsegment AS segment,
         |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,

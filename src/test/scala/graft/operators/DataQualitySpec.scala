@@ -103,4 +103,25 @@ class DataQualitySpec extends AnyFunSuite {
     assert(got((2, "AUTO", 0L)) == 2L)
     assert(got((3, "RAIL", -1L)) == 1L) // floor(-0.0005) bucket, not round
   }
+
+  test("dq5: quarantine sidecar holds exactly the malformed raw lines") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("dq5_quarantine")(spark, sf)
+    val expectBad = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 13 === 0).count()
+    val gotBad = out.filter(col("lang") === "__quarantined")
+      .select("n_docs").collect().head.getLong(0)
+    assert(gotBad == expectBad)
+    // the sidecar preserves the RAW malformed lines for forensics — every
+    // one carries the planted unparseable key and nothing else landed
+    val side = spark.read.parquet(
+      "/root/repo/target/graft_io/sf0.001/dq5/quarantine")
+    val raws = side.collect().map(_.getString(0))
+    assert(raws.length == expectBad)
+    assert(raws.forall(_.startsWith("X")), raws.take(3).mkString("; "))
+    // reconciliation: good + quarantined == every fabricated line
+    val total = out.agg(sum(col("n_docs"))).collect().head.getLong(0)
+    assert(total == graft.Tables.documents(spark, sf).count())
+  }
 }
