@@ -855,6 +855,44 @@ object Events {
           expr("(tus - cts) div 1000").as("gap_ms"))
     }),
 
+    // -- e18: FORWARD as-of join with tolerance ----------------------------
+    // e6 answers "which click came BEFORE this purchase" (backward as-of);
+    // e18 answers the converse attribution question — for every click,
+    // the FIRST purchase at-or-after it within a 2-day horizon
+    // (time-to-convert), LEFT semantics: unconverted clicks emit with
+    // NULL. Same scale shape as e6: tag-union both event classes, ONE
+    // shuffle on user_id, and a forward-looking window
+    // (currentRow..unboundedFollowing) picks the nearest purchase in
+    // (ts, event_id) order — no range explode, no theta join. Because
+    // purchases are scanned in time order, the FIRST one after the click
+    // is the minimum gap, so the tolerance applies post-pick: if the
+    // nearest is beyond the horizon, none qualifies. Ties at the same
+    // microsecond resolve by event_id (a same-ts purchase with a smaller
+    // id sorts before the click and is correctly excluded) — the oracle
+    // states the identical row-value rule.
+    "e18_asof_forward" -> ((s, d) => {
+      val horizonUs = 2L * 86400 * 1000000
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      val tagged = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus"), col("event_id"),
+          lit(null).cast("long").as("pid0"))
+        .unionByName(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tus"), col("event_id"),
+            col("event_id").as("pid0")))
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val hit = col("pts").isNotNull && (col("pts") - col("tus")) <= horizonUs
+      tagged
+        .withColumn("pid", first(col("pid0"), ignoreNulls = true).over(w))
+        .withColumn("pts",
+          first(when(col("pid0").isNotNull, col("tus")), ignoreNulls = true).over(w))
+        .filter(col("pid0").isNull)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          when(hit, col("pid")).as("purchase_id"),
+          when(hit, expr("(pts - tus) div 1000")).as("gap_ms"))
+    }),
+
     // -- range (interval containment) join, bucketed -----------------------
     // intervals = each user's first week of activity; count events inside.
     // A naive t BETWEEN lo AND hi theta-join is quadratic per key pair at
@@ -1340,6 +1378,30 @@ object Events {
         |SELECT event_id AS purchase_id, user_id, cid AS click_id,
         |  cval AS click_value, (tus - cts) // 1000 AS gap_ms
         |FROM w WHERE click_id IS NULL""".stripMargin,
+    // forward mirror of e6, same window trick with a following frame;
+    // the 2-day tolerance nulls the pick (the nearest-forward purchase is
+    // the minimum gap, so beyond-horizon means no qualifying purchase)
+    "e18_asof_forward" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+        |            FROM events),
+        |tagged AS (
+        |  SELECT user_id, tus, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN event_id END AS pid0
+        |  FROM ev WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *,
+        |    first_value(pid0 IGNORE NULLS) OVER win AS pid,
+        |    first_value(CASE WHEN pid0 IS NOT NULL THEN tus END IGNORE NULLS)
+        |      OVER win AS pts
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id AS click_id, user_id,
+        |  CASE WHEN pts - tus <= CAST(2 AS BIGINT) * 86400 * 1000000
+        |       THEN pid END AS purchase_id,
+        |  CASE WHEN pts - tus <= CAST(2 AS BIGINT) * 86400 * 1000000
+        |       THEN (pts - tus) // 1000 END AS gap_ms
+        |FROM w WHERE pid0 IS NULL""".stripMargin,
     "e9_sliding_window" ->
       """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events),
         |buck AS (
