@@ -160,9 +160,18 @@ object DataQuality {
         .cache()
       parsed.filter(col("_bad").isNotNull).select(col("_bad").as("raw_line"))
         .write.mode("overwrite").parquet(s"$root/quarantine")
+      // the cache is LOAD-BEARING for corrupt detection, not just the
+      // corrupt-column-only projection above: an uncached re-execution
+      // prunes the CSV parse to the referenced columns, so a malformed
+      // doc_id never fails and _bad stays NULL. The good aggregate is
+      // therefore materialized EAGERLY while the cache is live, and the
+      // cache released before returning (a leaked cache would survive
+      // every bench retime).
       val good = parsed.filter(col("_bad").isNull)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .localCheckpoint()
+      parsed.unpersist()
       val bad = s.read.parquet(s"$root/quarantine")
         .agg(count(lit(1)).as("n_docs"))
         .select(lit("__quarantined").as("lang"), col("n_docs"),

@@ -19,6 +19,16 @@ import graft.Tables._
   */
 object Relational {
 
+  /** q32's conf scope, shared with PlanAuditSpec's bloom pin so the test
+    * can never drift from the shipped query: broadcast off (a broadcast
+    * join subsumes the runtime filter), application-side size floor
+    * dropped so injection triggers at test scale. */
+  private[graft] val BloomJoinConfs: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+
   /** q32's join, conf-free: a selective urgent-finished order filter on
     * the creation side, the lineitem fact on the application side — the
     * shape InjectRuntimeFilter turns into a Bloom pre-shuffle prune.
@@ -521,11 +531,7 @@ object Relational {
     // PlanAuditSpec pins bloom_filter_agg + might_contain in the plan;
     // the result must equal the plain join (the filter is pure pruning).
     "q32_bloom_join" -> ((s, d) => {
-      val confs = Seq(
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+      val confs = BloomJoinConfs
       val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
       confs.foreach { case (k, v) => s.conf.set(k, v) }
       // the confs must be live at EXECUTION (InjectRuntimeFilter is an

@@ -603,9 +603,7 @@ object Similarity {
       val all = vecs(s, d)
       val assigned = assignCells(all, seedCentroids(all))
       val recon = pqRecon(all)
-      val q = assigned.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("n2").as("qn2"), col("cell"))
+      val q = querySet(assigned, "cell")
       val wTop = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
       q.join(assigned.select(col("vec_id"), col("cell")), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))

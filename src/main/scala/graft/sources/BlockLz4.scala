@@ -115,9 +115,13 @@ object BlockLz4 {
 
   /** Decompressed view of the consecutive blocks whose offsets lie in
     * [start, end): seeks to `start` (a block boundary from the footer)
-    * and serves raw bytes block by block. The caller owns `raw`. */
+    * and serves raw bytes block by block. close() closes `raw` — the
+    * wrapping LineReader's close() must release the file handle exactly
+    * as it does on the uncompressed path, or every container split
+    * leaks one fd per task. */
   def rangeStream(raw: FSDataInputStream, start: Long, end: Long): InputStream =
     new InputStream {
+      override def close(): Unit = raw.close()
       private val decomp = factory.safeDecompressor()
       private var pos = start
       private var block: Array[Byte] = Array.emptyByteArray

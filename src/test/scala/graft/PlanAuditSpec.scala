@@ -285,11 +285,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // over the filtered orders keys and push a might_contain probe into
     // the lineitem side — the pre-shuffle prune q32 exists to prove
     val s = spark
-    val confs = Seq(
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    // the SAME conf seq the shipped query sets — shared constant, so a
+    // conf tune in Relational cannot leave this pin testing stale confs
+    val confs = graft.operators.Relational.BloomJoinConfs
     val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     try {
