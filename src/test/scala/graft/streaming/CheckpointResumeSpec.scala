@@ -119,6 +119,70 @@ class CheckpointResumeSpec extends AnyFunSuite {
     finally walk.close()
   }
 
+  test("append session_window restart merges new events into restored open windows") {
+    // es18's durability class: run 1 leaves OPEN sessions in the state
+    // store (no watermark has passed them — nothing emitted); after the
+    // outage a new event lands INSIDE one of those windows' gap, and only
+    // the RESTORED session state can merge it instead of opening a fresh
+    // window. A later far event drives the watermark past the real
+    // sessions, finalizing them exactly once with the merged extents.
+    val src = tmp("graft_swa_src")
+    val cp = tmp("graft_swa_cp")
+    val out = tmp("graft_swa_out")
+    import spark.implicits._
+    def writeEv(name: String, rows: Seq[(Long, Int)], mtime: Long): Unit = {
+      val scratch = src.resolve(s"_tmp_$name")
+      rows.toDF("user_id", "m")
+        .select(col("user_id"),
+          timestamp_millis(lit(1700000000000L) + col("m") * 60000L).as("ts"),
+          lit(1.0).as("value"))
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val ls = Files.list(scratch)
+      val part = try ls.filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      finally ls.close()
+      Files.move(part, src.resolve(s"$name.parquet"))
+      Files.setLastModifiedTime(src.resolve(s"$name.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+      val walk = Files.walk(scratch)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+    val t0 = System.currentTimeMillis()
+    writeEv("b0", Seq(1L -> 0, 2L -> 5), t0)
+    writeEv("b1", Seq(1L -> 10), t0 + 2000)
+    val schema = spark.read.parquet(src.toString).schema
+    def runOnce(): Unit = {
+      val q = EventStreams.sessionWindowTotalsAppend(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src.toString))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce() // both sessions still open — nothing finalized yet
+    assert(spark.read.parquet(out.toString).count() == 0,
+      "sessions emitted before any watermark passed them")
+    // outage: user 1's new event falls within the restored window's gap
+    // (m20 < m10 + 30min) and must MERGE; user 3's far event advances the
+    // global watermark past both real sessions
+    writeEv("b2", Seq(1L -> 20), t0 + 4000)
+    writeEv("b3", Seq(3L -> 500), t0 + 6000)
+    runOnce()
+    val got = spark.read.parquet(out.toString)
+      .select(col("user_id"), col("n_events"),
+        unix_millis(col("sw.end")) - unix_millis(col("sw.start")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 1: ONE merged session of 3 events spanning m0..m20+gap
+    // (20 + 30 minutes); user 2: singleton (30-minute window); user 3's
+    // far session stays open in state, never emitted
+    assert(got == Set((1L, 3L, 50L * 60000), (2L, 1L, 30L * 60000)),
+      s"restored session state did not merge across the restart: $got")
+  }
+
   test("checkpointed stream-stream join resumes with recovered buffer state") {
     // the join-state complement of the dedup test: a click buffered
     // BEFORE the stop must still pair with a purchase arriving AFTER the
