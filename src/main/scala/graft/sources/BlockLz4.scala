@@ -91,6 +91,33 @@ object BlockLz4 {
     offsets.length
   }
 
+  /** Distributed container sink: each partition of `lines` (a
+    * single-string-column frame) writes ONE task-local `.gb4z` shard —
+    * the compressed analogue of `df.write.text(dir)`, and each shard is
+    * itself block-splittable on read, so the layout parallelizes twice:
+    * across shards AND within a shard. CONTRACT: records must not
+    * straddle partitions — callers repartition BEFORE fabricating the
+    * `recordLines`-line records (the es12 convention), exactly as for
+    * the plain-text FASTQ sink. Overwrite semantics: the directory is
+    * cleared on the driver first (file-count-bounded). */
+  def writeDir(lines: org.apache.spark.sql.DataFrame, dir: String,
+               blockBytes: Int = 256 * 1024, recordLines: Int = 4): Unit = {
+    val conf = lines.sparkSession.sessionState.newHadoopConf()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    fs.mkdirs(p)
+    lines.select(lines.columns.head).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          writeFile(new Configuration(), f"$dir/part-$pid%05d$Extension",
+            it.map(_.getString(0)), blockBytes, recordLines)
+          ()
+        }
+    }
+  }
+
   /** Footer read: (block offsets, first footer byte). One 12-byte tail
     * read + one offsets read — the planner's whole per-file cost. */
   def footerOffsets(conf: Configuration, path: String): (Seq[Long], Long) = {

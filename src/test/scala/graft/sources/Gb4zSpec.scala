@@ -84,6 +84,31 @@ class Gb4zSpec extends AnyFunSuite {
     assert(spark.table(name).collect().head.getLong(0) == 120L)
   }
 
+  test("distributed sink: one shard per partition, read-back parity") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_gb4z_sink").toString + "/shards"
+    // 4-line records fabricated AFTER the repartition (the sink contract:
+    // records never straddle partitions); pure column expressions — a
+    // scala lambda here would drag the test suite into the closure
+    val lines = (0 until 200).toDF("i").repartition(4)
+      .select(explode(array(
+        concat(lit("@"), format_string("read_%05d", col("i")), lit("x" * 13)),
+        lit(("ACGT" * 10) + "ACGTACGTACGTA"),
+        lit("+"),
+        lit("@" + "I" * 20))).as("value"))
+    BlockLz4.writeDir(lines, dir, blockBytes = 1024)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(BlockLz4.Extension))
+    assert(shards.length == 4, s"expected one shard per partition: ${shards.length}")
+    val got = spark.read.format("fastq").option("maxSplitBytes", 2048)
+      .load(dir).select("id").as[String].collect().sorted.toSeq
+    assert(got == (0 until 200).map(i => f"read_$i%05d" + "x" * 13),
+      "sink shards lost or duplicated records on read-back")
+    // overwrite semantics: a second write fully replaces the layout
+    BlockLz4.writeDir(lines.limit(40).repartition(1), dir, blockBytes = 1024)
+    assert(spark.read.format("fastq").load(dir).count() == 10)
+  }
+
   test("footer round-trip: offsets are monotone block starts") {
     val (_, packed) = writeBoth(50, blockBytes = 512)
     val (offs, footerStart) = BlockLz4.footerOffsets(
