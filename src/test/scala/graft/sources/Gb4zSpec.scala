@@ -109,6 +109,39 @@ class Gb4zSpec extends AnyFunSuite {
     assert(spark.read.format("fastq").load(dir).count() == 10)
   }
 
+  test("container layer fuzz: byte parity on random corpora and block sizes") {
+    // below the FASTQ parser: writer -> footer -> rangeStream must be the
+    // identity on arbitrary line content — multibyte unicode, empty
+    // lines, records larger than the block budget (kept whole: the
+    // writer only cuts at record boundaries), and 1-byte blocks
+    val rnd = new scala.util.Random(90210L)
+    // whole codepoints (🚀 is a surrogate pair — indexing raw chars would
+    // fabricate lone surrogates, a test artifact, not container input)
+    val alphabet = Vector("a", "b", "c", " ", "€", "✓", "\t", "x", "y",
+      "z", "0", "1", "2", "3", "🚀")
+    for ((blockBytes, recordLines) <- Seq((1, 1), (64, 3), (4096, 4))) {
+      val lines = (0 until 400).map { _ =>
+        val n = rnd.nextInt(120)
+        (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val dir = Files.createTempDirectory("graft_gb4z_fuzz")
+      val f = s"$dir/fuzz.gb4z"
+      val nBlocks = BlockLz4.writeFile(
+        new Configuration(), f, lines.iterator, blockBytes, recordLines)
+      val (offs, footerStart) = BlockLz4.footerOffsets(new Configuration(), f)
+      assert(offs.length == nBlocks)
+      val fs = new org.apache.hadoop.fs.Path(f)
+        .getFileSystem(new Configuration())
+      val in = fs.open(new org.apache.hadoop.fs.Path(f))
+      val got = try {
+        val s = BlockLz4.rangeStream(in, offs.head, footerStart)
+        new String(s.readAllBytes(), "UTF-8")
+      } finally in.close()
+      assert(got == lines.map(_ + "\n").mkString,
+        s"roundtrip diverged at blockBytes=$blockBytes recordLines=$recordLines")
+    }
+  }
+
   test("footer round-trip: offsets are monotone block starts") {
     val (_, packed) = writeBoth(50, blockBytes = 512)
     val (offs, footerStart) = BlockLz4.footerOffsets(
