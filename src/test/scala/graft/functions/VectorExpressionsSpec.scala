@@ -77,4 +77,30 @@ class VectorExpressionsSpec extends AnyFunSuite {
       call_function("vec_dot", lit(null).cast("array<double>"), col("b")))
     assert(withNull.collect().forall(_.isNullAt(0)))
   }
+
+  test("sign_pack: codegen path matches the kernel; zero/short/long edges") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(60)(Array.fill(rnd.nextInt(80))(rnd.nextFloat() * 2 - 1)) ++
+      Seq(Array.empty[Float],
+        Array(0.0f, -0.0f, 1e-30f, -1e-30f),   // strict > 0: only bit 2 set
+        Array.fill(64)(1f), Array.fill(70)(-1f))
+    val got = rows.toDF("v")
+      .select(call_function("sign_pack", col("v")).as("c")).as[Long].collect()
+    rows.zip(got).foreach { case (v, c) =>
+      val want = v.take(64).zipWithIndex
+        .map { case (x, i) => if (x > 0f) 1L << i else 0L }
+        .foldLeft(0L)(_ | _)
+      assert(c == want, s"len=${v.length}")
+    }
+    // the documented contract rows: +/-0 are NOT positive; tiny positive
+    // denormal IS; dims past 64 ignored
+    assert(got(rows.length - 3) == 4L)          // only 1e-30f at index 2
+    assert(got(rows.length - 2) == -1L)         // all 64 bits set
+    assert(got(rows.length - 1) == 0L)          // all negative
+    val n = rows.toDF("v")
+      .select(call_function("sign_pack", lit(null).cast("array<float>")))
+    assert(n.collect().forall(_.isNullAt(0)))
+  }
 }
