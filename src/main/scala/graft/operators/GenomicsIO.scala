@@ -104,6 +104,40 @@ object GenomicsIO {
       Genomics.decodeCounts(s.table(name), 15)
     }),
 
+    // -- es19: STREAMING ingestion of compressed .gb4z shards --------------
+    // es12's directory-tailing shape with the bytes on disk COMPRESSED:
+    // four block-indexed LZ4 containers ([[graft.sources.BlockLz4
+    // .writeDir]] — one shard per partition, records fabricated after the
+    // repartition so none straddles a shard), tailed via
+    // readStream.format("fastq") with maxFilesPerTrigger=1. Each
+    // whole-file streaming partition resolves its block range from the
+    // container footer; 4 real microbatches cross the k-mer state store
+    // and the Complete-mode fixpoint must hash-match the same batch g1
+    // oracle — the container's batch path is f21, this gates its
+    // STREAMING path end to end.
+    "es19_stream_blz4" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val tmp = s"${ioDir(d)}/fastq_stream_blz4"
+      val seqs = documents(s, d).select(Genomics.dna32(col("doc_id")).as("read"))
+      graft.sources.BlockLz4.writeDir(
+        Fastq.toFastqLines(seqs.repartition(4)), tmp, blockBytes = 16 * 1024)
+      val name = "es19_blz4_mem"
+      s.catalog.dropTempView(name)
+      val reads = s.readStream.format("fastq").option("maxFilesPerTrigger", "1")
+        .load(tmp).select(col("seq")).as[String]
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.EventStreams
+          .kmerCountStream(Fastq.guardReads(reads, minLen = 15), 15)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      Genomics.decodeCounts(s.table(name), 15)
+    }),
+
     // -- columnar interchange: ORC sink -> source round-trip ---------------
     // the "another source format" path: the same documents projection
     // written as ORC (Spark's second first-class columnar format) and read
@@ -228,6 +262,7 @@ object GenomicsIO {
     // the DSv2 multi-split read must land the identical k-mer table
     "f11_fastq_dsv2" -> Genomics.oracles("g1_kmer_count"),
     "f21_blz4_container" -> Genomics.oracles("g1_kmer_count"),
+    "es19_stream_blz4" -> Genomics.oracles("g1_kmer_count"),
     // ...and so must its streaming path's Complete-mode fixpoint
     "es12_stream_fastq_dsv2" -> Genomics.oracles("g1_kmer_count"),
     "f7_orc_roundtrip" ->
