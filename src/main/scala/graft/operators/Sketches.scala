@@ -190,15 +190,7 @@ object Sketches {
     // driver-side in [[kmvSketchEstimate]]/[[kmvBelowThetaEstimate]], outside the oracle-checked query.
     "x10_kmv_theta" -> ((s, d) => {
       val k = 256
-      val sh = Shingles.wordNGrams(
-        documents(s, d).select(col("doc_id"), col("text")), 3)
-      val hs = sh.select((col("doc_id") % 2).cast("int").as("side"),
-        md5(col("sh").cast("binary")).as("h"))
-      val sk = kmvSketch(hs, k)
-        .localCheckpoint() // <= 2k rows; feeds four consumers below
-      val th = sk.groupBy("side")
-        .agg(max(col("h")).as("theta"), count(lit(1)).as("n"))
-      val tmin = th.agg(min(col("theta")).as("tm"))
+      val (sk, th, tmin) = kmvParitySides(s, d, k)
       val sides = th.select(concat(lit("side_"), col("side")).as("part"),
         col("n"), col("theta"))
       // union sketch: distinct merged hashes strictly below the shared
@@ -219,6 +211,29 @@ object Sketches {
         .crossJoin(broadcast(tmin))
         .select(lit("intersect").as("part"), col("n"), col("tm").as("theta"))
       sides.unionByName(uni).unionByName(inter)
+    }),
+
+    // -- x14: KMV theta A-NOT-B — the remaining set-algebra verb -----------
+    // x10 estimates union and intersection; difference completes the
+    // DataSketches triple: |A\B| ≈ (count of A-sketch hashes below the
+    // shared theta that are absent from B's sketch) / theta. The anti-join
+    // runs on two ≤k-row sketches (constant size at any corpus scale) and
+    // everything upstream is x10's same per-map-task partial top-k build —
+    // "which shingles are in Monday's crawl but not Tuesday's" at 100 TB
+    // costs two 256-row sketches and one tiny anti-join per direction.
+    // SketchesSpec proves estimator accuracy against the exact
+    // set-difference cardinalities.
+    "x14_kmv_anotb" -> ((s, d) => {
+      val (sk, _, tmin) = kmvParitySides(s, d, 256)
+      def diff(name: String, xSide: Int): DataFrame =
+        sk.filter(col("side") === xSide).select(col("h"))
+          .join(sk.filter(col("side") === (1 - xSide)).select(col("h")),
+            Seq("h"), "left_anti")
+          .crossJoin(broadcast(tmin)).filter(col("h") < col("tm"))
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tmin))
+          .select(lit(name).as("part"), col("n"), col("tm").as("theta"))
+      diff("a_not_b", 0).unionByName(diff("b_not_a", 1))
     }),
 
     // -- hashed linear classifier scoring ----------------------------------
@@ -275,6 +290,22 @@ object Sketches {
     hs.withColumn("rk",
         dense_rank().over(Window.partitionBy("side").orderBy("h")))
       .filter(col("rk") <= k).select("side", "h").distinct()
+  }
+
+  /** x10/x14's shared setup: the doc_id-parity 3-shingle sets sketched
+    * per side, plus per-side (theta, n) and the shared min-theta — the
+    * checkpointed sketch (<= 2k rows) feeds every set-algebra consumer. */
+  private def kmvParitySides(s: SparkSession, d: String,
+                             k: Int): (DataFrame, DataFrame, DataFrame) = {
+    val sh = Shingles.wordNGrams(
+      documents(s, d).select(col("doc_id"), col("text")), 3)
+    val hs = sh.select((col("doc_id") % 2).cast("int").as("side"),
+      md5(col("sh").cast("binary")).as("h"))
+    val sk = kmvSketch(hs, k).localCheckpoint()
+    val th = sk.groupBy("side")
+      .agg(max(col("h")).as("theta"), count(lit(1)).as("n"))
+    val tmin = th.agg(min(col("theta")).as("tm"))
+    (sk, th, tmin)
   }
 
   /** Fraction of the hash space at or below the 32-hex-char theta —
@@ -405,6 +436,28 @@ object Sketches {
         |  SELECT 'side_' || CAST(side AS VARCHAR) AS part, n, theta FROM th
         |  UNION ALL SELECT part, n, theta FROM uni
         |  UNION ALL SELECT part, n, theta FROM inter)""".stripMargin,
+    // same sketch CTEs as x10; each difference row counts one side's
+    // sketch hashes below the shared theta that are absent from the
+    // other side's sketch (the DataSketches A-not-B rule)
+    "x14_kmv_anotb" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM ws)),
+        |hs AS (SELECT doc_id % 2 AS side, md5(sh) AS h FROM sh),
+        |rk AS (SELECT side, h, dense_rank() OVER (PARTITION BY side ORDER BY h) AS rk FROM hs),
+        |sk AS (SELECT DISTINCT side, h FROM rk WHERE rk <= 256),
+        |th AS (SELECT side, max(h) AS theta FROM sk GROUP BY side),
+        |tmin AS (SELECT min(theta) AS tm FROM th)
+        |SELECT part, CAST(n AS BIGINT) AS n, theta FROM (
+        |  SELECT 'a_not_b' AS part,
+        |    (SELECT COUNT(*) FROM sk a, tmin WHERE a.side = 0 AND a.h < tm
+        |       AND NOT EXISTS (SELECT 1 FROM sk b WHERE b.side = 1 AND b.h = a.h)) AS n,
+        |    (SELECT tm FROM tmin) AS theta
+        |  UNION ALL
+        |  SELECT 'b_not_a',
+        |    (SELECT COUNT(*) FROM sk a, tmin WHERE a.side = 1 AND a.h < tm
+        |       AND NOT EXISTS (SELECT 1 FROM sk b WHERE b.side = 0 AND b.h = a.h)),
+        |    (SELECT tm FROM tmin))""".stripMargin,
     "x6_linear_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |wtok AS (SELECT doc_id,

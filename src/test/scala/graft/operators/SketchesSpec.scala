@@ -84,6 +84,31 @@ class SketchesSpec extends AnyFunSuite {
       s"I: ${est("intersect")} vs $trueI")
   }
 
+  test("KMV A-not-B estimates land near the true set differences") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val rows = Sketches.queries("x14_kmv_anotb")(spark, d)
+      .as[(String, Long, String)].collect()
+      .map { case (p, n, t) => p -> ((n, t)) }.toMap
+    val sh = Shingles.wordNGrams(
+      spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text"), 3)
+      .select((col("doc_id") % 2).as("side"), col("sh")).distinct()
+      .localCheckpoint()
+    val a = sh.filter(col("side") === 0).select("sh")
+    val b = sh.filter(col("side") === 1).select("sh")
+    val trueAnB = a.exceptAll(a.join(b, "sh")).count()
+    val trueBnA = b.exceptAll(b.join(a, "sh")).count()
+    def est(p: String): Double = {
+      val (n, t) = rows(p)
+      Sketches.kmvBelowThetaEstimate(n, t)
+    }
+    // below-theta counts are binomial(true, theta) samples; 4-sigma-ish
+    assert(math.abs(est("a_not_b") - trueAnB) <= 0.35 * trueAnB,
+      s"A\\B: ${est("a_not_b")} vs $trueAnB")
+    assert(math.abs(est("b_not_a") - trueBnA) <= 0.35 * trueBnA,
+      s"B\\A: ${est("b_not_a")} vs $trueBnA")
+  }
+
   test("KMV sketches MERGE: union of shard sketches == direct sketch") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
