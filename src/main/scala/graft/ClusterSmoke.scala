@@ -52,7 +52,28 @@ object ClusterSmoke {
       .getProtectionDomain.getCodeSource.getLocation.toURI)
       .getParentFile.getParentFile.getAbsolutePath
 
+  /** Worker-side home pin. `spark.executorEnv.SPARK_HOME` is NOT enough
+    * for local-cluster: the in-process Worker builds each executor command
+    * through `launcher.WorkerCommandBuilder`, which force-overwrites the
+    * child env's SPARK_HOME with the WORKER's own sparkHome — and the
+    * Worker resolves that from `System.getenv("SPARK_HOME")` (falling back
+    * to cwd, which then dies on `./assembly/target/scala-2.13/jars`). The
+    * one env-free seam Spark offers is the testing pair it uses for its
+    * own local-cluster suites: when `spark.testing` is set, the Worker
+    * takes its home from the `spark.test.home` sysprop. Both are driver
+    * JVM sysprops (the Worker lives in the driver process under
+    * local-cluster), so setting them here makes a bare `java -cp` launch
+    * with NO ambient env work; when the caller already exported
+    * SPARK_HOME we leave the standard path alone. */
+  private def pinWorkerSparkHome(): Unit =
+    if (System.getenv("SPARK_HOME") == null) {
+      sys.props.getOrElseUpdate("spark.testing", "true")
+      sys.props.getOrElseUpdate("spark.test.home", sparkHomeFromClasspath)
+      ()
+    }
+
   private def session(master: String, jar: Option[String]): SparkSession = {
+    if (master.startsWith("local-cluster")) pinWorkerSparkHome()
     val b = SparkSession.builder()
       .master(master)
       .appName(s"graft-cluster-smoke-$master")

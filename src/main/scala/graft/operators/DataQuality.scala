@@ -144,7 +144,7 @@ object DataQuality {
     // contents (exactly the malformed raw lines).
     "dq5_quarantine" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val root = s"/root/repo/target/graft_io/${new java.io.File(d).getName}/dq5"
+      val root = s"${graft.Scratch.dir(d)}/dq5"
       documents(s, d).select(concat_ws(",",
           when(col("doc_id") % 13 === 0, concat(lit("X"), col("doc_id")))
             .otherwise(col("doc_id").cast("string")),

@@ -305,7 +305,7 @@ object Events {
       import s.implicits._
       val gapMs = 30L * 60 * 1000
       val streamDir = graft.streaming.Replay.eventsDir(s, d, sentinelGapMs = gapMs)
-      val root = s"/root/repo/target/graft_io/${new java.io.File(d).getName}/es2a"
+      val root = s"${graft.Scratch.dir(d)}/es2a"
       rmTree(new java.io.File(root))
       val sch = s.read.parquet(streamDir).schema
       val ev = s.readStream.schema(sch)
@@ -529,7 +529,7 @@ object Events {
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val streamDir = graft.streaming.Replay.eventsDir(s, d)
-      val root = s"/root/repo/target/graft_io/${new java.io.File(d).getName}/es7a"
+      val root = s"${graft.Scratch.dir(d)}/es7a"
       rmTree(new java.io.File(root))
       val sch = s.read.parquet(streamDir).schema
       val ev = s.readStream.schema(sch)
@@ -674,7 +674,7 @@ object Events {
     "es9a_ssjoin_batches" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val streamDir = graft.streaming.Replay.eventsDir(s, d)
-      val root = s"/root/repo/target/graft_io/${new java.io.File(d).getName}/es9a"
+      val root = s"${graft.Scratch.dir(d)}/es9a"
       rmTree(new java.io.File(root))
       val sch = s.read.parquet(streamDir).schema
       def src() = s.readStream.schema(sch)
@@ -861,15 +861,21 @@ object Events {
     // the FIRST purchase at-or-after it within a 2-day horizon
     // (time-to-convert), LEFT semantics: unconverted clicks emit with
     // NULL. Same scale shape as e6: tag-union both event classes, ONE
-    // shuffle on user_id, and a forward-looking window
-    // (currentRow..unboundedFollowing) picks the nearest purchase in
-    // (ts, event_id) order — no range explode, no theta join. Because
-    // purchases are scanned in time order, the FIRST one after the click
-    // is the minimum gap, so the tolerance applies post-pick: if the
+    // shuffle on user_id, and ONE LINEAR window pass. The forward pick is
+    // computed as a RUNNING `last` over DESCENDING (ts, event_id) order —
+    // semantically identical to `first` over a forward
+    // (currentRow..unboundedFollowing) frame, but Spark executes an
+    // unbounded-following frame by rescanning the partition tail per row
+    // (O(n²) per user), while the running (unboundedPreceding..currentRow)
+    // frame folds each row once (O(n), e6's shape). In descending order
+    // the frame holds exactly the rows at-or-after the click in event-time
+    // order, and the running `last` non-null is the NEAREST such purchase
+    // — the minimum gap — so the tolerance applies post-pick: if the
     // nearest is beyond the horizon, none qualifies. Ties at the same
-    // microsecond resolve by event_id (a same-ts purchase with a smaller
-    // id sorts before the click and is correctly excluded) — the oracle
-    // states the identical row-value rule.
+    // microsecond resolve by event_id exactly as before (a same-ts
+    // purchase with a smaller id sorts AFTER the click descending, i.e.
+    // outside the frame, and is correctly excluded) — the oracle states
+    // the identical row-value rule.
     "e18_asof_forward" -> ((s, d) => {
       val horizonUs = 2L * 86400 * 1000000
       val ev = events(s, d).select(col("event_id"), col("user_id"),
@@ -880,13 +886,14 @@ object Events {
         .unionByName(ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("tus"), col("event_id"),
             col("event_id").as("pid0")))
-      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tus").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val hit = col("pts").isNotNull && (col("pts") - col("tus")) <= horizonUs
       tagged
-        .withColumn("pid", first(col("pid0"), ignoreNulls = true).over(w))
+        .withColumn("pid", last(col("pid0"), ignoreNulls = true).over(w))
         .withColumn("pts",
-          first(when(col("pid0").isNotNull, col("tus")), ignoreNulls = true).over(w))
+          last(when(col("pid0").isNotNull, col("tus")), ignoreNulls = true).over(w))
         .filter(col("pid0").isNull)
         .select(col("event_id").as("click_id"), col("user_id"),
           when(hit, col("pid")).as("purchase_id"),

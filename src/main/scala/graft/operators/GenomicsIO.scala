@@ -12,7 +12,7 @@ import graft.sources.Fastq
   */
 object GenomicsIO {
   private def ioDir(d: String) =
-    s"/root/repo/target/graft_io/${new java.io.File(d).getName}"
+    graft.Scratch.dir(d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- P12 -> S1 -> P1 -> P14 -> A1: counts must equal the direct path ---

@@ -20,7 +20,7 @@ object Lakehouse {
   private val D2 = "decimal(18,2)"
 
   private def ioDir(d: String) =
-    s"/root/repo/target/graft_io/${new java.io.File(d).getName}"
+    graft.Scratch.dir(d)
 
   /** Demo-setup writes (the materialized views x11/x12 maintain) run once
     * per (path) per JVM — a real lake HAS the view already; re-paying the

@@ -187,7 +187,7 @@ object Rescue {
     // -- S5 + S3 + P5: k-mer CSV sink -> source -> binarize round-trip -----
     "f3_csv_kmer_roundtrip" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val tmp = s"/root/repo/target/graft_io/${new java.io.File(d).getName}/kmer_csv"
+      val tmp = s"${graft.Scratch.dir(d)}/kmer_csv"
       val cnt = Genomics.decodeCounts(
         Genomics.countCanonical(docSeqs15(s, d), 15), 15)
       Fastq.writeCsv(cnt, tmp)

@@ -26,7 +26,7 @@ object Zorder {
   /** Per-sf scratch root for layout demos (same convention as
     * [[Lakehouse]]/GenomicsIO). */
   private def ioDir(d: String) =
-    s"/root/repo/target/graft_io/${new java.io.File(d).getName}"
+    graft.Scratch.dir(d)
 
   /** Morton (Z-curve) interleave of the low `bits` bits of two
     * non-negative columns: bit i of `a` lands at position 2i, bit i of

@@ -14,9 +14,18 @@ import org.apache.hadoop.fs.{FSDataInputStream, Path}
   * input format (reference: hadoop-4mc — an external artifact; the format
   * here is our own):
   *
-  *   header   8 B magic "GB4ZHDR1"
-  *   block*   [compLen: Int BE][rawLen: Int BE][LZ4-compressed payload]
+  *   header   8 B magic "GB4ZHDR2"
+  *   block*   [compLen: Int BE][rawLen: Int BE][crc32: Int BE][payload]
   *   footer   [blockOffset: Long BE]*n  [n: Int BE]  8 B magic "GB4ZIDX1"
+  *
+  * crc32 covers the COMPRESSED payload bytes (java.util.zip.CRC32 — the
+  * gzip polynomial): a flipped storage byte is detected BEFORE
+  * decompression instead of silently decoding to garbage records (LZ4 has
+  * no internal integrity check; a corrupted block usually still
+  * "decompresses"). Readers validate every block and fail with the file +
+  * block offset; [[verifyBlocks]] is the quarantine route — it classifies
+  * each block good/bad without throwing, so corrupt shards can be
+  * sidelined dq5-style while healthy blocks keep flowing.
   *
   * Two invariants carry the split contract:
   *  - blocks are RECORD-aligned: the writer only cuts a block at a record
@@ -35,10 +44,16 @@ import org.apache.hadoop.fs.{FSDataInputStream, Path}
   */
 object BlockLz4 {
   val Extension = ".gb4z"
-  private val HeaderMagic = "GB4ZHDR1".getBytes("US-ASCII")
+  private val HeaderMagic = "GB4ZHDR2".getBytes("US-ASCII")
   private val FooterMagic = "GB4ZIDX1".getBytes("US-ASCII")
 
   private def factory = net.jpountz.lz4.LZ4Factory.fastestInstance()
+
+  private def crc32(bytes: Array[Byte]): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(bytes)
+    c.getValue.toInt
+  }
 
   /** Stream `lines` into a container at `path` (created/overwritten),
     * cutting blocks at record boundaries once `blockBytes` of raw text
@@ -75,8 +90,9 @@ object BlockLz4 {
       offsets :+= offset
       writeInt(out, packed.length)
       writeInt(out, raw.length)
+      writeInt(out, crc32(packed))
       out.write(packed)
-      offset += 8L + packed.length
+      offset += 12L + packed.length
       buf.reset()
     }
     lines.foreach { l =>
@@ -107,11 +123,16 @@ object BlockLz4 {
     val fs = p.getFileSystem(conf)
     if (fs.exists(p)) { fs.delete(p, true); () }
     fs.mkdirs(p)
+    // ship the SESSION's Hadoop conf into the tasks (same pattern as
+    // FastqScan.createReaderFactory): a fresh executor-side Configuration
+    // would silently drop non-default filesystem settings — s3a
+    // credentials, custom FS impls — and write to the wrong place
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     lines.select(lines.columns.head).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          writeFile(new Configuration(), f"$dir/part-$pid%05d$Extension",
+          writeFile(sconf.value, f"$dir/part-$pid%05d$Extension",
             it.map(_.getString(0)), blockBytes, recordLines)
           ()
         }
@@ -119,25 +140,88 @@ object BlockLz4 {
   }
 
   /** Footer read: (block offsets, first footer byte). One 12-byte tail
-    * read + one offsets read — the planner's whole per-file cost. */
+    * read + one offsets read — the planner's whole per-file cost. Every
+    * field is sanity-checked with a descriptive message BEFORE any seek
+    * derived from it: a corrupt footer must name the file and the bad
+    * field, not surface later as a negative-seek or OOM-sized allocation
+    * deep inside planning. A ZERO-LENGTH file is reported as an empty
+    * container (no offsets) rather than an error — an in-flight writer's
+    * just-created shard should be skippable by planners, while a
+    * truncated non-empty file is always a hard error. */
   def footerOffsets(conf: Configuration, path: String): (Seq[Long], Long) = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
+    if (len == 0L) return (Seq.empty, 0L)
     val in = fs.open(p)
     try {
-      require(len >= 20L, s"$path: too short for a $Extension container")
+      require(len >= HeaderMagic.length + 12L,
+        s"$path: $len bytes is too short for a $Extension container " +
+          s"(min ${HeaderMagic.length + 12}: header + empty footer); truncated?")
+      val hdr = new Array[Byte](HeaderMagic.length)
+      in.readFully(hdr)
+      require(java.util.Arrays.equals(hdr, HeaderMagic),
+        s"$path: bad $Extension header magic " +
+          s"'${new String(hdr, "US-ASCII")}' (expected 'GB4ZHDR2')")
       in.seek(len - 12)
       val n = in.readInt()
       val magic = new Array[Byte](8)
       in.readFully(magic)
       require(java.util.Arrays.equals(magic, FooterMagic),
-        s"$path: missing $Extension footer magic")
+        s"$path: missing $Extension footer magic; truncated or not a container")
+      require(n >= 0 && HeaderMagic.length + 12L + 8L * n <= len,
+        s"$path: footer block count $n is impossible for a $len-byte file; corrupt footer")
       val footerStart = len - 12 - 8L * n
       in.seek(footerStart)
       val offs = (0 until n).map(_ => in.readLong())
+      offs.zipWithIndex.foreach { case (o, i) =>
+        require(o >= HeaderMagic.length && o < footerStart,
+          s"$path: footer offset[$i]=$o outside the block region " +
+            s"[${HeaderMagic.length}, $footerStart); corrupt footer")
+      }
       (offs, footerStart)
     } finally in.close()
+  }
+
+  /** One block's verification verdict from [[verifyBlocks]]. */
+  case class BlockReport(offset: Long, ok: Boolean, error: String)
+
+  /** Quarantine route: CRC-validate every block of a container WITHOUT
+    * throwing on payload corruption — returns one [[BlockReport]] per
+    * block so callers can sideline the bad ones (dq5's PERMISSIVE-parse
+    * pattern at the storage layer) while healthy blocks keep flowing.
+    * Footer corruption still throws (there is no per-block recovery
+    * without an index). File-sized sequential read; run it task-side. */
+  def verifyBlocks(conf: Configuration, path: String): Seq[BlockReport] = {
+    val (offs, footerStart) = footerOffsets(conf, path)
+    if (offs.isEmpty) return Seq.empty
+    val fs = new Path(path).getFileSystem(conf)
+    val in = fs.open(new Path(path))
+    try offs.zipWithIndex.map { case (o, i) =>
+      val end = if (i + 1 < offs.length) offs(i + 1) else footerStart
+      try {
+        in.seek(o)
+        val compLen = in.readInt()
+        val rawLen = in.readInt()
+        val crc = in.readInt()
+        require(compLen >= 0 && o + 12L + compLen <= end,
+          s"block header says $compLen payload bytes but the next block starts at $end")
+        require(rawLen >= 0, s"negative rawLen $rawLen")
+        val packed = new Array[Byte](compLen)
+        in.readFully(packed)
+        val got = crc32(packed)
+        require(got == crc,
+          f"crc mismatch: stored 0x$crc%08x, computed 0x$got%08x")
+        // decompression bound-check comes free: safeDecompressor caps at rawLen
+        factory.safeDecompressor().decompress(packed, rawLen)
+        BlockReport(o, ok = true, "")
+      } catch {
+        case e: Exception =>
+          BlockReport(o, ok = false,
+            s"$path block@$o: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    finally in.close()
   }
 
   /** Decompressed view of the consecutive blocks whose offsets lie in
@@ -146,7 +230,8 @@ object BlockLz4 {
     * wrapping LineReader's close() must release the file handle exactly
     * as it does on the uncompressed path, or every container split
     * leaks one fd per task. */
-  def rangeStream(raw: FSDataInputStream, start: Long, end: Long): InputStream =
+  def rangeStream(raw: FSDataInputStream, start: Long, end: Long,
+                  name: String = "<gb4z>"): InputStream =
     new InputStream {
       override def close(): Unit = raw.close()
       private val decomp = factory.safeDecompressor()
@@ -164,11 +249,19 @@ object BlockLz4 {
         raw.seek(pos)
         val compLen = readInt()
         val rawLen = readInt()
+        val crc = readInt()
+        require(compLen >= 0 && pos + 12L + compLen <= end,
+          s"$name block@$pos: header says $compLen payload bytes, past the " +
+            s"split end $end; corrupt block header")
         val packed = new Array[Byte](compLen)
         raw.readFully(packed)
+        val got = crc32(packed)
+        require(got == crc,
+          f"$name block@$pos: crc mismatch (stored 0x$crc%08x, computed " +
+            f"0x$got%08x) — corrupt storage; quarantine via BlockLz4.verifyBlocks")
         block = decomp.decompress(packed, rawLen)
         at = 0
-        pos += 8L + compLen
+        pos += 12L + compLen
         true
       }
       override def read(): Int = {

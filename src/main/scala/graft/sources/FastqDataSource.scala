@@ -234,7 +234,10 @@ private[sources] class FastqScan(options: CaseInsensitiveStringMap,
         // offset (one tail read per file, driver-side), so splits are
         // EXACT consecutive block ranges — record-aligned blocks mean no
         // sync heuristics, and a compressed shard parallelizes like plain
-        // text instead of collapsing to one whole-file task
+        // text instead of collapsing to one whole-file task. Empty (0-byte
+        // or 0-block) containers plan to zero splits rather than failing
+        // the whole load; a TRUNCATED or corrupt footer throws here with
+        // the file named — footerOffsets bound-checks every field
         val (offs, footerStart) = BlockLz4.footerOffsets(conf, p)
         if (offs.isEmpty) Seq.empty
         else {
@@ -409,7 +412,7 @@ private[sources] class FastqPartitionReader(part: FastqInputPartition,
           val (offs, footerStart) = BlockLz4.footerOffsets(conf, part.path)
           (offs.headOption.getOrElse(footerStart), footerStart)
         } else (part.start, part.end)
-      new LineReader(BlockLz4.rangeStream(raw, s0, e0))
+      new LineReader(BlockLz4.rangeStream(raw, s0, e0, part.path))
     }
     else {
       if (codec == null && part.start > 0) raw.seek(part.start)

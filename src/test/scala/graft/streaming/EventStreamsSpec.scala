@@ -347,7 +347,7 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.collect().map(_.toString).toSet ==
       batch.collect().map(_.toString).toSet,
       "per-batch capture union != batch sessionization")
-    val capDir = "/root/repo/target/graft_io/sf0.001/es2a/out"
+    val capDir = graft.Scratch.dir("sf0.001") + "/es2a/out"
     val parts = new java.io.File(capDir).listFiles()
       .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
     assert(parts.length >= 4, s"replay ran < 4 microbatches: $parts")
@@ -388,7 +388,7 @@ class EventStreamsSpec extends AnyFunSuite {
     try {
       val out = graft.SparkEntry.queries("es9a_ssjoin_batches")(spark, sf)
       assert(out.count() > 0)
-      val capDir = "/root/repo/target/graft_io/sf0.001/es9a/out"
+      val capDir = graft.Scratch.dir("sf0.001") + "/es9a/out"
       val counts = batchCounts(capDir)
       assert(counts.length >= 4, s"replay ran < 4 microbatches: $counts")
       assert(counts.count(_._2 > 0) >= 3,
@@ -449,7 +449,7 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.collect().map(_.toString).toSet ==
       batch.collect().map(_.toString).toSet,
       "last-write-wins reconstruction != running-stats fixpoint")
-    val capDir = "/root/repo/target/graft_io/sf0.001/es7a/out"
+    val capDir = graft.Scratch.dir("sf0.001") + "/es7a/out"
     val counts = batchCounts(capDir)
     assert(counts.length >= 4, s"replay ran < 4 microbatches: $counts")
     assert(counts.count(_._2 > 0) >= 3,
