@@ -59,6 +59,119 @@ object Lakehouse {
         sum(col("total")).cast("decimal(38,2)").as("total"),
         max(col("r")).as("r"))
 
+  /** x15 internals, exposed for the spec: returns (hotKeys, maintained
+    * view). `hotKeys` is the recompute-on-retract key set — the spec
+    * asserts it is exactly the groups whose extremum a retraction could
+    * have removed (every (purchase, bucket) group and every signup group
+    * by construction of the change batch), and the plan pin asserts the
+    * post-state base scan feeds ONLY a broadcast semi-join against it. */
+  private[graft] def x15MinMaxIvm(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val viewDir = s"${ioDir(d)}/x15_view"
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      (col("user_id") % 8).as("bucket"), col("event_type"),
+      col("value").as("v"))
+    val base = ev.filter(col("event_id") % 10 =!= 9)
+    def state(rows: DataFrame): DataFrame =
+      rows.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("v")).as("max_v"), min(col("v")).as("min_v"))
+    writeViewOnce(viewDir) {
+      state(base).write.mode("overwrite").parquet(viewDir)
+    }
+    val v0 = s.read.parquet(viewDir)
+    // ---- the signed change batch (setup: "the CDC batch arriving") ----
+    // inserts (+1, arriving non-signup rows ending in 9), point deletes
+    // (-1, rows ending in 2), +1.0 value updates (-old +new, rows ending
+    // in 3), the signup whole-group purge, and the guaranteed extremum
+    // retraction: every bucket's max-value purchase row not already
+    // classed as a delete/update (those retract the same extremum through
+    // their own class — either way EVERY purchase bucket goes hot)
+    val notSignup = col("event_type") =!= "signup"
+    val isDel = col("event_id") % 10 === 2
+    val isUpd = col("event_id") % 10 === 3
+    val cols = Seq("event_id", "user_id", "bucket", "event_type", "v", "sign")
+      .map(col)
+    val pmax = base.filter(col("event_type") === "purchase")
+      .groupBy(col("bucket")).agg(max(col("v")).as("mv"))
+    val isMaxDel = col("event_type") === "purchase" && !isDel && !isUpd &&
+      col("v") === col("mv")
+    val maxDel = base.join(broadcast(pmax), Seq("bucket")).filter(isMaxDel)
+      .withColumn("sign", lit(-1L)).select(cols: _*)
+    val ins = ev.filter(col("event_id") % 10 === 9 && notSignup)
+      .withColumn("sign", lit(1L)).select(cols: _*)
+    val del = base.filter(isDel && notSignup)
+      .withColumn("sign", lit(-1L)).select(cols: _*)
+    val purge = base.filter(col("event_type") === "signup")
+      .withColumn("sign", lit(-1L)).select(cols: _*)
+    val updOld = base.filter(isUpd && notSignup)
+      .withColumn("sign", lit(-1L)).select(cols: _*)
+    val updNew = updOld.withColumn("v", col("v") + lit(1.0)).select(cols: _*)
+      .withColumn("sign", lit(1L)).select(cols: _*)
+    val delta = ins.unionByName(del).unionByName(purge)
+      .unionByName(updOld).unionByName(updNew).unionByName(maxDel)
+    // ---- maintenance (the claimed path) ----
+    // per-touched-group delta summary: group-count-bounded, broadcast
+    val dSum = delta.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("sign")).as("dn"),
+        max(when(col("sign") > 0, col("v"))).as("ins_max"),
+        min(when(col("sign") > 0, col("v"))).as("ins_min"),
+        max(when(col("sign") < 0, col("v"))).as("ret_max"),
+        min(when(col("sign") < 0, col("v"))).as("ret_min"))
+    val touchedKeys = dSum.select(col("event_type"), col("bucket"))
+    val untouched = v0.join(broadcast(touchedKeys),
+      Seq("event_type", "bucket"), "left_anti")
+    // touched view state is touched-bounded; join it back onto the
+    // broadcast delta summary (left outer: new groups keep null v0 state)
+    val v0touched = v0.join(broadcast(touchedKeys),
+      Seq("event_type", "bucket"), "left_semi")
+    val merged = dSum.join(broadcast(v0touched),
+      Seq("event_type", "bucket"), "left")
+    val hot = coalesce(
+      col("ret_max") >= col("max_v") || col("ret_min") <= col("min_v"),
+      lit(false))
+    val hotKeys = merged.filter(col("n_events").isNotNull && hot)
+      .select(col("event_type"), col("bucket"))
+    // cold path: pure state fold, no scan (greatest/least skip nulls)
+    val safe = merged.filter(col("n_events").isNotNull && !hot)
+      .select(col("event_type"), col("bucket"),
+        (col("n_events") + col("dn")).as("n_events"),
+        greatest(col("max_v"), col("ins_max")).as("max_v"),
+        least(col("min_v"), col("ins_min")).as("min_v"))
+      .filter(col("n_events") > 0)
+    // brand-new groups: insert-only by construction
+    val fresh = merged.filter(col("n_events").isNull)
+      .select(col("event_type"), col("bucket"), col("dn").as("n_events"),
+        col("ins_max").as("max_v"), col("ins_min").as("min_v"))
+      .filter(col("n_events") > 0)
+    // hot path: recompute ONLY the hot groups from the POST-STATE base
+    // table — in a real lake the CDC batch has already been MERGEd into
+    // the base (x9's operation) by the time view maintenance runs, so the
+    // post-state is a stored table, materialized here once as setup. The
+    // maintenance plan scans it exactly once, semi-joined to the
+    // broadcast hot keys BEFORE the aggregate (plan-pinned in
+    // PlanAuditSpec: one x15_post relation, under a LeftSemi broadcast
+    // join) — O(rows of hot groups), never O(|base|). A purged group has
+    // zero post-state rows and simply emits nothing, dropping out.
+    val postDir = s"${ioDir(d)}/x15_post"
+    writeViewOnce(postDir) {
+      base.join(broadcast(pmax), Seq("bucket"), "left")
+        .filter(notSignup && !isDel && !coalesce(isMaxDel, lit(false)))
+        .withColumn("v", col("v") + when(isUpd, lit(1.0)).otherwise(lit(0.0)))
+        .select(col("event_id"), col("user_id"), col("bucket"),
+          col("event_type"), col("v"))
+        .unionByName(ins.drop("sign"))
+        .write.mode("overwrite").parquet(postDir)
+    }
+    val recomputed = state(s.read.parquet(postDir)
+      .join(broadcast(hotKeys), Seq("event_type", "bucket"), "left_semi"))
+    val out = Seq("event_type", "bucket", "n_events", "max_v", "min_v").map(col)
+    (hotKeys,
+      untouched.select(out: _*)
+        .unionByName(safe.select(out: _*))
+        .unionByName(fresh.select(out: _*))
+        .unionByName(recomputed.select(out: _*)))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- f12: bucketed tables -> exchange-free co-located join -------------
     // the write pays one hash shuffle per table INTO the bucket layout
@@ -298,6 +411,32 @@ object Lakehouse {
       untouched.unionByName(touched)
         .withColumn("total", col("total").cast("double"))
     }),
+
+    // -- x15: MAX/MIN aggregate IVM — recompute-on-retract ------------------
+    // completes the IVM matrix at its last seam (named at x13: COUNT/SUM
+    // fold signed deltas because they are abelian-GROUP aggregates; MAX/
+    // MIN are only a SEMIGROUP — a retraction of the current extremum
+    // cannot be folded out, the new extremum lives in the base data).
+    // The maintenance rule:
+    //   * inserts alone never force a scan: max' = greatest(max, insMax),
+    //     min' = least(min, insMin) — pure state fold;
+    //   * a retraction is HOT iff it could have removed the stored
+    //     extremum (retMax >= max_v or retMin <= min_v) — only those
+    //     groups are recomputed, FROM the post-state base SEMI-JOINED to
+    //     the broadcast hot-key set (plan-pinned: the base scan feeds a
+    //     BroadcastHashJoin LeftSemi before any aggregate), O(rows of hot
+    //     groups), never O(|base|);
+    //   * untouched view groups pass through a broadcast anti-join unread.
+    // The change batch guarantees the hot path genuinely fires: besides
+    // x13's point deletes / +1 updates / signup whole-group purge, it
+    // retracts every bucket's maximum-value purchase row, so EVERY
+    // (purchase, bucket) group and EVERY signup group is hot (the purge
+    // drives its groups out of the view entirely — recompute over zero
+    // post-state rows emits nothing). Result must equal the from-scratch
+    // MAX/MIN/COUNT over the post-state events (the oracle states exactly
+    // that). Doubles are safe here: MAX/MIN are order-independent (no
+    // decimal detour needed) and +1.0 is exact IEEE in both engines.
+    "x15_minmax_ivm_recompute" -> ((s, d) => x15MinMaxIvm(s, d)._2),
 
     // -- x9: CDC upsert — MERGE a change batch into a snapshot -------------
     // the lake-table maintenance primitive (Delta/Iceberg MERGE INTO):
@@ -716,6 +855,31 @@ object Lakehouse {
     // the signed incremental maintenance must land exactly here (and with
     // zero signup groups: the purge drives their counts to 0 and the
     // maintained view removes them, not parks them at n=0)
+    // from-scratch MAX/MIN/COUNT over the post-state events — exactly what
+    // the recompute-on-retract maintenance must reproduce. The max-delete
+    // predicate (every bucket's max-value purchase row not already classed
+    // delete/update) is closed-form on both sides.
+    "x15_minmax_ivm_recompute" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, user_id % 8 AS bucket, event_type,
+        |         value AS v
+        |  FROM events WHERE event_id % 10 <> 9),
+        |pmax AS (
+        |  SELECT bucket, MAX(v) AS mv FROM base
+        |  WHERE event_type = 'purchase' GROUP BY bucket),
+        |post AS (
+        |  SELECT b.event_type, b.bucket,
+        |         b.v + CASE WHEN b.event_id % 10 = 3 THEN 1.0 ELSE 0.0 END AS v
+        |  FROM base b LEFT JOIN pmax p ON b.bucket = p.bucket
+        |  WHERE b.event_type <> 'signup' AND b.event_id % 10 <> 2
+        |    AND NOT COALESCE(b.event_type = 'purchase'
+        |          AND b.event_id % 10 NOT IN (2, 3) AND b.v = p.mv, FALSE)
+        |  UNION ALL
+        |  SELECT event_type, user_id % 8 AS bucket, value AS v
+        |  FROM events WHERE event_id % 10 = 9 AND event_type <> 'signup')
+        |SELECT event_type, bucket, COUNT(*) AS n_events,
+        |       MAX(v) AS max_v, MIN(v) AS min_v
+        |FROM post GROUP BY event_type, bucket""".stripMargin,
     "x13_agg_ivm_retract" ->
       """WITH base AS (
         |  SELECT event_id, user_id, event_type,

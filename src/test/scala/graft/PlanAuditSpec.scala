@@ -310,6 +310,48 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("x15 recompute-on-retract scans the post-state base ONLY semi-joined to hot keys") {
+    // the non-invertible-aggregate seam (MAX/MIN under retraction): the
+    // one scan of the post-state snapshot in the maintenance plan must sit
+    // under a LeftSemi join against the broadcast hot-key set — a second
+    // scan, or a scan feeding an aggregate without the semi-join, would
+    // mean maintenance is recomputing the whole view. Setup-IO caveat as
+    // for x11/x12/x13.
+    val p = plan("x15_minmax_ivm_recompute")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+    val opt = SparkEntry.queries("x15_minmax_ivm_recompute")(spark, sf)
+      .queryExecution.optimizedPlan
+    // exactly ONE relation over the post-state snapshot...
+    val postScans = opt.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if (r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.exists(_.toString.contains("x15_post"))
+          case _ => false
+        }) => r
+    }
+    assert(postScans.size == 1, s"expected 1 x15_post scan, got ${postScans.size}")
+    // ...and the scan sits BELOW a LeftSemi join (the prune guards every
+    // access) with no Aggregate between the join and the scan (an
+    // aggregate under the guard would be a full recompute, filtered late)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    def guarded(n: LogicalPlan): Boolean = n match {
+      case j: Join if j.joinType.sql == "LEFT SEMI" &&
+          j.left.exists(_ eq postScans.head) =>
+        !j.left.exists {
+          case a: Aggregate => a.exists(_ eq postScans.head)
+          case _ => false
+        }
+      case l if l eq postScans.head => false // reached the scan unguarded
+      case other =>
+        other.children.filter(_.exists(_ eq postScans.head)).forall(guarded)
+    }
+    assert(guarded(opt),
+      "x15_post scan is reachable without the LeftSemi prune (or aggregates below it):\n" + opt)
+  }
+
   test("x13 aggregate retraction maintenance touches only delta-bounded state") {
     // the aggregate half of x12's contract: the view parquet feeds ONLY
     // broadcast anti/semi joins against the touched-key set (never a

@@ -208,6 +208,58 @@ class LakehouseSpec extends AnyFunSuite {
     assert((outKeys -- v0Keys).nonEmpty, "no inserts took effect")
   }
 
+  test("x15 MAX/MIN IVM: hot set is exactly the extremum-retracting groups; purge drops out") {
+    // the non-invertible-aggregate seam: the maintained view must equal
+    // the from-scratch MAX/MIN/COUNT of the post-state events (proven
+    // in-engine, so a gate-side SQL drift can never mask a rule bug), and
+    // the hot (recompute) set must cover every group whose extremum the
+    // batch retracted — by construction every (purchase, bucket) group
+    // (its max row is retracted via the max-delete, point-delete, or
+    // update class) and every signup group (whole-group purge).
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val (hotKeys, view) = graft.operators.Lakehouse.x15MinMaxIvm(s, d)
+    val ev = graft.Tables.events(s, d).select(col("event_id"),
+      (col("user_id") % 8).as("bucket"), col("event_type"),
+      col("value").as("v"))
+    val base = ev.filter(col("event_id") % 10 =!= 9)
+    val isDel = col("event_id") % 10 === 2
+    val isUpd = col("event_id") % 10 === 3
+    val pmax = base.filter(col("event_type") === "purchase")
+      .groupBy("bucket").agg(max(col("v")).as("mv"))
+    val post = base.join(pmax, Seq("bucket"), "left")
+      .filter(col("event_type") =!= "signup" && !isDel &&
+        !coalesce(col("event_type") === "purchase" && !isDel && !isUpd &&
+          col("v") === col("mv"), lit(false)))
+      .withColumn("v", col("v") + when(isUpd, lit(1.0)).otherwise(lit(0.0)))
+      .select("event_type", "bucket", "v")
+      .unionByName(ev.filter(col("event_id") % 10 === 9 &&
+        col("event_type") =!= "signup").select("event_type", "bucket", "v"))
+    val scratch = post.groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("v")).as("max_v"), min(col("v")).as("min_v"))
+    assert(canon(view) == canon(scratch),
+      "maintained MAX/MIN view diverged from the from-scratch post-state aggregate")
+    val hot = hotKeys.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def groups(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      df.select("event_type", "bucket").distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val purchaseGroups = groups(base.filter(col("event_type") === "purchase"))
+    val signupGroups = groups(base.filter(col("event_type") === "signup"))
+    assert(purchaseGroups.nonEmpty && signupGroups.nonEmpty, "degenerate fixture")
+    assert(purchaseGroups.subsetOf(hot),
+      s"extremum-retracted purchase groups missing from the hot set: " +
+        s"${purchaseGroups -- hot}")
+    assert(signupGroups.subsetOf(hot),
+      s"purged signup groups missing from the hot set: ${signupGroups -- hot}")
+    // the purge genuinely drives its groups OUT of the view
+    assert(view.filter(col("event_type") === "signup").count() == 0,
+      "purged groups lingered in the maintained view")
+    // and the hot set is a strict subset of all groups — the cold fold
+    // path is really exercised too
+    assert((groups(base) -- hot).nonEmpty, "every group went hot; no cold-fold coverage")
+  }
+
   test("f20 vacuum deletes exactly the expired-unique files; shared survive") {
     val s = spark
     val d = "/root/testdata/sf0.001"
