@@ -55,8 +55,22 @@ object AlignerPipe {
     val fq = Fastq.toFastqLines(reads.toDF("read")).as[String]
     val sam = PipeOps.pipePartitionsLazy(fq,
       () => cmdTemplate.map(_.replace("{ref}", SparkFiles.get(name))))
+    // FLAG-aware row filter (SAM spec §1.4): drop unmapped (0x4) even when
+    // the aligner emitted a placed-unmapped record with a contig name,
+    // and drop secondary (0x100) / supplementary (0x800) alignments —
+    // each read must vote AT MOST ONCE in the consensus, or a multi-hit
+    // read double-counts its overhang evidence. Reverse-strand rows
+    // (0x10) flow through unchanged: SAM stores SEQ/CIGAR already in
+    // reference orientation, so the consensus is strand-invariant by
+    // construction (pinned by AlignerPipeSpec's adversarial aligner).
+    // Optional tags (columns >= 12) are ignored by the positional parse.
     sam.filter(l => l.nonEmpty && !l.startsWith("@"))
-      .map { l => val f = l.split("\t"); (f(2), f(3).toInt, f(5), f(9)) }
+      .map { l =>
+        val f = l.split("\t")
+        (f(1).toInt, f(2), f(3).toInt, f(5), f(9))
+      }
+      .filter(r => (r._1 & 0x904) == 0)
+      .map(r => (r._2, r._3, r._4, r._5))
       .toDF("contig", "pos", "cigar", "seq")
       .filter(col("contig") =!= "*" && col("cigar") =!= "*")
   }
