@@ -138,6 +138,50 @@ object GenomicsIO {
       Genomics.decodeCounts(s.table(name), 15)
     }),
 
+    // -- es20: STREAMING .gb4z SINK with exactly-once shard commit ---------
+    // es19 gates the container's streaming READ; es20 closes the loop on
+    // the WRITE side: each microbatch lands as batch-id-keyed compressed
+    // shards plus an atomically-renamed per-batch manifest
+    // ([[graft.sources.BlockLz4.writeBatch]]) — task retries overwrite
+    // their own (batch, partition) name, a replayed batch re-commits the
+    // identical manifest, and a batch that dies pre-commit leaves orphans
+    // no reader ever lists. The re-ingest goes through the MANIFEST-GATED
+    // glob (not a directory scan), so the gate proves commit protocol +
+    // container write + splittable read end to end: the k-mer counts over
+    // the re-ingested shards must hash-match the same batch g1 oracle.
+    // Gb4zSinkSpec adds the kill-restart and orphan-exclusion halves.
+    "es20_stream_blz4_sink" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val root = s"${ioDir(d)}/blz4_sink"
+      Events.rmTree(new java.io.File(root))
+      val srcDir = s"$root/src"
+      val seqs = documents(s, d).select(Genomics.dna32(col("doc_id")).as("read"))
+      graft.sources.BlockLz4.writeDir(
+        Fastq.toFastqLines(seqs.repartition(4)), srcDir, blockBytes = 16 * 1024)
+      val sinkDir = s"$root/out"
+      val q = s.readStream.format("fastq").option("maxFilesPerTrigger", "1")
+        .load(srcDir)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          // records fabricated AFTER the repartition (the sink contract:
+          // a 4-line record never straddles shards)
+          graft.sources.BlockLz4.writeBatch(
+            Fastq.toFastqLines(b.select(col("seq").as("read")).repartition(2)),
+            sinkDir, id, blockBytes = 8 * 1024)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val glob = graft.sources.BlockLz4.committedShardsGlob(
+        s.sessionState.newHadoopConf(), sinkDir)
+        .getOrElse(sys.error(s"es20: no committed manifests under $sinkDir"))
+      val reads = s.read.format("fastq").load(glob).select(col("seq")).as[String]
+      Genomics.decodeCounts(
+        Genomics.countCanonical(Fastq.guardReads(reads, minLen = 15), 15), 15)
+    }),
+
     // -- columnar interchange: ORC sink -> source round-trip ---------------
     // the "another source format" path: the same documents projection
     // written as ORC (Spark's second first-class columnar format) and read
@@ -263,6 +307,9 @@ object GenomicsIO {
     "f11_fastq_dsv2" -> Genomics.oracles("g1_kmer_count"),
     "f21_blz4_container" -> Genomics.oracles("g1_kmer_count"),
     "es19_stream_blz4" -> Genomics.oracles("g1_kmer_count"),
+    // the streaming WRITE side: manifest-gated re-ingest of the per-batch
+    // compressed shards must reproduce the identical k-mer table
+    "es20_stream_blz4_sink" -> Genomics.oracles("g1_kmer_count"),
     // ...and so must its streaming path's Complete-mode fixpoint
     "es12_stream_fastq_dsv2" -> Genomics.oracles("g1_kmer_count"),
     "f7_orc_roundtrip" ->

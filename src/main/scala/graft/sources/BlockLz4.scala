@@ -139,6 +139,69 @@ object BlockLz4 {
     }
   }
 
+  /** Exactly-once STREAMING batch sink: write one microbatch of `lines`
+    * as task-local container shards named `batch-<id>-part-<pid>.gb4z`,
+    * then commit the batch by writing a `_manifest-<id>` file listing its
+    * shards (tmp write + atomic rename — a reader sees the whole manifest
+    * or none of it). Exactly-once falls out of determinism + gating:
+    *  - a task RETRY overwrites its own (batchId, partitionId) name;
+    *  - a batch REPLAY after restart (foreachBatch re-delivery) rewrites
+    *    the same shard names and re-commits the same manifest —
+    *    idempotent, no duplicates;
+    *  - a batch that DIED before its manifest commit leaves orphan shards
+    *    that [[committedShards]] never lists — no partial batch is ever
+    *    read ([[GenomicsIO]] es20 gates this; Gb4zSinkSpec kills/replays).
+    * Manifests start with '_' so directory-level scans skip them. Returns
+    * the committed shard names (task-count-bounded driver data). */
+  def writeBatch(lines: org.apache.spark.sql.DataFrame, dir: String,
+                 batchId: Long, blockBytes: Int = 256 * 1024,
+                 recordLines: Int = 4): Seq[String] = {
+    val spark = lines.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p)
+    import spark.implicits._
+    val shards = lines.select(lines.columns.head).mapPartitions { it =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val name = f"batch-$batchId%05d-part-$pid%05d$Extension"
+        writeFile(sconf.value, s"$dir/$name",
+          it.map(_.getString(0)), blockBytes, recordLines)
+        Iterator.single(name)
+      } else Iterator.empty
+    }.collect().sorted.toSeq
+    val mf = new Path(p, f"_manifest-$batchId%05d")
+    val tmp = new Path(p, f"._manifest-$batchId%05d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(shards.mkString("", "\n", "").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(mf)) fs.delete(mf, false)
+    require(fs.rename(tmp, mf), s"manifest commit rename failed for batch $batchId")
+    shards
+  }
+
+  /** The manifest-gated read set: shard names listed by every committed
+    * `_manifest-*` in `dir`, as a single Hadoop `{a,b,...}` alternation
+    * glob rooted at the dir (the fastq source takes one path). Orphan
+    * shards from uncommitted batches are invisible by construction. */
+  def committedShardsGlob(conf: Configuration, dir: String): Option[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val names = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("_manifest-"))
+      .sortBy(_.getPath.getName)
+      .flatMap { m =>
+        val in = fs.open(m.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toVector
+        finally in.close()
+      }
+    if (names.isEmpty) None else Some(s"$dir/{${names.mkString(",")}}")
+  }
+
   /** Footer read: (block offsets, first footer byte). One 12-byte tail
     * read + one offsets read — the planner's whole per-file cost. Every
     * field is sanity-checked with a descriptive message BEFORE any seek
