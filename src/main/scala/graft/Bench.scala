@@ -7,8 +7,41 @@ import org.apache.spark.sql.SparkSession
   * `noop` sink (count() would let column pruning skip most of the work).
   * Failures are NOT folded into timings — they are reported in an
   * `errors` map and excluded from the total (VERDICT r1 #3).
+  *
+  * Besides wall time, the detail artifact records per-query MEMORY
+  * evidence from TaskMetrics (VERDICT r9 #8): `peak_task_mem` = max
+  * peakExecutionMemory over the query's tasks (the per-core execution
+  * memory an executor must provision — the number that scales to a
+  * cluster, unlike driver heap), and `spill_bytes` = summed
+  * memory+disk bytes spilled (nonzero means the operator fell out of its
+  * memory budget and would degrade, not fail, at 100x). Queries with any
+  * spill are called out in `spilled_queries`.
   */
 object Bench {
+
+  /** Per-query TaskMetrics rollup. `current` is set around each timed (and
+    * retimed) execution; task-end events attribute to whatever query is
+    * live (retimes fold in via max/sum — conservative for memory). */
+  private class MetricsCollector extends org.apache.spark.scheduler.SparkListener {
+    @volatile var current: String = ""
+    val peakMem = new scala.collection.concurrent.TrieMap[String, Long]()
+    val spill = new scala.collection.concurrent.TrieMap[String, Long]()
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val q = current
+      val m = te.taskMetrics
+      if (q.nonEmpty && m != null) {
+        peakMem.updateWith(q) {
+          case Some(v) => Some(math.max(v, m.peakExecutionMemory))
+          case None => Some(m.peakExecutionMemory)
+        }
+        spill.updateWith(q) {
+          case Some(v) => Some(v + m.memoryBytesSpilled + m.diskBytesSpilled)
+          case None => Some(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+        ()
+      }
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,10 +92,13 @@ object Bench {
     }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     spark.catalog.clearCache()
+    val metrics = new MetricsCollector
+    spark.sparkContext.addSparkListener(metrics)
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Option[Double] = {
+      metrics.current = name
       val t0 = System.nanoTime()
       val r = try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -72,6 +108,7 @@ object Bench {
           errors :+= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
           None
       }
+      metrics.current = ""
       // drop checkpoint/cache blocks the finished query left behind so they
       // can't distort the next query's timing (outside the timed window)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
@@ -126,9 +163,18 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${times.length},"queries":$qj,"errors":$es,"sf":"$sfDir","detail":"/root/repo/BENCH_DETAIL.json"}"""
     }
     val fullQs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val memJ = times.map { case (k, _) =>
+      s"${jstr(k)}:${metrics.peakMem.getOrElse(k, 0L)}" }.mkString("{", ",", "}")
+    val spillJ = times.map { case (k, _) =>
+      s"${jstr(k)}:${metrics.spill.getOrElse(k, 0L)}" }.mkString("{", ",", "}")
+    val spilled = times.collect {
+      case (k, _) if metrics.spill.getOrElse(k, 0L) > 0 => jstr(k)
+    }.mkString("[", ",", "]")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$es,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
+        s""""peak_task_mem":$memJ,"spill_bytes":$spillJ,""" +
+        s""""spilled_queries":$spilled,"errors":$es,"sf":"$sfDir"}""").getBytes("UTF-8"))
     var line = render(times.sortBy(_._1))
     if (line.length > 1500) {
       // keep the slowest queries (the ones the judge cares about) up to budget
