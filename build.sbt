@@ -21,6 +21,11 @@ run / fork := true
 val sparkEnv = Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
 run / envVars ++= sparkEnv
 Test / envVars ++= sparkEnv
+// Pass forked-run stdout through UNPREFIXED: sbt's default LoggedOutput
+// turns Bench's one-line JSON contract into "[info] {...}", which a
+// line-oriented json parse downstream rejects (every BENCH_r* artifact
+// so far carries parsed:null despite an intact JSON in the tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
