@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 
 /** Deduplication layer for large-scale text pipelines: exact dedup,
@@ -610,8 +611,73 @@ object Dedup {
       cand.withColumn("dist", levenshtein(col("nm_a"), col("nm_b")).cast("long"))
         .filter(col("dist") <= 1)
         .select(col("a"), col("b"), col("nm_a"), col("nm_b"), col("dist"))
-    })
+    }),
+
+    // -- d19: exact SUBSTRING-level dedup (Lee et al. 2022) -----------------
+    // d1/d8 dedup whole documents / word chunks; the training-data result
+    // that actually moved LMs ("Deduplicating Training Data Makes Language
+    // Models Better") removes duplicated CHARACTER SPANS — a 40-char
+    // passage repeated across two web pages is memorization fuel even when
+    // neither page is a near-dup of the other. Per document: every
+    // position's 40-gram, keep positions whose gram occurs in ANOTHER
+    // document, merge overlapping/adjacent hit intervals (classic
+    // gaps-and-islands over a per-doc window), report merged-span count
+    // and total duplicated characters — exactly the spans ExactSubstr
+    // would cut.
+    //
+    // Scale shape: the gram relation is O(corpus chars) rows and is the
+    // only big intermediate; the duplicate test is ONE hash groupBy on the
+    // gram with map-side partial min/max(doc_id) (cross-doc iff min<max —
+    // no count-distinct state), the hit filter is a leftsemi equi-join on
+    // the gram, and the island merge windows are per-doc_id (bounded by
+    // doc length, never global). The paper's suffix array is a single-node
+    // structure; the shingle formulation is the shuffle-native equivalent,
+    // exact for fixed L. At 100 TB the 40-byte gram keys would be packed
+    // to xxhash64 longs (5x less shuffle, 2^-64 collision odds); the gate
+    // keeps the raw gram so DuckDB reproduces it verbatim.
+    "d19_substring_dedup" -> ((s, d) =>
+      substringDedup(documents(s, d).select(col("doc_id"), col("text")), 40))
   )
+
+  /** Per-document duplicated-span report for [[queries d19]]: positions
+    * whose L-gram occurs in another document, merged into maximal
+    * islands. Exposed for DedupSpec's crafted-corpus cases (overlap
+    * merge, adjacency merge, within-doc-only exclusion). */
+  private[operators] def substringDedup(docs: DataFrame, L: Int): DataFrame = {
+    // Spark's sequence(1, n) STEPS DOWN when n < 1 (it would emit [1,0]
+    // for a short doc), so the position list must be gated, not clamped
+    val grams = docs
+      .select(col("doc_id"), col("text"),
+        explode(when(length(col("text")) >= L,
+            sequence(lit(1), length(col("text")) - (L - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos, $L)").as("gram"))
+    val crossDoc = grams.groupBy("gram")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select("gram")
+    val hits = grams.join(crossDoc, Seq("gram"), "leftsemi")
+      .select("doc_id", "pos")
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = hits
+      .withColumn("pmax", max(col("pos") + (L - 1)).over(wPrev))
+      .withColumn("new_isl",
+        when(col("pmax").isNull || col("pos") > col("pmax") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(wRun))
+    islands.groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("lo"),
+        max(col("pos") + (L - 1)).as("hi"),
+        count(lit(1)).as("npos"))
+      .groupBy("doc_id")
+      .agg(sum(col("npos")).as("n_dup_pos"),
+        count(lit(1)).as("n_spans"),
+        sum(col("hi") - col("lo") + 1).as("dup_chars"))
+  }
 
   /** Maximal cross-document repeated passages: (doc_id, span_start,
     * span_tokens), one row per maximal run of n-gram start positions
@@ -1092,6 +1158,31 @@ object Dedup {
         |         FROM k x JOIN k y ON x.blk = y.blk AND x.pk < y.pk)
         |SELECT a, b, nm_a, nm_b,
         |  CAST(levenshtein(nm_a, nm_b) AS BIGINT) AS dist
-        |FROM cand WHERE levenshtein(nm_a, nm_b) <= 1""".stripMargin
+        |FROM cand WHERE levenshtein(nm_a, nm_b) <= 1""".stripMargin,
+    "d19_substring_dedup" ->
+      """WITH grams AS (
+        |  SELECT doc_id, i AS pos, substr(text, i, 40) AS gram
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 39)) AS i
+        |        FROM documents)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram
+        |        HAVING MIN(doc_id) <> MAX(doc_id)),
+        |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN MAX(pos + 39) OVER w IS NULL
+        |           OR pos > MAX(pos + 39) OVER w + 1 THEN 1 ELSE 0 END AS new_isl
+        |  FROM hits
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |isl2 AS (SELECT doc_id, pos,
+        |           SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |         FROM isl),
+        |spans AS (SELECT doc_id, isl, MIN(pos) AS lo, MAX(pos) + 39 AS hi,
+        |            COUNT(*) AS npos
+        |          FROM isl2 GROUP BY doc_id, isl)
+        |SELECT doc_id, CAST(SUM(npos) AS BIGINT) AS n_dup_pos,
+        |       COUNT(*) AS n_spans, CAST(SUM(hi - lo + 1) AS BIGINT) AS dup_chars
+        |FROM spans GROUP BY doc_id""".stripMargin
   )
 }

@@ -900,6 +900,50 @@ object Events {
           when(hit, expr("(pts - tus) div 1000")).as("gap_ms"))
     }),
 
+    // -- e19: U-shaped multi-touch attribution ------------------------------
+    // e6/e18 credit ONE click per purchase (nearest before / first after);
+    // real marketing attribution splits a conversion across EVERY click
+    // in the lookback window — the position-based ("U-shaped") rule:
+    // first touch 40%, last touch 40%, middles share the remaining 20%
+    // (single click takes 100%, a pair 50/50). Needs ALL clicks within
+    // 7 days before each purchase, which is a RANGE join — the classic
+    // quadratic trap. Same cure as the interval query below: bucket time
+    // by the horizon (7 d), purchases probe exactly 2 buckets (their own
+    // + previous — a 2x fanout equi-join on (user_id, bucket) covers any
+    // window ≤ one horizon), the range predicate filters inside the
+    // bucket. A click meets a purchase through exactly ONE bucket, so no
+    // post-join dedup. Ranks/counts are windows per purchase_id,
+    // bounded by one user's 7-day click volume, never global. Credit
+    // arithmetic is mirrored IEEE: 0.4/0.5/1.0 are exact doubles and the
+    // middle share is one double division stated identically in the
+    // oracle (whose bare 0.2 literal would be DECIMAL division — cast
+    // explicitly).
+    "e19_attribution" -> ((s, d) => {
+      val horizonUs = 7L * 86400 * 1000000
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("tus").as("cts"))
+        .withColumn("bkt", expr(s"cts div ${horizonUs}L"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("tus").as("pts"))
+        .withColumn("pb", expr(s"pts div ${horizonUs}L"))
+        .withColumn("bkt", explode(array(col("pb") - 1, col("pb"))))
+      val w = Window.partitionBy("purchase_id")
+      val wr = w.orderBy(col("cts"), col("click_id"))
+      pur.join(clicks, Seq("user_id", "bkt"))
+        .filter(col("cts") >= col("pts") - horizonUs && col("cts") < col("pts"))
+        .withColumn("rnk", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(w))
+        .select(col("purchase_id"), col("click_id"), col("rnk").cast("long").as("touch"),
+          when(col("n") === 1, lit(1.0))
+            .when(col("n") === 2, lit(0.5))
+            .when(col("rnk") === 1 || col("rnk") === col("n"), lit(0.4))
+            .otherwise(lit(0.2) / (col("n") - 2)).as("credit"))
+    }),
+
     // -- range (interval containment) join, bucketed -----------------------
     // intervals = each user's first week of activity; count events inside.
     // A naive t BETWEEN lo AND hi theta-join is quadratic per key pair at
@@ -1409,6 +1453,30 @@ object Events {
         |  CASE WHEN pts - tus <= CAST(2 AS BIGINT) * 86400 * 1000000
         |       THEN (pts - tus) // 1000 END AS gap_ms
         |FROM w WHERE pid0 IS NULL""".stripMargin,
+    // plain range-join statement of the same rule; the CAST on 0.2 keeps
+    // the middle share in DOUBLE (a bare 0.2 is DECIMAL in DuckDB)
+    "e19_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+        |            FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, tus AS cts FROM ev
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS pts FROM ev
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT p.purchase_id, c.click_id, c.cts
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND c.cts >= p.pts - CAST(7 AS BIGINT) * 86400 * 1000000
+        |        AND c.cts < p.pts),
+        |r AS (SELECT purchase_id, click_id,
+        |        ROW_NUMBER() OVER (PARTITION BY purchase_id
+        |                           ORDER BY cts, click_id) AS rnk,
+        |        COUNT(*) OVER (PARTITION BY purchase_id) AS n
+        |      FROM j)
+        |SELECT purchase_id, click_id, rnk AS touch,
+        |  CASE WHEN n = 1 THEN 1.0
+        |       WHEN n = 2 THEN 0.5
+        |       WHEN rnk = 1 OR rnk = n THEN 0.4
+        |       ELSE CAST(0.2 AS DOUBLE) / (n - 2) END AS credit
+        |FROM r""".stripMargin,
     "e9_sliding_window" ->
       """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events),
         |buck AS (

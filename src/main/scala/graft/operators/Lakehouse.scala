@@ -32,6 +32,44 @@ object Lakehouse {
   private def writeViewOnce(path: String)(write: => Unit): Unit =
     synchronized { if (viewWritten.add(path)) write }
 
+  /** Net change feed over an upsert log (okey, status, price, version,
+    * op) for the interval (vFrom, latest]: both version images come out
+    * of ONE hash aggregate (max(struct(version,…)) overall = post image,
+    * the same max gated to version ≤ vFrom = pre image), then a
+    * row-local explode types the change — one scan, one keyed shuffle,
+    * no snapshot self-join. Net semantics: insert+delete inside the
+    * interval emits nothing; delete+resurrect to identical values
+    * emits nothing. Exposed for LakehouseSpec's crafted-log cases. */
+  private[operators] def changeFeed(log: DataFrame, vFrom: Long): DataFrame = {
+    val st = struct(col("version"), col("op"), col("status"), col("price"))
+    val chT = s"array<struct<change_type:string,status:string,price:$D2>>"
+    log.groupBy("okey")
+      .agg(max(when(col("version") <= vFrom, st)).as("wa"), max(st).as("wb"))
+      .select(col("okey"),
+        (col("wa").isNotNull && col("wa.op") =!= "D").as("in_pre"),
+        (col("wb.op") =!= "D").as("in_post"),
+        col("wa.status").as("ps"), col("wa.price").as("pp"),
+        col("wb.status").as("ns"), col("wb.price").as("np"))
+      .select(col("okey"), explode(
+        when(!col("in_pre") && col("in_post"), array(struct(
+          lit("insert").as("change_type"), col("ns").as("status"),
+          col("np").as("price"))))
+        .when(col("in_pre") && !col("in_post"), array(struct(
+          lit("delete").as("change_type"), col("ps").as("status"),
+          col("pp").as("price"))))
+        .when(col("in_pre") && col("in_post") &&
+            (!(col("ps") <=> col("ns")) || !(col("pp") <=> col("np"))),
+          array(
+            struct(lit("update_preimage").as("change_type"),
+              col("ps").as("status"), col("pp").as("price")),
+            struct(lit("update_postimage").as("change_type"),
+              col("ns").as("status"), col("np").as("price"))))
+        .otherwise(array().cast(chT))).as("ch"))
+      .select(col("okey"), col("ch.change_type").as("change_type"),
+        col("ch.status").as("status"),
+        col("ch.price").cast("double").as("price"))
+  }
+
   /** Mergeable per-(event_type, user-bucket) summary state: row counts and
     * exact decimal cents merge by SUM, the HLL register by MAX — the three
     * merge laws that make the state composable across arbitrary batch
@@ -477,6 +515,53 @@ object Lakehouse {
           col("w.price").cast("double").as("price"))
     }),
 
+    // -- x16: change data feed between two table versions -------------------
+    // Delta's `table_changes(t, v_from, v_to)` read path: what NET-changed
+    // over a commit interval, as typed change rows — `insert` / `delete`
+    // with one image, updates as the `update_preimage` + `update_postimage`
+    // row PAIR downstream CDC consumers (x12-style IVM, replication,
+    // audit) key on. The history is es14's 4-commit log over orders
+    // (update, delete, second update, resurrect, disjoint insert), so the
+    // feed exercises every verb including delete-then-resurrect collapsing
+    // to an update. Scale shape: BOTH version images come out of ONE
+    // hash aggregate over the log — max(struct(version,…)) overall for
+    // the post image and the same max gated to version ≤ v_from for the
+    // pre image — so the whole CDF is one scan + one keyed shuffle + a
+    // row-local explode; no self-join of snapshots, no window sort. (A
+    // production lake reads per-commit CDC files when present; this
+    // snapshot-diff is exactly Delta's fallback for ranges without them,
+    // and net-changes semantics means an insert+delete inside the
+    // interval correctly emits nothing.)
+    "x16_change_feed" -> ((s, d) => {
+      val src = orders(s, d)
+      val base = src.select(col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast(D2).as("price"),
+        lit(0L).as("version"), lit("U").as("op"))
+      val log = base
+        .unionByName(src.filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey").as("okey"), lit("U2").as("status"),
+            (col("o_totalprice").cast(D2) + lit(1).cast(D2)).cast(D2).as("price"),
+            lit(1L).as("version"), lit("U").as("op")))
+        .unionByName(src.filter(col("o_orderkey") % 10 === 7)
+          .select(col("o_orderkey").as("okey"),
+            lit(null).cast("string").as("status"), lit(null).cast(D2).as("price"),
+            lit(2L).as("version"), lit("D").as("op")))
+        .unionByName(src.filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey").as("okey"), lit("U3").as("status"),
+            (col("o_totalprice").cast(D2) + lit(2).cast(D2)).cast(D2).as("price"),
+            lit(2L).as("version"), lit("U").as("op")))
+        .unionByName(src.filter(col("o_orderkey") % 100 === 7)
+          .select(col("o_orderkey").as("okey"), lit("R").as("status"),
+            col("o_totalprice").cast(D2).as("price"),
+            lit(3L).as("version"), lit("U").as("op")))
+        .unionByName(src.filter(col("o_orderkey") % 10 === 2)
+          .select((col("o_orderkey") + 20000000L).as("okey"), lit("I").as("status"),
+            col("o_totalprice").cast(D2).as("price"),
+            lit(4L).as("version"), lit("U").as("op")))
+      changeFeed(log, vFrom = 0L)
+    }),
+
     // -- f14: snapshot manifests -> time travel ----------------------------
     // the versioned-table read path (Delta/Iceberg "AS OF"): every commit
     // appends data files and writes a MANIFEST — the authoritative list of
@@ -796,6 +881,67 @@ object Lakehouse {
           sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_null_nchars"),
           sum(coalesce(col("n_chars"), lit(0L))).as("chars_present"),
           count_distinct(col("source")).as("n_sources"))
+    }),
+
+    // -- f22: optimistic concurrency — two writers race one table ----------
+    // the multi-writer story f14/f20's single-writer manifests leave
+    // open: TWO writers replace DISJOINT partitions of the same table
+    // concurrently, starting from the same snapshot. Both stage their
+    // data files first, then race the [[graft.sources.OccLog]] CAS for
+    // version 2 (atomic hard-link create — exactly one wins); the loser
+    // detects the interleaved commit, proves it touched only the OTHER
+    // partition (manifest diff), REBASEs its replacement onto the new
+    // snapshot and commits version 3. A CountDownLatch holds both
+    // writers until each has read snapshot v1, so the conflict is
+    // exercised deterministically on every invocation, not only under
+    // lucky scheduling. The final table must show BOTH replacements
+    // (gen=1 for 'en' and 'de', base gen=0 elsewhere) at final_version=3
+    // regardless of which writer won the race — commit ORDER is
+    // nondeterministic, table CONTENT is not. The same-partition ABORT
+    // path (ConflictException — recompute, never blind-retry) is
+    // spec-pinned in LakehouseSpec. Scale: manifests are
+    // partition-count-bounded metadata; data files are written once
+    // before the CAS and never rewritten on rebase; the race costs one
+    // link syscall per attempt.
+    "f22_occ_commit" -> ((s, d) => {
+      import graft.sources.OccLog
+      val root = s"${ioDir(d)}/occ"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(del)
+        p.delete(); ()
+      }
+      del(new java.io.File(root)) // fresh race each invocation
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      def stage(sub: String, f: DataFrame): String = {
+        val dir = s"$root/data/$sub"
+        f.write.mode("overwrite").parquet(dir)
+        dir
+      }
+      // v1 bootstrap: the table as three partition dirs, gen=0 everywhere
+      OccLog.init(root, Map(
+        "en" -> stage("v1-en", docs.filter(col("lang") === "en").withColumn("gen", lit(0L))),
+        "de" -> stage("v1-de", docs.filter(col("lang") === "de").withColumn("gen", lit(0L))),
+        "rest" -> stage("v1-rest",
+          docs.filter(!col("lang").isin("en", "de")).withColumn("gen", lit(0L)))))
+      val gate = new java.util.concurrent.CountDownLatch(2)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def writer(partition: String): Future[Int] = Future {
+        val snap = OccLog.readLatest(root) // both read v1 before either commits
+        val dir = stage(s"w-$partition",
+          docs.filter(col("lang") === partition).withColumn("gen", lit(1L)))
+        gate.countDown(); gate.await()
+        OccLog.commitReplacePartition(root, partition, dir, snap.version)
+      }
+      val vs = Await.result(
+        Future.sequence(Seq(writer("en"), writer("de"))),
+        scala.concurrent.duration.Duration(120, "s"))
+      require(vs.toSet == Set(2, 3), s"expected versions {2,3}, got $vs")
+      val fin = OccLog.readLatest(root)
+      fin.entries.values.toSeq.sorted
+        .map(s.read.parquet(_))
+        .reduce(_ unionByName _)
+        .withColumn("final_version", lit(fin.version.toLong))
     })
   )
 
@@ -934,6 +1080,64 @@ object Lakehouse {
         |  FROM u)
         |SELECT okey, status, CAST(price AS DOUBLE) AS price
         |FROM last WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    // snapshot-at-v0 full-outer-diff snapshot-at-v4, stated the plain way
+    // (two windowed merges + a full join) — the engine computes both
+    // images in one aggregate, same net-changes semantics
+    "x16_change_feed" ->
+      """WITH lg AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         0 AS version, 'U' AS op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U2',
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DECIMAL(18,2)),
+        |         1, 'U' FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, 2, 'D'
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U3',
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 2 AS DECIMAL(18,2)),
+        |         2, 'U' FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'R', CAST(o_totalprice AS DECIMAL(18,2)), 3, 'U'
+        |  FROM orders WHERE o_orderkey % 100 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, 'I', CAST(o_totalprice AS DECIMAL(18,2)), 4, 'U'
+        |  FROM orders WHERE o_orderkey % 10 = 2),
+        |pre AS (SELECT okey, status, price FROM (
+        |    SELECT okey, status, price, op,
+        |      ROW_NUMBER() OVER (PARTITION BY okey ORDER BY version DESC) AS rn
+        |    FROM lg WHERE version <= 0) WHERE rn = 1 AND op <> 'D'),
+        |post AS (SELECT okey, status, price FROM (
+        |    SELECT okey, status, price, op,
+        |      ROW_NUMBER() OVER (PARTITION BY okey ORDER BY version DESC) AS rn
+        |    FROM lg) WHERE rn = 1 AND op <> 'D'),
+        |j AS (SELECT coalesce(a.okey, b.okey) AS okey,
+        |        a.status AS ps, a.price AS pp, b.status AS ns, b.price AS np,
+        |        a.okey IS NOT NULL AS in_pre, b.okey IS NOT NULL AS in_post
+        |      FROM pre a FULL OUTER JOIN post b ON a.okey = b.okey)
+        |SELECT okey, 'insert' AS change_type, ns AS status,
+        |       CAST(np AS DOUBLE) AS price
+        |FROM j WHERE NOT in_pre AND in_post
+        |UNION ALL
+        |SELECT okey, 'delete', ps, CAST(pp AS DOUBLE)
+        |FROM j WHERE in_pre AND NOT in_post
+        |UNION ALL
+        |SELECT okey, 'update_preimage', ps, CAST(pp AS DOUBLE)
+        |FROM j WHERE in_pre AND in_post
+        |  AND (ps IS DISTINCT FROM ns OR pp IS DISTINCT FROM np)
+        |UNION ALL
+        |SELECT okey, 'update_postimage', ns, CAST(np AS DOUBLE)
+        |FROM j WHERE in_pre AND in_post
+        |  AND (ps IS DISTINCT FROM ns OR pp IS DISTINCT FROM np)""".stripMargin,
+    // table content after both replace-partition commits land, whatever
+    // the race order: en/de rewritten at gen=1, everything else base
+    "f22_occ_commit" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CASE WHEN lang IN ('en', 'de') THEN 1 ELSE 0 END AS gen,
+        |  3 AS final_version
+        |FROM documents""".stripMargin,
     // v1 must see ONLY the first commit even though v2's files share the
     // directory tree — the manifest, not the directory, defines the table
     "f14_time_travel" ->

@@ -614,6 +614,39 @@ object Similarity {
         .select(col("q_id"), col("vec_id").as("neighbor"),
           col("rnk").cast("long").as("rnk"),
           (round(col("c"), 4) + lit(0.0)).as("score"))
+    }),
+
+    // -- s17: maximum inner product search (MIPS) via norm augmentation ----
+    // recommender retrieval ranks by RAW inner product (norm carries
+    // popularity), but IP is not a metric — no LSH family exists for it
+    // directly. The public reduction (Bachrach et al., RecSys'14): append
+    // one dimension, data x~ = [x, sqrt(M² - |x|²)] with M = max corpus
+    // norm, query q~ = [q, 0]. Then <q~,x~> = <q,x> while |x~| = M for
+    // EVERY data vector, so augmented-cosine order == IP order and any
+    // cosine index (s2's sign-LSH, s15's Hamming banks, s16's IVF+PQ)
+    // becomes a MIPS index untouched. The gate runs the exact top-10
+    // through the augmented form — the extra dimension contributes
+    // 0*s to the fused dot loop, so the ip it emits is bit-identical to
+    // the oracle's list_dot_product on the RAW vectors (SimilaritySpec
+    // pins the reduction invariants: constant augmented norm, cosine
+    // order == IP order). Scale shape is s1's ground-truth plan: M is a
+    // 1-row broadcast agg, the query set is capped + broadcast, and the
+    // scan is one broadcast nested loop — never a shuffle cartesian;
+    // the production path feeds x~ to s15/s16 instead.
+    "s17_mips" -> ((s, d) => {
+      val all = vecs(s, d)
+      val m2 = broadcast(all.agg(max(col("n2")).as("m2")))
+      val aug = all.crossJoin(m2).select(col("vec_id"),
+        concat(col("v"), array(sqrt(col("m2") - col("n2")).cast("float"))).as("va"))
+      val qaug = querySet(all).select(col("q_id"),
+        concat(col("qv"), array(lit(0f))).as("qa"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("vec_id"))
+      aug.join(broadcast(qaug), col("vec_id") =!= col("q_id"))
+        .withColumn("ip", dot(col("qa"), col("va")))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .select(col("q_id"), col("vec_id").as("neighbor"),
+          col("rnk").cast("long").as("rnk"),
+          (round(col("ip"), 4) + lit(0.0)).as("ip"))
     })
   )
 
@@ -965,6 +998,21 @@ object Similarity {
         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor) AS rnk
         |      FROM sc)
         |SELECT q_id, neighbor, rnk, round(c, 4) + 0 AS score
-        |FROM rr WHERE rnk <= 3""".stripMargin
+        |FROM rr WHERE rnk <= 3""".stripMargin,
+    // raw inner product on the ORIGINAL vectors — the augmented form the
+    // engine ranks through is <q~,x~> = <q,x> exactly (the extra term is
+    // 0 * s inside the same left-to-right double sum)
+    "s17_mips" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+        |      WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |sc AS (SELECT q_id, vec_id AS neighbor,
+        |         list_dot_product(qv, v) AS ip0
+        |       FROM q, e WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, neighbor, ip0,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ip0 DESC, neighbor) AS rnk
+        |      FROM sc)
+        |SELECT q_id, neighbor, rnk, round(ip0, 4) + 0 AS ip
+        |FROM r WHERE rnk <= 10""".stripMargin
   )
 }

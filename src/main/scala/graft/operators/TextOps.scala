@@ -741,6 +741,34 @@ object TextOps {
         .toDF("doc_id", "changed", "norm")
         .select(col("doc_id"), col("changed"),
           md5(col("norm").cast("binary")).as("norm_hash"))
+    }),
+
+    // -- t34: RAG chunking (fixed window + overlap, stable chunk ids) ------
+    // the retrieval-pipeline splitter: every document becomes 200-char
+    // chunks on a 160-char stride (40-char overlap keeps a sentence that
+    // straddles a boundary retrievable from BOTH neighbors). Chunk
+    // identity is content-addressed (md5 of the chunk text) so re-chunking
+    // an unchanged doc reproduces identical ids — the property an
+    // embedding cache keys on. Scale shape: ONE scan, a per-row
+    // sequence+explode (fan-out ~len/160, no shuffle at all — the whole
+    // query is a codegen'd projection), chunk count bounded by corpus
+    // bytes / stride. The explode carries (doc_id, text) once per chunk;
+    // at 100 TB the same plan holds because chunking is embarrassingly
+    // row-local — partition count, not operator shape, absorbs the scale.
+    "t34_chunk_overlap" -> ((s, d) => {
+      val (size, stride) = (200, 160)
+      documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0),
+            // last chunk starts at the greatest stride multiple < len
+            // (Column./ is DOUBLE division — `div` keeps this integral)
+            expr(s"cast((length(text) - 1) div $stride as int)"))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr(s"substring(text, chunk_idx * $stride + 1, $size)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * stride + 1).as("chunk_start"),
+          length(col("chunk")).as("n_chars"),
+          md5(col("chunk").cast("binary")).as("chunk_id"))
     })
   )
 
@@ -1094,6 +1122,16 @@ object TextOps {
         |  coalesce(ns.n_succ, 0) AS n_succ,
         |  coalesce(np.n_prec, 0) * 10000 // nb AS kn_bp
         |FROM uni u LEFT JOIN np USING (tok) LEFT JOIN ns USING (tok)
-        |CROSS JOIN tot""".stripMargin
+        |CROSS JOIN tot""".stripMargin,
+    "t34_chunk_overlap" ->
+      """WITH ch AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |    substr(text, i * 160 + 1, 200) AS chunk
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(0, (length(text) - 1) // 160)) AS i
+        |        FROM documents))
+        |SELECT doc_id, chunk_idx, chunk_idx * 160 + 1 AS chunk_start,
+        |       length(chunk) AS n_chars, md5(chunk) AS chunk_id
+        |FROM ch""".stripMargin
   )
 }

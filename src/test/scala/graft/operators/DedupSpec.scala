@@ -213,4 +213,59 @@ class DedupSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("md5"), p.take(3000))
     assert(p.contains("HashAggregate"), p.take(3000))
   }
+
+  test("d19 substring dedup == brute-force span merge (crafted + 3 seeds)") {
+    import spark.implicits._
+    val L = 8
+    def brute(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+      val grams = for {
+        (id, t) <- docs; p <- 1 to (t.length - L + 1)
+      } yield (id, p, t.substring(p - 1, p - 1 + L))
+      val crossDoc = grams.groupBy(_._3)
+        .filter { case (_, g) => g.map(_._1).distinct.size > 1 }.keySet
+      docs.flatMap { case (id, _) =>
+        val hits = grams.filter(g => g._1 == id && crossDoc(g._3))
+          .map(_._2).sorted
+        if (hits.isEmpty) None
+        else {
+          // merge [p, p+L-1] intervals, adjacency included
+          val spans = hits.tail.foldLeft(List((hits.head, hits.head + L - 1))) {
+            case ((lo, hi) :: rest, p) =>
+              if (p <= hi + 1) (lo, math.max(hi, p + L - 1)) :: rest
+              else (p, p + L - 1) :: (lo, hi) :: rest
+            case (Nil, p) => List((p, p + L - 1))
+          }
+          Some(id -> ((hits.size.toLong, spans.size.toLong,
+            spans.map { case (lo, hi) => hi - lo + 1L }.sum)))
+        }
+      }.toMap
+    }
+    def got(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] =
+      Dedup.substringDedup(docs.toDF("doc_id", "text"), L)
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (id, np, ns, dc) => id -> ((np, ns, dc)) }.toMap
+    // crafted: overlap merge (shared 10-char run = 3 overlapping 8-gram
+    // hits -> ONE 10-char span), adjacency merge, within-doc-only dup
+    // excluded, short doc (< L) excluded
+    val crafted = Seq(
+      1L -> "xxABCDEFGHIJxx",   // shares ABCDEFGHIJ with doc 2
+      2L -> "yyyyABCDEFGHIJ",
+      3L -> "PPPPQQQQPPPPQQQQ", // within-doc repeat only: no cross-doc gram
+      4L -> "short")
+    val cg = got(crafted)
+    assert(cg.keySet == Set(1L, 2L), cg.toString)
+    assert(cg(1L) == ((3L, 1L, 10L)), s"overlap merge: ${cg(1L)}")
+    for (seed <- Seq(11L, 13L, 17L)) {
+      val rnd = new scala.util.Random(seed)
+      // 2-letter alphabet makes cross-doc 8-gram hits dense enough to
+      // exercise merging in every doc
+      val docs = (0 until 25).map(i =>
+        (i.toLong, Seq.fill(20 + rnd.nextInt(30))(
+          if (rnd.nextBoolean()) 'a' else 'b').mkString))
+      val (g, b) = (got(docs), brute(docs))
+      assert(g == b, s"seed $seed: spark=${g.toSeq.sortBy(_._1).take(3)} " +
+        s"brute=${b.toSeq.sortBy(_._1).take(3)}")
+      assert(b.nonEmpty, s"seed $seed produced no cross-doc spans")
+    }
+  }
 }

@@ -379,4 +379,73 @@ class GenericOpsSpec extends AnyFunSuite {
       assert(out(i)._2 == (if (in == want) 0 else 1), s"changed flag, case $i")
     }
   }
+
+  test("t34 chunking: reconstruction, 40-char overlap, content-addressed ids") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = TextOps.queries("t34_chunk_overlap")(spark, sf)
+      .as[(Long, Int, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.keySet == docs.keySet)
+    got.foreach { case (id, chunks) =>
+      val text = docs(id)
+      val expected = (0 to (text.length - 1) / 160)
+        .map(i => text.substring(i * 160, math.min(i * 160 + 200, text.length)))
+      // indices contiguous from 0; ids content-addressed; n_chars true
+      assert(chunks.map(_._2).toSeq == expected.indices.toSeq, s"doc $id idx")
+      chunks.zip(expected).foreach { case ((_, i, start, n, hid), exp) =>
+        assert(start == i * 160 + 1 && n == exp.length && hid == md5hex(exp),
+          s"doc $id chunk $i")
+      }
+      // stride-prefix concatenation reconstructs the document exactly
+      val rebuilt = expected.init.map(_.take(160)).mkString + expected.last
+      assert(rebuilt == text, s"doc $id reconstruction")
+      // consecutive full chunks share exactly the 40-char overlap
+      expected.sliding(2).foreach {
+        case Seq(a, b) if a.length == 200 =>
+          assert(a.substring(160) == b.take(40), s"doc $id overlap")
+        case _ => ()
+      }
+    }
+  }
+
+  test("e19 attribution: bucketed range join is complete; credit sums to 1") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = Events.queries("e19_attribution")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // independent naive range join over the raw table
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val horizon = 7L * 86400 * 1000000
+    val clicks = ev.filter(_._4 == "click")
+    val brute = (for {
+      (pid, pu, pts, _) <- ev.filter(_._4 == "purchase")
+      (cid, cu, cts, _) <- clicks
+      if cu == pu && cts >= pts - horizon && cts < pts
+    } yield (pid, cid)).toSet
+    assert(got.map(r => (r._1, r._2)).toSet == brute,
+      "bucketed join pairs != naive range join pairs")
+    // position rule: per purchase the credits sum to 1 (n>=3 sums
+    // 0.4+0.4+(n-2)*0.2/(n-2); fp error bounded)
+    got.groupBy(_._1).foreach { case (pid, rows) =>
+      val sum = rows.map(_._4).sum
+      assert(math.abs(sum - 1.0) < 1e-9, s"purchase $pid credit sum $sum")
+      val n = rows.size
+      val first = rows.minBy(_._3)._4
+      val last = rows.maxBy(_._3)._4
+      if (n == 1) assert(first == 1.0)
+      else if (n == 2) assert(first == 0.5 && last == 0.5)
+      else assert(first == 0.4 && last == 0.4)
+    }
+  }
 }

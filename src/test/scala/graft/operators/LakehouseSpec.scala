@@ -288,4 +288,66 @@ class LakehouseSpec extends AnyFunSuite {
     val again = graft.SparkEntry.queries("f20_vacuum")(s, d)
     assert(canon(again) == canon(full))
   }
+
+  test("x16 change feed: net semantics on a crafted log") {
+    import spark.implicits._
+    // (okey, status, price, version, op) — interval is (1, latest]
+    val log = Seq(
+      // k1: unchanged across the interval -> no row
+      (1L, "A", "10.00", 0L, "U"),
+      // k2: updated at v2 -> pre+post pair
+      (2L, "A", "10.00", 0L, "U"), (2L, "B", "11.00", 2L, "U"),
+      // k3: deleted at v2 -> delete
+      (3L, "A", "10.00", 0L, "U"), (3L, null, null, 2L, "D"),
+      // k4: inserted at v2 -> insert
+      (4L, "N", "5.00", 2L, "U"),
+      // k5: inserted at v2 AND deleted at v3, both inside -> NOTHING
+      (5L, "N", "5.00", 2L, "U"), (5L, null, null, 3L, "D"),
+      // k6: deleted at v2, resurrected at v3 with IDENTICAL values -> NOTHING
+      (6L, "A", "10.00", 0L, "U"), (6L, null, null, 2L, "D"),
+      (6L, "A", "10.00", 3L, "U"),
+      // k7: existed, deleted BEFORE the interval start -> absent both sides
+      (7L, "A", "10.00", 0L, "U"), (7L, null, null, 1L, "D"))
+      .toDF("okey", "status", "price0", "version", "op")
+      .withColumn("price", col("price0").cast("decimal(18,2)")).drop("price0")
+    val got = Lakehouse.changeFeed(log, vFrom = 1L)
+      .as[(Long, String, String, Double)].collect().toSet
+    assert(got == Set(
+      (2L, "update_preimage", "A", 10.0),
+      (2L, "update_postimage", "B", 11.0),
+      (3L, "delete", "A", 10.0),
+      (4L, "insert", "N", 5.0)), got.toString)
+  }
+
+  test("OCC log: CAS exclusivity, disjoint rebase, same-partition abort") {
+    import graft.sources.OccLog
+    val root = java.nio.file.Files.createTempDirectory("occspec").toString
+    OccLog.init(root, Map("p" -> "d/p0", "q" -> "d/q0"))
+    // CAS exclusivity: N racing writers, exactly one claims v2
+    val gate = new java.util.concurrent.CountDownLatch(4)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val wins = Await.result(Future.sequence((1 to 4).map(i => Future {
+      gate.countDown(); gate.await()
+      OccLog.tryCommit(root, 2, Map("p" -> s"d/p$i", "q" -> "d/q0"))
+    })), Duration(30, "s"))
+    assert(wins.count(identity) == 1, s"CAS not exclusive: $wins")
+    val v2 = OccLog.readLatest(root)
+    assert(v2.version == 2)
+    // disjoint rebase: a writer that read v1 replaces 'q' AFTER v2
+    // repointed 'p' -> rebases onto v2 and lands v3 with both changes
+    val v3 = OccLog.commitReplacePartition(root, "q", "d/q9", readVersion = 1)
+    assert(v3 == 3)
+    val fin = OccLog.readLatest(root)
+    assert(fin.entries("q") == "d/q9" && fin.entries("p") == v2.entries("p"),
+      fin.entries.toString)
+    // same-partition abort: a v1-snapshot writer of 'q' must NOT blindly
+    // retry over v3's replacement of 'q'
+    intercept[OccLog.ConflictException] {
+      OccLog.commitReplacePartition(root, "q", "d/q-stale", readVersion = 1)
+    }
+    // ... but a writer whose snapshot already includes v3 commits fine
+    assert(OccLog.commitReplacePartition(root, "q", "d/q10", readVersion = 3) == 4)
+  }
 }

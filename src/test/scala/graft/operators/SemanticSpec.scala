@@ -121,4 +121,46 @@ class SemanticSpec extends AnyFunSuite {
     assert(brute.size >= emb.count(),
       "planted sign-flip near-dups did not survive to the flagged set")
   }
+
+  test("s17 MIPS reduction invariants: constant augmented norm, IP order kept") {
+    // the Bachrach et al. transform's two load-bearing properties, on the
+    // real corpus: (1) every augmented data vector has norm M (so any
+    // cosine index treats the corpus as a sphere), (2) augmented-cosine
+    // descending order == raw-inner-product descending order per query.
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val m2 = emb.map { case (_, v) => dot(v, v) }.max
+    // (1) augmentation puts every vector exactly on the radius-M sphere
+    emb.foreach { case (id, v) =>
+      val s = math.sqrt(m2 - dot(v, v))
+      val augN2 = dot(v, v) + s * s
+      assert(math.abs(augN2 - m2) <= 1e-9 * m2, s"vec $id off-sphere: $augN2 != $m2")
+    }
+    // (2) per query: cosine-over-augmented ranking == raw-IP ranking
+    val queries = emb.filter { case (id, _) => id % 50 == 0 && id < 5000 }
+    assert(queries.nonEmpty)
+    queries.take(20).foreach { case (qid, qv) =>
+      val others = emb.filter(_._1 != qid)
+      val byIp = others.sortBy { case (id, v) => (-dot(qv, v), id) }.map(_._1)
+      val m = math.sqrt(m2)
+      val qn = math.sqrt(dot(qv, qv))
+      val byCos = others.sortBy { case (id, v) =>
+        (-(dot(qv, v) / (qn * m)), id) }.map(_._1)
+      assert(byIp.take(20).toSeq == byCos.take(20).toSeq, s"query $qid order diverged")
+    }
+    // and the gated query's top-1 agrees with the brute IP argmax
+    val got = graft.SparkEntry.queries("s17_mips")(spark, sf)
+      .filter(col("rnk") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    queries.foreach { case (qid, qv) =>
+      val best = emb.filter(_._1 != qid)
+        .maxBy { case (id, v) => (dot(qv, v), -id) }._1
+      assert(got(qid) == best, s"query $qid top-1 ${got(qid)} != $best")
+    }
+  }
 }
