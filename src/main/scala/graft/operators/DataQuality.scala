@@ -190,8 +190,47 @@ object DataQuality {
     // scales with table volume after the scan. floor() before the cast
     // in both engines (the x7 convention: DuckDB's double->bigint cast
     // rounds, Spark's truncates).
-    "dq4_k_anonymity" -> ((s, d) => kAnonymityRisks(customer(s, d)))
+    "dq4_k_anonymity" -> ((s, d) => kAnonymityRisks(customer(s, d))),
+
+    // -- dq6: per-source distribution drift (the corpus-mix monitor) -------
+    // the check a crawl pipeline runs per ingestion source: has THIS
+    // source's document-length distribution drifted away from the corpus?
+    // Drift = total-variation distance between the source's 10-bucket
+    // length histogram and the corpus-wide one, in basis points. The
+    // fp-free formulation: TV = Σ_b |c_sb·N − c_b·N_s| / (2·N_s·N),
+    // scaled ×10000 and floor-divided — integer-exact on both engines
+    // (DECIMAL(38,0) here, HUGEINT in the oracle; the cross products
+    // reach count², past BIGINT at ~3e9 docs). Scale shape: ONE scan
+    // feeds three hash aggregates (source×bucket, bucket, source — all
+    // map-side combinable); the scoring grid is sources×10 rows, i.e.
+    // metadata-sized; a missing bucket still contributes |0 − c_b·N_s|
+    // via the left join against the full grid.
+    "dq6_distribution_drift" -> ((s, d) => distributionDrift(documents(s, d)))
   )
+
+  /** Per-source total-variation drift report for [[queries dq6]]; input
+    * needs (source, n_chars). Exposed for DataQualitySpec's crafted
+    * corpora (a planted length-shifted source must flag, identically
+    * distributed sources must not). */
+  private[operators] def distributionDrift(docsIn: DataFrame): DataFrame = {
+    val D38 = "decimal(38,0)"
+    val docs = docsIn
+      .select(col("source"), expr("least(n_chars div 100, 9)").as("b"))
+    val sb = docs.groupBy("source", "b").agg(count(lit(1)).as("c_sb"))
+    val g = docs.groupBy("b").agg(count(lit(1)).as("c_b"))
+    val ns = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val nTot = docs.agg(count(lit(1)).as("n_tot"))
+    ns.crossJoin(broadcast(g)).crossJoin(broadcast(nTot))
+      .join(sb, Seq("source", "b"), "left")
+      .withColumn("c_sb", coalesce(col("c_sb"), lit(0L)))
+      .groupBy(col("source"), col("n_s"), col("n_tot"))
+      .agg(sum(abs(col("c_sb").cast(D38) * col("n_tot") -
+        col("c_b").cast(D38) * col("n_s"))).as("l1"))
+      .select(col("source"), col("n_s").as("n_docs"),
+        expr("cast((l1 * 10000) div (2 * n_s * n_tot) as bigint)").as("tv_bp"),
+        when(expr("(l1 * 10000) div (2 * n_s * n_tot)") >= 1500, 1)
+          .otherwise(0).as("drifted"))
+  }
 
   /** Quasi-identifier groups of `cust` shared by fewer than `k`
     * individuals — the rows a release must suppress or generalize.
@@ -271,6 +310,25 @@ object DataQuality {
         |  CAST(COALESCE(SUM(CASE WHEN gap > 1 THEN gap - 1 ELSE 0 END), 0) AS BIGINT) AS missing_days,
         |  CAST(COALESCE(MAX(gap), 1) AS BIGINT) AS max_gap,
         |  CAST(SUM(n) AS BIGINT) AS n_events
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    "dq6_distribution_drift" ->
+      """WITH dd AS (SELECT source, least(n_chars // 100, 9) AS b FROM documents),
+        |sb AS (SELECT source, b, COUNT(*) AS c_sb FROM dd GROUP BY 1, 2),
+        |g AS (SELECT b, COUNT(*) AS c_b FROM dd GROUP BY 1),
+        |ns AS (SELECT source, COUNT(*) AS n_s FROM dd GROUP BY 1),
+        |nt AS (SELECT COUNT(*) AS n_tot FROM dd),
+        |grid AS (SELECT ns.source, ns.n_s, g.b, g.c_b, nt.n_tot,
+        |           coalesce(sb.c_sb, 0) AS c_sb
+        |         FROM ns CROSS JOIN g CROSS JOIN nt
+        |         LEFT JOIN sb ON sb.source = ns.source AND sb.b = g.b),
+        |l1 AS (SELECT source, n_s, n_tot,
+        |         SUM(abs(CAST(c_sb AS HUGEINT) * n_tot
+        |                 - CAST(c_b AS HUGEINT) * n_s)) AS l1
+        |       FROM grid GROUP BY 1, 2, 3)
+        |SELECT source, n_s AS n_docs,
+        |  CAST((l1 * 10000) // (2 * n_s * n_tot) AS BIGINT) AS tv_bp,
+        |  CASE WHEN (l1 * 10000) // (2 * n_s * n_tot) >= 1500
+        |       THEN 1 ELSE 0 END AS drifted
+        |FROM l1""".stripMargin
   )
 }

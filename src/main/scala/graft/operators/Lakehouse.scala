@@ -769,6 +769,114 @@ object Lakehouse {
         .select(col("okey"), col("status"), col("price").cast("double").as("price"))
     }),
 
+    // -- es21: streaming CHANGE-FEED EMISSION (per-commit CDC files) -------
+    // x16 reconstructs a change feed from two snapshots after the fact;
+    // this is the other half Delta actually ships: every streaming MERGE
+    // commit also WRITES its change rows (insert/delete/update pre+post)
+    // as per-commit CDC files, so downstream consumers read typed deltas
+    // instead of diffing snapshots. Same 4-batch ordered replay as es14;
+    // each foreachBatch computes its commit's feed with ONE reuse of
+    // [[changeFeed]] (current snapshot as version 0, the batch as
+    // version 1 — valid because replay versions are monotone per key)
+    // and lands it under a batch-keyed dir before advancing the
+    // snapshot. The oracle states all four commits' change rows IN
+    // CLOSED FORM from the raw table (batch 1 updates, batch 2 deletes +
+    // second updates with batch-1 PRE-images, batch 3's resurrection
+    // arriving as an INSERT because the tombstone made the key absent,
+    // batch 4 disjoint inserts) — so emission content, change typing,
+    // pre-image lineage across commits, AND batch attribution are all
+    // hash-gated. Scale: the per-commit diff aggregate is keyed on okey
+    // exactly like the merge itself; CDC files are delta-sized.
+    "es21_stream_cdf" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = s"${ioDir(d)}/stream_cdf"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(del)
+        p.delete(); ()
+      }
+      del(new java.io.File(root))
+      val src = orders(s, d)
+      val base = src.select(col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast(D2).as("price"),
+        lit(0L).as("version"), lit("U").as("op"))
+      val batches = Seq(
+        src.filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey").as("okey"), lit("U2").as("status"),
+            (col("o_totalprice").cast(D2) + lit(1).cast(D2)).cast(D2).as("price"),
+            lit(1L).as("version"), lit("U").as("op")),
+        src.filter(col("o_orderkey") % 10 === 7)
+          .select(col("o_orderkey").as("okey"),
+            lit(null).cast("string").as("status"), lit(null).cast(D2).as("price"),
+            lit(2L).as("version"), lit("D").as("op"))
+          .unionByName(src.filter(col("o_orderkey") % 10 === 3)
+            .select(col("o_orderkey").as("okey"), lit("U3").as("status"),
+              (col("o_totalprice").cast(D2) + lit(2).cast(D2)).cast(D2).as("price"),
+              lit(2L).as("version"), lit("U").as("op"))),
+        src.filter(col("o_orderkey") % 100 === 7)
+          .select(col("o_orderkey").as("okey"), lit("R").as("status"),
+            col("o_totalprice").cast(D2).as("price"),
+            lit(3L).as("version"), lit("U").as("op")),
+        src.filter(col("o_orderkey") % 10 === 2)
+          .select((col("o_orderkey") + 20000000L).as("okey"), lit("I").as("status"),
+            col("o_totalprice").cast(D2).as("price"),
+            lit(4L).as("version"), lit("U").as("op")))
+      val inDir = new java.io.File(s"$root/changes"); inDir.mkdirs()
+      val t0 = System.currentTimeMillis()
+      batches.zipWithIndex.foreach { case (bdf, i) =>
+        val tmp = s"$root/_tmp_$i"
+        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"b$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(t0 + i * 2000L)
+        del(new java.io.File(tmp))
+      }
+      val snapDir = s"$root/snap"
+      base.write.mode("overwrite").parquet(s"$snapDir/v0")
+      val current = new java.util.concurrent.atomic.AtomicReference(s"$snapDir/v0")
+      val cdfDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val sch = s.read.parquet(s"$root/changes").schema
+      val q = s.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/changes")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val cur = s.read.parquet(current.get())
+          // this commit's typed change rows: snapshot = v0, batch = v1
+          val lg = cur.select(col("okey"), col("status"), col("price"),
+              lit(0L).as("version"), col("op"))
+            .unionByName(batch.select(col("okey"), col("status"),
+              col("price"), lit(1L).as("version"), col("op")))
+          val cdfDir = s"$root/cdf/b$id"
+          changeFeed(lg, vFrom = 0L)
+            .withColumn("batch_id", lit(id + 1))
+            .write.mode("overwrite").parquet(cdfDir)
+          cdfDirs.add(cdfDir)
+          val next = cur.unionByName(batch)
+            .groupBy("okey")
+            .agg(max(struct(col("version"), col("op"), col("status"),
+              col("price"))).as("w"))
+            .select(col("okey"), col("w.version").as("version"),
+              col("w.op").as("op"), col("w.status").as("status"),
+              col("w.price").as("price"))
+          val dst = s"$snapDir/v${id + 1}"
+          next.write.mode("overwrite").parquet(dst)
+          current.set(dst)
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+      Events.withStreamPartitions(s) {
+        val started = q.trigger(Trigger.AvailableNow()).start()
+        started.awaitTermination()
+      }
+      import scala.jdk.CollectionConverters._
+      cdfDirs.asScala.toSeq.sorted.map(s.read.parquet(_))
+        .reduce(_ unionByName _)
+    }),
+
     // -- f17: dynamic partition overwrite (partition restatement) ----------
     // the daily-restatement move on a hive-layout table: one partition's
     // data is recomputed (here: the 'de' slice re-curated to drop sub-100
@@ -1080,6 +1188,35 @@ object Lakehouse {
         |  FROM u)
         |SELECT okey, status, CAST(price AS DOUBLE) AS price
         |FROM last WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    // all four commits' change rows in CLOSED FORM: batch 1 updates from
+    // base, batch 2 deletes (base pre-images) + re-updates (batch-1
+    // pre-images), batch 3 resurrection-as-insert (the tombstone made the
+    // key absent), batch 4 disjoint inserts
+    "es21_stream_cdf" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS pr FROM orders)
+        |SELECT 1 AS batch_id, k AS okey, 'update_preimage' AS change_type,
+        |       st AS status, CAST(pr AS DOUBLE) AS price
+        |FROM o WHERE k % 10 = 3
+        |UNION ALL
+        |SELECT 1, k, 'update_postimage', 'U2',
+        |       CAST(CAST(pr + 1 AS DECIMAL(18,2)) AS DOUBLE)
+        |FROM o WHERE k % 10 = 3
+        |UNION ALL
+        |SELECT 2, k, 'delete', st, CAST(pr AS DOUBLE) FROM o WHERE k % 10 = 7
+        |UNION ALL
+        |SELECT 2, k, 'update_preimage', 'U2',
+        |       CAST(CAST(pr + 1 AS DECIMAL(18,2)) AS DOUBLE)
+        |FROM o WHERE k % 10 = 3
+        |UNION ALL
+        |SELECT 2, k, 'update_postimage', 'U3',
+        |       CAST(CAST(pr + 2 AS DECIMAL(18,2)) AS DOUBLE)
+        |FROM o WHERE k % 10 = 3
+        |UNION ALL
+        |SELECT 3, k, 'insert', 'R', CAST(pr AS DOUBLE) FROM o WHERE k % 100 = 7
+        |UNION ALL
+        |SELECT 4, k + 20000000, 'insert', 'I', CAST(pr AS DOUBLE)
+        |FROM o WHERE k % 10 = 2""".stripMargin,
     // snapshot-at-v0 full-outer-diff snapshot-at-v4, stated the plain way
     // (two windowed merges + a full join) — the engine computes both
     // images in one aggregate, same net-changes semantics

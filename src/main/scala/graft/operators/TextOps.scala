@@ -13,6 +13,30 @@ object TextOps {
 
   private def ws: Column = split(col("text"), " ")
 
+  /** Per-doc bigram-LM surprisal in INTEGER bits (t25/t35): tf = per-doc
+    * bigram counts, c2/c1 = corpus bigram/unigram totals, and the
+    * per-bigram surprisal -log2 P(b|a) is approximated integer-exactly as
+    * bitlength(c1) - bitlength(c2) so both engines agree bit-for-bit.
+    * Aggregation ladder is all hash aggregates with map-side combine;
+    * the bigram relation is the only corpus-sized intermediate. */
+  private def surprisalPerDoc(docs: DataFrame): DataFrame = {
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    val big = docs
+      .select(col("doc_id"), posexplode(ws).as(Seq("i", "w")))
+      .withColumn("b", lead("w", 1).over(byPos))
+      .filter(col("b").isNotNull)
+      .select(col("doc_id"), col("w").as("a"), col("b"))
+    val tf = big.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy("a", "b").agg(sum(col("tf")).as("c2"))
+    val c1 = c2.groupBy("a").agg(sum(col("c2")).as("c1"))
+    tf.join(c2, Seq("a", "b")).join(c1, Seq("a"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * (length(bin(col("c1"))) - length(bin(col("c2")))))
+          .as("surprisal_bits"))
+  }
+
   /** Frequency-ranked vocabulary `(tok, n, id)` — id 1 = most frequent,
     * count-desc / token-asc tie-break. Ranking uses a range-partitioned
     * distributed sort + `zipWithIndex` (one tiny count job turns
@@ -464,25 +488,39 @@ object TextOps {
     // dedupe BEFORE the two global joins, and the context table c1 is
     // derived from the bigram table (one aggregation chain, both joins
     // co-partitioned on the leading word).
-    "t25_bigram_surprisal" -> ((s, d) => {
-      val byPos = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("i")
-      val big = documents(s, d)
-        .select(col("doc_id"), posexplode(ws).as(Seq("i", "w")))
-        .withColumn("b", lead("w", 1).over(byPos))
-        .filter(col("b").isNotNull)
-        .select(col("doc_id"), col("w").as("a"), col("b"))
-      val tf = big.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
-      val c2 = tf.groupBy("a", "b").agg(sum(col("tf")).as("c2"))
-      val c1 = c2.groupBy("a").agg(sum(col("c2")).as("c1"))
-      tf.join(c2, Seq("a", "b")).join(c1, Seq("a"))
-        .groupBy("doc_id")
-        .agg(sum(col("tf")).as("n_bigrams"),
-          sum(col("tf") * (length(bin(col("c1"))) - length(bin(col("c2")))))
-            .as("surprisal_bits"))
+    "t25_bigram_surprisal" -> ((s, d) =>
+      surprisalPerDoc(documents(s, d))
         .select(col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
           round(col("surprisal_bits").cast("double") / col("n_bigrams"), 4)
-            .as("score"))
+            .as("score"))),
+
+    // -- t35: two-sided perplexity gate (Gopher-style quality filter) ------
+    // t25 scores; this op DECIDES. The production filter drops both tails
+    // of the per-doc LM-surprisal distribution: too predictable is
+    // boilerplate, too surprising is noise/garbled text. The classic
+    // formulation (percentile cut) needs a global sort; the scale-correct
+    // one is a z-score gate against ONE corpus aggregate (count, sum,
+    // sum-of-squares — map-side combinable, broadcast back as a 1-row
+    // frame). Floating-point mean/stddev would make boundary docs
+    // engine-dependent, so the |z| <= 2 test is stated INTEGER-EXACTLY
+    // on basis-point scores:  (n*x - s1)^2 <= 4*(n*s2 - s1^2), all in
+    // DECIMAL(38,0) (HUGEINT on the oracle side) — overflow-safe to
+    // ~1e19 docs, far past any corpus.
+    "t35_surprisal_gate" -> ((s, d) => {
+      val D38 = "decimal(38,0)"
+      val per = surprisalPerDoc(documents(s, d))
+        .select(col("doc_id"),
+          expr("surprisal_bits * 10000 div n_bigrams").as("score_bp"))
+      val stats = broadcast(per.agg(
+        count(lit(1)).cast(D38).as("n"),
+        sum(col("score_bp")).cast(D38).as("s1"),
+        sum(col("score_bp") * col("score_bp")).cast(D38).as("s2")))
+      per.crossJoin(stats)
+        .withColumn("dev", col("n") * col("score_bp").cast(D38) - col("s1"))
+        .select(col("doc_id"), col("score_bp"),
+          when(col("dev") * col("dev") <=
+              lit(4).cast(D38) * (col("n") * col("s2") - col("s1") * col("s1")),
+            1).otherwise(0).as("inlier"))
     }),
 
     // -- DSIR hashed-n-gram importance weighting (data selection) ----------
@@ -1024,6 +1062,31 @@ object TextOps {
         |SELECT doc_id, n_bigrams, surprisal_bits,
         |  round(CAST(surprisal_bits AS DOUBLE) / n_bigrams, 4) AS score
         |FROM per""".stripMargin,
+    // same per-doc surprisal CTEs; the |z| <= 2 gate in HUGEINT so the
+    // boundary is integer-exact on both engines
+    "t35_surprisal_gate" ->
+      """WITH big AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+        |          unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+        |        FROM documents)),
+        |tf AS (SELECT doc_id, a, b, COUNT(*) AS tf FROM big GROUP BY doc_id, a, b),
+        |c2 AS (SELECT a, b, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY a, b),
+        |c1 AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY a),
+        |per AS (SELECT doc_id,
+        |          CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |          CAST(SUM(tf * (length(bin(c1)) - length(bin(c2)))) AS BIGINT)
+        |            AS surprisal_bits
+        |        FROM tf JOIN c2 USING (a, b) JOIN c1 USING (a) GROUP BY doc_id),
+        |sc AS (SELECT doc_id,
+        |         surprisal_bits * 10000 // n_bigrams AS score_bp FROM per),
+        |st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |              CAST(SUM(score_bp) AS HUGEINT) AS s1,
+        |              CAST(SUM(CAST(score_bp AS HUGEINT) * score_bp) AS HUGEINT) AS s2
+        |       FROM sc)
+        |SELECT doc_id, score_bp,
+        |  CASE WHEN (n * score_bp - s1) * (n * score_bp - s1)
+        |         <= 4 * (n * s2 - s1 * s1) THEN 1 ELSE 0 END AS inlier
+        |FROM sc CROSS JOIN st""".stripMargin,
     "t30_dsir_importance" ->
       ("WITH " + dsirOracleCtes("documents", "en") + "\n" +
         """SELECT d.doc_id AS doc_id,

@@ -124,4 +124,34 @@ class DataQualitySpec extends AnyFunSuite {
     val total = out.agg(sum(col("n_docs"))).collect().head.getLong(0)
     assert(total == graft.Tables.documents(spark, sf).count())
   }
+
+  test("dq6 drift: planted length shift flags, identical distributions do not") {
+    import spark.implicits._
+    // 4 sources with the SAME per-source length histogram (100 docs each,
+    // lengths cycling 50..950) + one SMALL source (25 docs) shifted
+    // wholesale into the top bucket. The identical sources' TV vs the
+    // corpus comes only from the shifted source's pull on the corpus
+    // distribution — which must stay under the 1500 bp gate, while the
+    // shifted source itself flags.
+    val same = for {
+      s <- 0 until 4; i <- 0 until 100
+    } yield (s"s$s", 50L + (i % 10) * 100)
+    val shifted = (0 until 25).map(_ => ("bad", 950L))
+    val df = (same ++ shifted).toDF("source", "n_chars")
+    val got = DataQuality.distributionDrift(df)
+      .as[(String, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set("s0", "s1", "s2", "s3", "bad"))
+    assert(got("bad")._3 == 1, s"shifted source not flagged: ${got("bad")}")
+    (0 until 4).foreach { s =>
+      assert(got(s"s$s")._3 == 0, s"uniform source s$s flagged: ${got(s"s$s")}")
+    }
+    // hand math (N=425, buckets 0..8 hold 40, bucket 9 holds 65):
+    // bad (N_s=25, all in b9): l1 = 9*|0*425-40*25| + |25*425-65*25|
+    //   = 9000 + 9000 = 18000 -> 180000000 // (2*25*425) = 8470
+    assert(got("bad")._2 == 8470L, got("bad").toString)
+    // s0 (N_s=100, 10/bucket): l1 = 9*|4250-4000| + |4250-6500| = 4500
+    //   -> 45000000 // (2*100*425) = 529
+    assert(got("s0")._2 == 529L, got("s0").toString)
+  }
 }

@@ -448,4 +448,27 @@ class GenericOpsSpec extends AnyFunSuite {
       else assert(first == 0.4 && last == 0.4)
     }
   }
+
+  test("t35 gate == independent BigInt z-square check over t25 scores") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val per = TextOps.queries("t25_bigram_surprisal")(spark, sf)
+      .select("doc_id", "n_bigrams", "surprisal_bits")
+      .as[(Long, Long, Long)].collect()
+    val scores = per.map { case (id, nb, sb) => (id, BigInt(sb * 10000L / nb)) }
+    val n = BigInt(scores.length)
+    val s1 = scores.map(_._2).sum
+    val s2 = scores.map(x => x._2 * x._2).sum
+    val expect = scores.map { case (id, x) =>
+      val dev = n * x - s1
+      (id, (x.toLong, if (dev * dev <= 4 * (n * s2 - s1 * s1)) 1 else 0))
+    }.toMap
+    val got = TextOps.queries("t35_surprisal_gate")(spark, sf)
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect)
+    // the gate is two-sided and non-trivial on the real corpus
+    val flags = got.values.map(_._2).toSet
+    assert(flags == Set(0, 1), s"degenerate gate: $flags")
+  }
 }
