@@ -797,10 +797,15 @@ object TextOps {
       val (size, stride) = (200, 160)
       documents(s, d)
         .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0),
+          // empty/null docs chunk to NOTHING on both engines: Spark's
+          // `div` truncates toward zero ((0-1) div 160 = 0 -> a phantom
+          // empty chunk) while DuckDB's // floors to -1 (-> no rows), so
+          // the zero-length case must be gated, not left to division
+          explode(when(length(col("text")) >= 1, sequence(lit(0),
             // last chunk starts at the greatest stride multiple < len
             // (Column./ is DOUBLE division — `div` keeps this integral)
-            expr(s"cast((length(text) - 1) div $stride as int)"))).as("chunk_idx"))
+            expr(s"cast((length(text) - 1) div $stride as int)")))
+            .otherwise(array().cast("array<int>"))).as("chunk_idx"))
         .select(col("doc_id"), col("chunk_idx"),
           expr(s"substring(text, chunk_idx * $stride + 1, $size)").as("chunk"))
         .select(col("doc_id"), col("chunk_idx"),
@@ -1192,7 +1197,7 @@ object TextOps {
         |    substr(text, i * 160 + 1, 200) AS chunk
         |  FROM (SELECT doc_id, text,
         |          unnest(generate_series(0, (length(text) - 1) // 160)) AS i
-        |        FROM documents))
+        |        FROM documents WHERE length(text) >= 1))
         |SELECT doc_id, chunk_idx, chunk_idx * 160 + 1 AS chunk_start,
         |       length(chunk) AS n_chars, md5(chunk) AS chunk_id
         |FROM ch""".stripMargin

@@ -363,4 +363,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("d19 substring dedup: partial-agg gram test, semi-join hits, no cartesian") {
+    val p = plan("d19_substring_dedup")
+    // the cross-doc test is a hash aggregate with a map-side partial
+    // (min/max doc_id), never a count-distinct expand or a sort
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(p.contains("partial_min") && p.contains("partial_max"), p.take(5000))
+    // the hit filter is a LeftSemi equi-join on the gram
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x16 change feed computes BOTH version images in one aggregate pass") {
+    // one keyed shuffle, no join at all: the pre image is the same
+    // max(struct) gated by version, not a second scan or a self-join
+    val p = plan("x16_change_feed")
+    assert(!p.contains("Join"), p.take(3000))
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 keyed exchange, got $exchanges\n" + p.take(3000))
+    assert(p.contains("hashpartitioning(okey"), p.take(3000))
+  }
+
+  test("e19 attribution: equi-join on (user, bucket), never a range cartesian") {
+    val p = plan("e19_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("s17 MIPS stays a bounded BROADCAST nested loop like s1") {
+    val p = plan("s17_mips")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t35 gate broadcasts its 1-row corpus stats") {
+    val p = plan("t35_surprisal_gate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
