@@ -362,6 +362,7 @@ object GraftFunctions {
     "minimizer_md5" -> (args => MinimizerMd5(args(0), args(1), args(2))),
     "minimizer_windows" -> (args => MinimizerWindows(args(0), args(1), args(2))),
     "rolling_hash" -> (args => RollingHash(args.head)),
+    "lev_bounded" -> (args => LevBounded(args(0), args(1), args(2))),
     "vec_dot" -> (args => VecDot(args(0), args(1))),
     "int8_quant" -> (args => Int8Quant(args.head)),
     "sign_pack" -> (args => SignPack(args.head)),

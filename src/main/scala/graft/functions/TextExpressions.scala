@@ -19,6 +19,72 @@ object TextFns {
   }
 }
 
+object LevFns {
+  /** Banded (Ukkonen) Levenshtein saturating at k+1: returns
+    * min(lev(a,b), k+1) in O((2k+1)·min(m,n)) time instead of the full
+    * O(m·n) table — the verify kernel a SymSpell-style matcher actually
+    * wants, since every distance beyond its radius is equally "no".
+    * All cell values are CLAMPED at k+1, which doubles as the band
+    * sentinel (any out-of-band cell is provably > k), and a row whose
+    * whole band saturates exits early. Code-point based (same unicode
+    * semantics as Spark's levenshtein). */
+  def levBounded(ua: UTF8String, ub: UTF8String, k: Int): Long = {
+    if (k < 0) return 0L
+    val s = ua.toString.codePoints().toArray
+    val t = ub.toString.codePoints().toArray
+    val (m, n) = (s.length, t.length)
+    if (math.abs(m - n) > k) return (k + 1).toLong
+    val cap = k + 1
+    var prev = Array.tabulate(n + 2)(j => math.min(j, cap))
+    var cur = new Array[Int](n + 2)
+    var i = 1
+    while (i <= m) {
+      val lo = math.max(1, i - k)
+      val hi = math.min(n, i + k)
+      cur(lo - 1) = if (lo == 1) math.min(i, cap) else cap
+      var rowMin = cur(lo - 1)
+      var j = lo
+      while (j <= hi) {
+        val cost = if (s(i - 1) == t(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        val up = prev(j) + 1
+        if (up < v) v = up
+        val left = cur(j - 1) + 1
+        if (left < v) v = left
+        if (v > cap) v = cap
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin >= cap) return cap.toLong // whole band saturated
+      if (hi + 1 <= n + 1) cur(hi + 1) = cap // right sentinel for next row
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    math.min(prev(n), cap).toLong
+  }
+}
+
+/** `lev_bounded(a, b, k)` -> Long: min(levenshtein(a,b), k+1) via the
+  * banded DP above — codegen'd, O(k·len) per row. */
+case class LevBounded(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType, org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lev_bounded"
+  protected override def nullSafeEval(a: Any, b: Any, k: Any): Any =
+    LevFns.levBounded(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, k) =>
+      s"graft.functions.LevFns.levBounded($a, $b, $k)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): LevBounded =
+    copy(first = f, second = s, third = t)
+}
+
 /** `rolling_hash(str)` -> Long — codegen'd document fingerprint. */
 case class RollingHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)

@@ -605,10 +605,19 @@ object Dedup {
         .select(col("x.pk").as("a"), col("y.pk").as("b"),
           col("x.nm").as("nm_a"), col("y.nm").as("nm_b"))
         .distinct()
-      // compute the O(len²) edit distance ONCE per candidate — a filter
-      // followed by a separate projection would evaluate it twice (no
-      // cross-operator subexpression elimination)
-      cand.withColumn("dist", levenshtein(col("nm_a"), col("nm_b")).cast("long"))
+      // compute the edit distance ONCE per candidate — a filter followed
+      // by a separate projection would evaluate it twice (no
+      // cross-operator subexpression elimination). The kernel is the
+      // BANDED lev_bounded expression (O(k·len) per candidate, k=1,
+      // early-exit on a saturated band) instead of Spark's full O(len²)
+      // levenshtein: every kept row has dist <= 1 where min(lev, 2) ==
+      // lev, so the output is bit-identical to the full-distance oracle
+      // while the engine never fills a quadratic table for the
+      // overwhelming majority of candidates it is about to reject
+      // (TextExprSpec pins lev_bounded == min(levenshtein, k+1)).
+      graft.functions.GraftFunctions.register(s)
+      cand.withColumn("dist",
+          call_function("lev_bounded", col("nm_a"), col("nm_b"), lit(1)))
         .filter(col("dist") <= 1)
         .select(col("a"), col("b"), col("nm_a"), col("nm_b"), col("dist"))
     }),
@@ -636,7 +645,44 @@ object Dedup {
     // to xxhash64 longs (5x less shuffle, 2^-64 collision odds); the gate
     // keeps the raw gram so DuckDB reproduces it verbatim.
     "d19_substring_dedup" -> ((s, d) =>
-      substringDedup(documents(s, d).select(col("doc_id"), col("text")), 40))
+      substringDedup(documents(s, d).select(col("doc_id"), col("text")), 40)),
+
+    // -- d20: NEAR-dup decontamination across the train/test boundary -------
+    // d9/t27 catch exact n-gram leakage; the leak that actually survives
+    // real pipelines is a REWRITTEN eval document — near-dup, zero exact
+    // 5-gram hits after trivial edits. The production countermeasure
+    // (FineWeb/GPT-3 appendix): LSH the TRAIN corpus against the TEST
+    // set and drop verified near-dups. Shape: the band table is built
+    // once over train∪test, the candidate join is train-bands ⋈
+    // test-bands on (bid, bh) — asymmetric, so candidates scale with
+    // the TEST set's bucket occupancy, not train×train — and exact
+    // Jaccard verifies only candidates (the shared verifyPairs tail).
+    // Test set = doc_id % 100 == 0; planted leaks = truncated twins of
+    // every test doc landing in TRAIN with id (doc_id+off)*100+1 (≡ 1
+    // mod 100 — the d1-style offset alone would put twins of test docs
+    // back into test, where they'd prove nothing).
+    "d20_neardup_decon" -> ((s, d) => {
+      val doc = documents(s, d).select(col("doc_id"), col("text"))
+      val off = broadcast(doc.agg(
+        greatest(max(col("doc_id")) + 1, lit(100000L)).as("aug_off")))
+      val truncated = concat_ws(" ",
+        slice(words, lit(1), greatest(size(words) - 3, lit(1))))
+      val decon = doc.union(
+        doc.filter(col("doc_id") % 100 === 0).crossJoin(off)
+          .select(((col("doc_id") + col("aug_off")) * 100 + 1).as("doc_id"),
+            truncated.as("text")))
+      val sh = shingled(decon).localCheckpoint()
+      val bd = bands(signatures(sh)).localCheckpoint()
+      val cand = bd.filter(col("doc_id") % 100 =!= 0)
+        .select(col("bid"), col("bh"), col("doc_id").as("a"))
+        .join(bd.filter(col("doc_id") % 100 === 0)
+          .select(col("bid").as("bid2"), col("bh").as("bh2"),
+            col("doc_id").as("b")),
+          col("bid") === col("bid2") && col("bh") === col("bh2"))
+        .select(col("a"), col("b")).distinct()
+      verifyPairs(setsOf(sh), cand, "jaccard", 0.5)((i, na, nb) =>
+        i / (na + nb - i))
+    })
   )
 
   /** Per-document duplicated-span report for [[queries d19]]: positions
@@ -645,7 +691,10 @@ object Dedup {
     * merge, adjacency merge, within-doc-only exclusion). */
   private[operators] def substringDedup(docs: DataFrame, L: Int): DataFrame = {
     // Spark's sequence(1, n) STEPS DOWN when n < 1 (it would emit [1,0]
-    // for a short doc), so the position list must be gated, not clamped
+    // for a short doc), so the position list must be gated, not clamped.
+    // The gram relation feeds BOTH the cross-doc test and the hit
+    // semi-join; materialize it once (the engine's setsOf/bands idiom) or
+    // the L-per-char explode + substring runs twice end to end.
     val grams = docs
       .select(col("doc_id"), col("text"),
         explode(when(length(col("text")) >= L,
@@ -653,6 +702,7 @@ object Dedup {
           .otherwise(array().cast("array<int>"))).as("pos"))
       .select(col("doc_id"), col("pos"),
         expr(s"substring(text, pos, $L)").as("gram"))
+      .localCheckpoint()
     val crossDoc = grams.groupBy("gram")
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
       .filter(col("d0") =!= col("d1"))
@@ -1183,6 +1233,31 @@ object Dedup {
         |          FROM isl2 GROUP BY doc_id, isl)
         |SELECT doc_id, CAST(SUM(npos) AS BIGINT) AS n_dup_pos,
         |       COUNT(*) AS n_spans, CAST(SUM(hi - lo + 1) AS BIGINT) AS dup_chars
-        |FROM spans GROUP BY doc_id""".stripMargin
+        |FROM spans GROUP BY doc_id""".stripMargin,
+    "d20_neardup_decon" -> {
+      // custom corpus (twins of TEST docs only, ids ≡ 1 mod 100), then
+      // the standard band CTEs rebound to it + the asymmetric pair join
+      val dcorpus =
+        """corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT (doc_id + (SELECT GREATEST(MAX(doc_id) + 1, 100000)
+          |                    FROM documents)) * 100 + 1 AS doc_id,
+          |         array_to_string(ws[1:greatest(len(ws)-3, 1)], ' ') AS text
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          |        WHERE doc_id % 100 = 0)
+          |)""".stripMargin
+      val deconPairs =
+        """pairs AS (
+          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          |  FROM band l JOIN band r
+          |    ON l.bid = r.bid AND l.bh = r.bh
+          |  WHERE l.doc_id % 100 <> 0 AND r.doc_id % 100 = 0
+          |)""".stripMargin
+      "WITH " + ((Seq(dcorpus) ++ sqlBandCtesSeq("corpus", "") ++
+        Seq(deconPairs) ++ sqlVerifyCtes).mkString(",\n")) +
+        sqlVerifySelect("CAST(i.i AS DOUBLE) / (za.nsz + zb.nsz - i.i)",
+          "jaccard", "0.5")
+    }
   )
 }

@@ -268,4 +268,29 @@ class DedupSpec extends AnyFunSuite {
       assert(b.nonEmpty, s"seed $seed produced no cross-doc spans")
     }
   }
+
+  test("d20: planted test-doc twins are caught; every pair crosses the boundary") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = Dedup.queries("d20_neardup_decon")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // orientation: a = train doc, b = test doc — no within-side pairs
+    pairs.foreach { case (a, b) =>
+      assert(a % 100 != 0 && b % 100 == 0, s"pair ($a, $b) does not cross")
+    }
+    // each test doc's truncated twin (id = (k+off)*100 + 1) must be found;
+    // the 3-word truncation keeps J ~ 0.9, where the 4-band LSH miss
+    // probability is ~(1-J^2)^4 < 0.2% — with a handful of test docs at
+    // this sf, demand ALL planted leaks
+    import org.apache.spark.sql.functions._
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+    val off = doc.agg(greatest(max(col("doc_id")) + 1, lit(100000L)))
+      .first().getLong(0)
+    val testIds = doc.filter(col("doc_id") % 100 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(testIds.nonEmpty)
+    testIds.foreach { k =>
+      assert(pairs.contains(((k + off) * 100 + 1, k)),
+        s"planted twin of test doc $k not flagged")
+    }
+  }
 }
