@@ -70,6 +70,41 @@ object Lakehouse {
         col("ch.price").cast("double").as("price"))
   }
 
+  /** f23 fixture: generation 0 = days 1–15 partitioned BY DAY, generation
+    * 1 = days 16+ partitioned BY WEEK (dayk kept as a data column — the
+    * spec change alters layout, not content). Keys are letter-prefixed so
+    * partition-value inference cannot retype them. */
+  private[operators] def partEvoWrite(s: SparkSession, d: String, root: String): Unit =
+    writeViewOnce(root) {
+      val ev = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("dayk", concat(lit("d"), date_format(col("ts"), "yyyyMMdd")))
+        .withColumn("weekk",
+          concat(lit("w"), expr("cast((dayofmonth(ts) - 1) div 7 + 1 as string)")))
+      ev.filter(expr("dayofmonth(ts) <= 15"))
+        .select("event_id", "user_id", "dayk")
+        .write.partitionBy("dayk").mode("overwrite").parquet(s"$root/gen0")
+      ev.filter(expr("dayofmonth(ts) > 15"))
+        .select("event_id", "user_id", "dayk", "weekk")
+        .write.partitionBy("weekk").mode("overwrite").parquet(s"$root/gen1")
+    }
+
+  /** Union read across both partition specs; an optional day predicate is
+    * rewritten PER SPEC: gen 0 gets it as a day partition filter, gen 1
+    * as the transformed week partition filter + a data-level day filter. */
+  private[operators] def partEvoRead(s: SparkSession, root: String,
+      day: Option[String]): DataFrame = {
+    val g0full = s.read.option("basePath", s"$root/gen0").parquet(s"$root/gen0")
+    val g1full = s.read.option("basePath", s"$root/gen1").parquet(s"$root/gen1")
+    val g0 = day.fold(g0full)(dk => g0full.filter(col("dayk") === dk))
+    val g1 = day.fold(g1full) { dk =>
+      val dom = dk.substring(7).toInt // "dyyyymmDD"
+      g1full.filter(col("weekk") === s"w${(dom - 1) / 7 + 1}" &&
+        col("dayk") === dk)
+    }
+    g0.select("dayk", "event_id", "user_id")
+      .unionByName(g1.select("dayk", "event_id", "user_id"))
+  }
+
   /** Mergeable per-(event_type, user-bucket) summary state: row counts and
     * exact decimal cents merge by SUM, the HLL register by MAX — the three
     * merge laws that make the state composable across arbitrary batch
@@ -991,6 +1026,30 @@ object Lakehouse {
           count_distinct(col("source")).as("n_sources"))
     }),
 
+    // -- f23: PARTITION-SPEC evolution (day -> week) ------------------------
+    // f19 evolves the COLUMN schema; this evolves the PARTITION spec —
+    // Iceberg's flagship feature: a table starts day-partitioned, the
+    // spec changes to week partitioning, and old data is NEVER
+    // rewritten. Generation 0 (days 1–15) lives under dayk=… dirs;
+    // generation 1 (days 16+) under weekk=… dirs with dayk kept as a
+    // data column. A read unions both layouts (basePath recovers each
+    // generation's partition column); a DAY predicate reaches gen 0 as a
+    // day PARTITION filter (prunes to one dir) and gen 1 as the
+    // TRANSFORMED week partition filter + a data-level day filter —
+    // i.e. old data prunes at old granularity, new at new, exactly the
+    // per-spec predicate rewrite Iceberg planners do. The gated query
+    // aggregates the unevolved day key over BOTH generations, so any
+    // row lost or duplicated across the spec change hash-mismatches;
+    // pruning is pinned in LakehouseSpec via scan numPartitions.
+    "f23_partition_evolution" -> ((s, d) => {
+      val root = s"${ioDir(d)}/partevo"
+      partEvoWrite(s, d, root)
+      partEvoRead(s, root, None)
+        .groupBy("dayk")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+    }),
+
     // -- f22: optimistic concurrency — two writers race one table ----------
     // the multi-writer story f14/f20's single-writer manifests leave
     // open: TWO writers replace DISJOINT partitions of the same table
@@ -1268,6 +1327,12 @@ object Lakehouse {
         |SELECT okey, 'update_postimage', ns, CAST(np AS DOUBLE)
         |FROM j WHERE in_pre AND in_post
         |  AND (ps IS DISTINCT FROM ns OR pp IS DISTINCT FROM np)""".stripMargin,
+    // layout-independent truth: the day aggregate over the whole table —
+    // the spec change must lose/duplicate nothing
+    "f23_partition_evolution" ->
+      """SELECT 'd' || strftime(ts, '%Y%m%d') AS dayk, COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
     // table content after both replace-partition commits land, whatever
     // the race order: en/de rewritten at gen=1, everything else base
     "f22_occ_commit" ->

@@ -319,6 +319,44 @@ class LakehouseSpec extends AnyFunSuite {
       (4L, "insert", "N", 5.0)), got.toString)
   }
 
+  test("f23 partition evolution: day predicate prunes per spec on both layouts") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val sf = "/root/testdata/sf0.001"
+    val root = graft.Scratch.dir(sf) + "/partevo"
+    Lakehouse.partEvoWrite(spark, sf, root)
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans)
+    }
+    def partsRead(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      df.collect()
+      scans(df.queryExecution.executedPlan).map { f =>
+        val gen = if (f.relation.location.rootPaths.head.toString
+          .contains("gen0")) "gen0" else "gen1"
+        gen -> f.metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+      }.toMap
+    }
+    // a day in generation 1 (week-partitioned): gen0 prunes to ZERO
+    // day dirs, gen1 prunes to exactly the ONE containing week dir
+    val late = partsRead(Lakehouse.partEvoRead(spark, root, Some("d20240120")))
+    assert(late("gen0") == 0, s"gen0 read ${late("gen0")} day dirs for a gen1 day")
+    assert(late("gen1") == 1, s"gen1 read ${late("gen1")} week dirs, want 1")
+    // a day in generation 0: one day dir there, zero week dirs in gen1
+    val early = partsRead(Lakehouse.partEvoRead(spark, root, Some("d20240103")))
+    assert(early("gen0") == 1, s"gen0 read ${early("gen0")} day dirs, want 1")
+    assert(early("gen1") == 0, s"gen1 read ${early("gen1")} week dirs for a gen0 day")
+    // and the per-spec predicate rewrite loses nothing: filtered union ==
+    // full read filtered on the data column
+    val got = Lakehouse.partEvoRead(spark, root, Some("d20240120"))
+      .collect().map(_.toString).toSet
+    val want = Lakehouse.partEvoRead(spark, root, None)
+      .filter(col("dayk") === "d20240120").collect().map(_.toString).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("OCC log: CAS exclusivity, disjoint rebase, same-partition abort") {
     import graft.sources.OccLog
     val root = java.nio.file.Files.createTempDirectory("occspec").toString
