@@ -647,6 +647,20 @@ object Dedup {
     "d19_substring_dedup" -> ((s, d) =>
       substringDedup(documents(s, d).select(col("doc_id"), col("text")), 40)),
 
+    // -- d21: d19's AT-SCALE hash family (same precedent as d18) ------------
+    // d19 shuffles the raw 40-char grams so DuckDB reproduces the keys
+    // verbatim; at 100 TB you shuffle xxhash64(gram) LONGS instead — 5x
+    // fewer key bytes through both the groupBy and the semi-join. The
+    // span REPORT is hash-invariant unless two distinct grams collide in
+    // 64 bits (~n²/2⁶⁵; for a 10¹² gram corpus, ~3%-per-corpus odds of
+    // ONE span boundary shifting by <L chars — the standard accepted
+    // risk), so the output gates against d19's EXACT oracle, and the
+    // plan pin (PlanAuditSpec) proves no string gram survives past the
+    // projection.
+    "d21_substring_dedup_xx" -> ((s, d) =>
+      substringDedup(documents(s, d).select(col("doc_id"), col("text")), 40,
+        fastHash = true)),
+
     // -- d20: NEAR-dup decontamination across the train/test boundary -------
     // d9/t27 catch exact n-gram leakage; the leak that actually survives
     // real pipelines is a REWRITTEN eval document — near-dup, zero exact
@@ -689,19 +703,25 @@ object Dedup {
     * whose L-gram occurs in another document, merged into maximal
     * islands. Exposed for DedupSpec's crafted-corpus cases (overlap
     * merge, adjacency merge, within-doc-only exclusion). */
-  private[operators] def substringDedup(docs: DataFrame, L: Int): DataFrame = {
+  private[operators] def substringDedup(docs: DataFrame, L: Int,
+      fastHash: Boolean = false): DataFrame = {
     // Spark's sequence(1, n) STEPS DOWN when n < 1 (it would emit [1,0]
     // for a short doc), so the position list must be gated, not clamped.
     // The gram relation feeds BOTH the cross-doc test and the hit
     // semi-join; materialize it once (the engine's setsOf/bands idiom) or
     // the L-per-char explode + substring runs twice end to end.
+    // fastHash packs each gram to an xxhash64 long BEFORE materialization
+    // — everything downstream (shuffle, agg state, join keys) carries 8
+    // bytes instead of up to 4L.
+    val gramKey =
+      if (fastHash) xxhash64(expr(s"substring(text, pos, $L)"))
+      else expr(s"substring(text, pos, $L)")
     val grams = docs
       .select(col("doc_id"), col("text"),
         explode(when(length(col("text")) >= L,
             sequence(lit(1), length(col("text")) - (L - 1)))
           .otherwise(array().cast("array<int>"))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        expr(s"substring(text, pos, $L)").as("gram"))
+      .select(col("doc_id"), col("pos"), gramKey.as("gram"))
       .localCheckpoint()
     val crossDoc = grams.groupBy("gram")
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
@@ -1209,6 +1229,33 @@ object Dedup {
         |SELECT a, b, nm_a, nm_b,
         |  CAST(levenshtein(nm_a, nm_b) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(nm_a, nm_b) <= 1""".stripMargin,
+    // d21 shares d19's oracle verbatim: the span report is invariant to
+    // the gram-key representation (raw string vs xxhash64 long)
+    "d21_substring_dedup_xx" ->
+      """WITH grams AS (
+        |  SELECT doc_id, i AS pos, substr(text, i, 40) AS gram
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 39)) AS i
+        |        FROM documents)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram
+        |        HAVING MIN(doc_id) <> MAX(doc_id)),
+        |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN MAX(pos + 39) OVER w IS NULL
+        |           OR pos > MAX(pos + 39) OVER w + 1 THEN 1 ELSE 0 END AS new_isl
+        |  FROM hits
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |isl2 AS (SELECT doc_id, pos,
+        |           SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |         FROM isl),
+        |spans AS (SELECT doc_id, isl, MIN(pos) AS lo, MAX(pos) + 39 AS hi,
+        |            COUNT(*) AS npos
+        |          FROM isl2 GROUP BY doc_id, isl)
+        |SELECT doc_id, CAST(SUM(npos) AS BIGINT) AS n_dup_pos,
+        |       COUNT(*) AS n_spans, CAST(SUM(hi - lo + 1) AS BIGINT) AS dup_chars
+        |FROM spans GROUP BY doc_id""".stripMargin,
     "d19_substring_dedup" ->
       """WITH grams AS (
         |  SELECT doc_id, i AS pos, substr(text, i, 40) AS gram

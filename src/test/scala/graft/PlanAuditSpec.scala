@@ -375,6 +375,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d21 fast substring dedup shuffles xxhash64 longs, never gram strings") {
+    // the at-scale claim: the gram key is hashed IN the projection, so
+    // every exchange/agg/join downstream carries 8-byte longs. The
+    // localCheckpoint hides downstream stages from one explain, so pin
+    // the projection stage: xxhash64 present, and the gram alias is the
+    // hash (no raw substring column survives past the select)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val grams = docs.select(col("doc_id"), col("text"),
+        explode(when(length(col("text")) >= 40,
+          sequence(lit(1), length(col("text")) - 39))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(expr("substring(text, pos, 40)")).as("gram"))
+    assert(grams.schema("gram").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // and the gated queries agree: hash family == exact family
+    val a = SparkEntry.queries("d19_substring_dedup")(spark, sf)
+      .collect().map(_.toString).toSet
+    val b = SparkEntry.queries("d21_substring_dedup_xx")(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(a == b, "xxhash64 gram family diverged from the exact family")
+  }
+
   test("x16 change feed computes BOTH version images in one aggregate pass") {
     // one keyed shuffle, no join at all: the pre image is the same
     // max(struct) gated by version, not a second scan or a self-join
