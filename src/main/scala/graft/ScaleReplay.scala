@@ -22,9 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object ScaleReplay {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: ScaleReplay <sfDir> <factor> [query ...]\n" +
+          "query names may be space-separated or comma-joined (a,b,c)")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val factor = args(1).toInt
-    val names = args.drop(2).toSeq
+    // accept BOTH `a b c` and `a,b,c` — every sibling main (Verify,
+    // ClusterSmoke, Bench) takes comma lists, so this one must too
+    val names = args.drop(2).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.mkString(", ")}\n" +
+          s"valid names: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -70,6 +70,54 @@ object Lakehouse {
         col("ch.price").cast("double").as("price"))
   }
 
+  /** es21 bucket width: okey div 2^19 names a bucket. Range (not hash)
+    * buckets so inserts into a fresh key range touch FRESH buckets and the
+    * existing snapshot files are carried forward untouched. Bucket count
+    * scales with key-range/W — i.e. with file count, metadata-sized. */
+  private[operators] val BUK_W = 1L << 19
+
+  /** v0 bootstrap: one partitioned write; manifest maps bucket → leaf dir. */
+  private[operators] def bucketedInit(base: DataFrame, snapDir: String): Map[Long, String] = {
+    base.withColumn("bk", (col("okey") / BUK_W).cast("long"))
+      .write.partitionBy("bk").mode("overwrite").parquet(s"$snapDir/v0")
+    new java.io.File(s"$snapDir/v0").listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("bk="))
+      .map(f => f.getName.stripPrefix("bk=").toLong -> f.getAbsolutePath)
+      .toMap
+  }
+
+  /** Read the union of the given buckets' current files (absent buckets —
+    * a fresh insert range — contribute nothing). */
+  private[operators] def bucketedRead(s: SparkSession, manifest: Map[Long, String],
+      buckets: Set[Long]): DataFrame = {
+    val dirs = buckets.toSeq.sorted.flatMap(manifest.get)
+    if (dirs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          s"okey bigint, status string, price $D2, version bigint, op string"))
+    else s.read.parquet(dirs: _*)
+      .select("okey", "status", "price", "version", "op")
+  }
+
+  /** Copy-on-write commit: rewrite ONLY touched buckets (old-bucket rows
+    * minus batch keys, plus the batch — batch versions are monotone per
+    * key so no aggregate is needed), then return the new manifest with
+    * every untouched bucket still pointing at its OLD dir. One broadcast
+    * anti-join + one partitioned write; zero snapshot-sized shuffles. */
+  private[operators] def bucketedAdvance(s: SparkSession, manifest: Map[Long, String],
+      batch: DataFrame, verDir: String, touched: Set[Long]): Map[Long, String] = {
+    val next = bucketedRead(s, manifest, touched)
+      .join(broadcast(batch.select("okey")), Seq("okey"), "leftanti")
+      .unionByName(batch.select("okey", "status", "price", "version", "op"))
+    next.withColumn("bk", (col("okey") / BUK_W).cast("long"))
+      .write.partitionBy("bk").mode("overwrite").parquet(verDir)
+    val rewritten = new java.io.File(verDir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("bk="))
+      .map(f => f.getName.stripPrefix("bk=").toLong -> f.getAbsolutePath)
+      .toMap
+    manifest ++ rewritten
+  }
+
   /** f23 fixture: generation 0 = days 1–15 partitioned BY DAY, generation
     * 1 = days 16+ partitioned BY WEEK (dayk kept as a data column — the
     * spec change alters layout, not content). Keys are letter-prefixed so
@@ -870,18 +918,36 @@ object Lakehouse {
         dst.setLastModified(t0 + i * 2000L)
         del(new java.io.File(tmp))
       }
+      // Delta-sized snapshot advance (VERDICT r10 #6): the snapshot lives
+      // as key-RANGE buckets (okey div 2^19) behind a version manifest.
+      // Each commit rewrites ONLY the buckets containing changed keys —
+      // untouched bucket dirs are carried forward BY REFERENCE in the new
+      // manifest (f14's mechanism), so an insert-only commit into a fresh
+      // key range writes O(|batch|), never O(|snapshot|). The advance
+      // itself is shuffle-free: batch versions are monotone per key, so
+      // the merged bucket is (old bucket ANTI-join broadcast batch keys)
+      // UNION the batch rows — no groupBy over snapshot rows at all.
       val snapDir = s"$root/snap"
-      base.write.mode("overwrite").parquet(s"$snapDir/v0")
-      val current = new java.util.concurrent.atomic.AtomicReference(s"$snapDir/v0")
-      val cdfDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val manifest = new java.util.concurrent.atomic.AtomicReference(
+        bucketedInit(base, snapDir))
+      // keyed by batch id: a Spark micro-batch RETRY must not double-count
+      // its commit's change rows in the final union (the parquet write is
+      // idempotent via overwrite; this map makes the bookkeeping match)
+      val cdfDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
       val sch = s.read.parquet(s"$root/changes").schema
       val q = s.readStream.schema(sch).option("maxFilesPerTrigger", "1")
         .parquet(s"$root/changes")
         .writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          val cur = s.read.parquet(current.get())
-          // this commit's typed change rows: snapshot = v0, batch = v1
-          val lg = cur.select(col("okey"), col("status"), col("price"),
+          val man = manifest.get()
+          val touched = batch.select((col("okey") / BUK_W).cast("long").as("bk"))
+            .distinct().collect().map(_.getLong(0)).toSet
+          // pre-images live only in touched buckets; and only batch KEYS
+          // can yield change rows, so the feed aggregate shuffles
+          // O(|batch|) rows, never O(|snapshot|)
+          val curT = bucketedRead(s, man, touched)
+            .join(broadcast(batch.select("okey")), Seq("okey"), "leftsemi")
+          val lg = curT.select(col("okey"), col("status"), col("price"),
               lit(0L).as("version"), col("op"))
             .unionByName(batch.select(col("okey"), col("status"),
               col("price"), lit(1L).as("version"), col("op")))
@@ -889,17 +955,9 @@ object Lakehouse {
           changeFeed(lg, vFrom = 0L)
             .withColumn("batch_id", lit(id + 1))
             .write.mode("overwrite").parquet(cdfDir)
-          cdfDirs.add(cdfDir)
-          val next = cur.unionByName(batch)
-            .groupBy("okey")
-            .agg(max(struct(col("version"), col("op"), col("status"),
-              col("price"))).as("w"))
-            .select(col("okey"), col("w.version").as("version"),
-              col("w.op").as("op"), col("w.status").as("status"),
-              col("w.price").as("price"))
-          val dst = s"$snapDir/v${id + 1}"
-          next.write.mode("overwrite").parquet(dst)
-          current.set(dst)
+          cdfDirs.put(id, cdfDir)
+          manifest.set(bucketedAdvance(s, man, batch,
+            s"$snapDir/v${id + 1}", touched))
           ()
         }
         .option("checkpointLocation", s"$root/ckpt")
@@ -908,7 +966,7 @@ object Lakehouse {
         started.awaitTermination()
       }
       import scala.jdk.CollectionConverters._
-      cdfDirs.asScala.toSeq.sorted.map(s.read.parquet(_))
+      cdfDirs.values().asScala.toSeq.distinct.sorted.map(s.read.parquet(_))
         .reduce(_ unionByName _)
     }),
 
@@ -1097,7 +1155,9 @@ object Lakehouse {
         val snap = OccLog.readLatest(root) // both read v1 before either commits
         val dir = stage(s"w-$partition",
           docs.filter(col("lang") === partition).withColumn("gen", lit(1L)))
-        gate.countDown(); gate.await()
+        // blocking{} spawns a compensation thread: on a small global pool
+        // one parked writer must not starve the other out of ever running.
+        gate.countDown(); scala.concurrent.blocking { gate.await() }
         OccLog.commitReplacePartition(root, partition, dir, snap.version)
       }
       val vs = Await.result(

@@ -511,10 +511,13 @@ object TextOps {
       val per = surprisalPerDoc(documents(s, d))
         .select(col("doc_id"),
           expr("surprisal_bits * 10000 div n_bigrams").as("score_bp"))
+      // Cast to DECIMAL(38,0) BEFORE the multiply/sum (dq6 pattern): a
+      // LongType sum of score_bp^2 (~1e11 per doc) silently wraps past
+      // ~1e7-1e8 docs, while the DuckDB twin sums in HUGEINT.
       val stats = broadcast(per.agg(
         count(lit(1)).cast(D38).as("n"),
-        sum(col("score_bp")).cast(D38).as("s1"),
-        sum(col("score_bp") * col("score_bp")).cast(D38).as("s2")))
+        sum(col("score_bp").cast(D38)).as("s1"),
+        sum(col("score_bp").cast(D38) * col("score_bp").cast(D38)).as("s2")))
       per.crossJoin(stats)
         .withColumn("dev", col("n") * col("score_bp").cast(D38) - col("s1"))
         .select(col("doc_id"), col("score_bp"),

@@ -67,10 +67,13 @@ object OccLog {
   def read(root: String, v: Int): Manifest = Manifest(v, parse(commitPath(root, v)))
 
   def readLatest(root: String): Manifest = {
-    val vs = Files.list(logDir(root)).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case n if n.matches("v\\d{5}\\.txt") => n.substring(1, 6).toInt }
-      .toSeq
+    val st = Files.list(logDir(root))
+    val vs =
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.matches("v\\d{5}\\.txt") => n.substring(1, 6).toInt }
+        .toSeq
+      finally st.close() // called inside the CAS retry loop — don't leak an fd per attempt
     require(vs.nonEmpty, s"no committed version under $root/_log")
     read(root, vs.max)
   }

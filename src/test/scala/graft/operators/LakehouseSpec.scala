@@ -357,6 +357,42 @@ class LakehouseSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("es21 bucketed advance: a commit touching 1 bucket rewrites exactly 1 bucket") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bukadv").toString
+    val D2 = "decimal(12,2)"
+    def frame(rows: Seq[(Long, String, Double, Long, String)]) =
+      rows.toDF("okey", "status", "price0", "version", "op")
+        .select(col("okey"), col("status"), col("price0").cast(D2).as("price"),
+          col("version"), col("op"))
+    // base spans THREE buckets of width 2^19: 0, 1, and 40 (okey ~ 21M)
+    val W = Lakehouse.BUK_W
+    val base = frame(Seq(
+      (10L, "A", 1.0, 0L, "U"), (W + 5L, "B", 2.0, 0L, "U"),
+      (40 * W + 7L, "C", 3.0, 0L, "U")))
+    val m0 = Lakehouse.bucketedInit(base, s"$root/snap")
+    assert(m0.keySet == Set(0L, 1L, 40L), m0.keySet.toString)
+    // commit 1: update + insert, keys all inside bucket 1
+    val b1 = frame(Seq((W + 5L, "B2", 9.0, 1L, "U"), (W + 6L, "N", 4.0, 1L, "U")))
+    val m1 = Lakehouse.bucketedAdvance(spark, m0, b1, s"$root/snap/v1", Set(1L))
+    // exactly one bucket dir exists under v1; the other manifest entries
+    // are carried forward BY REFERENCE (same paths as v0)
+    val v1Dirs = new java.io.File(s"$root/snap/v1").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bk=")).map(_.getName).toSet
+    assert(v1Dirs == Set("bk=1"), v1Dirs.toString)
+    assert(m1(0L) == m0(0L) && m1(40L) == m0(40L) && m1(1L) != m0(1L))
+    // merged view is correct: update applied, insert present, others intact
+    val view = Lakehouse.bucketedRead(spark, m1, m1.keySet)
+      .select(col("okey"), col("status")).as[(Long, String)].collect().toSet
+    assert(view == Set((10L, "A"), (W + 5L, "B2"), (W + 6L, "N"), (40 * W + 7L, "C")))
+    // commit 2: insert into a FRESH key range -> touches a bucket with no
+    // manifest entry; O(|batch|) write, every existing bucket untouched
+    val b2 = frame(Seq((100 * W + 1L, "Z", 5.0, 2L, "U")))
+    val m2 = Lakehouse.bucketedAdvance(spark, m1, b2, s"$root/snap/v2", Set(100L))
+    assert(m2.keySet == m1.keySet + 100L)
+    assert(m1.forall { case (k, v) => m2(k) == v })
+  }
+
   test("OCC log: CAS exclusivity, disjoint rebase, same-partition abort") {
     import graft.sources.OccLog
     val root = java.nio.file.Files.createTempDirectory("occspec").toString
