@@ -70,6 +70,16 @@ object Lakehouse {
         col("ch.price").cast("double").as("price"))
   }
 
+  /** es22's per-micro-batch publish: read the current snapshot version and
+    * CAS-commit the staged dir as this partition's new data. Losers rebase
+    * (partitions are disjoint across writers); a retried batch republishes
+    * the SAME staged dir — one extra manifest version, identical content —
+    * which is the replace-partition idempotence OccStreamSpec pins. */
+  private[graft] def occCommitBatch(root: String, partition: String, dir: String): Int = {
+    val snap = graft.sources.OccLog.readLatest(root).version
+    graft.sources.OccLog.commitReplacePartition(root, partition, dir, snap)
+  }
+
   /** es21 bucket width: okey div 2^19 names a bucket. Range (not hash)
     * buckets so inserts into a fresh key range touch FRESH buckets and the
     * existing snapshot files are carried forward untouched. Bucket count
@@ -293,7 +303,86 @@ object Lakehouse {
         .unionByName(recomputed.select(out: _*)))
   }
 
+  /** x17 internals, exposed for the spec: returns (hotRegs, maintained
+    * view). Generalizes x15's recompute-on-retract seam from semigroup
+    * SCALARS to sketch STATE: a per-(source, bucket) HLL register is a
+    * MAX over token rho values — inserts fold register-wise (max is a
+    * semigroup, duplicate-insensitive, so the fold needs no distinct and
+    * no scan), but HLL is NOT invertible, so a retraction can only be
+    * handled by recomputing the registers it could have set. A register
+    * goes HOT iff some retracted token's rho TIES the stored value
+    * (rho < r means a surviving token owns the register; rho > r is
+    * impossible since retracted rows are base rows). Hot registers
+    * recompute from the post-state base semi-joined to the broadcast hot
+    * set BEFORE the aggregate (plan-pinned) — O(rows of hot sources),
+    * never O(|base|). A purged source has every register hot and zero
+    * post-state rows, so it drops out of the view entirely. */
+  private[graft] def x17HllIvm(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val viewDir = s"${ioDir(d)}/x17_view"
+    val postDir = s"${ioDir(d)}/x17_post"
+    // token -> (bucket, rho) exactly as x2/x5 (md5 bucket byte + leading
+    // zero bits); MAX over rho is insensitive to token multiplicity, so
+    // none of these aggregates needs the x5 DISTINCT pass
+    def tokRegs(rows: DataFrame): DataFrame = {
+      val h = md5(col("tok").cast("binary"))
+      rows.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("source"), substring(h, 1, 2).as("bucket"),
+          (Sketches.leadingZeroBits(substring(h, 3, 8)) + 1).as("rho"))
+    }
+    def regs(rows: DataFrame): DataFrame =
+      tokRegs(rows).groupBy("source", "bucket")
+        .agg(max(col("rho")).cast("long").as("r"))
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val purged = col("source") === "src7"
+    val base = docs.filter(col("doc_id") % 10 =!= 9)
+    writeViewOnce(viewDir) {
+      regs(base).write.mode("overwrite").parquet(viewDir)
+    }
+    val v0 = s.read.parquet(viewDir)
+    // the change batch: inserts (arriving non-purged docs ending in 9),
+    // point deletes (docs ending in 2), and the src7 whole-source purge
+    val ins = docs.filter(col("doc_id") % 10 === 9 && !purged)
+    val del = base.filter(col("doc_id") % 10 === 2 && !purged)
+    val purge = base.filter(purged)
+    // delta-sized register contributions of each side
+    val insRegs = regs(ins).withColumnRenamed("r", "ins_r")
+    val retRegs = regs(del.unionByName(purge)).withColumnRenamed("r", "ret_r")
+    // hot detection is a register-count-bounded broadcast join
+    val hotRegs = v0.join(broadcast(retRegs), Seq("source", "bucket"))
+      .filter(col("ret_r") >= col("r"))
+      .select(col("source"), col("bucket"))
+    // cold path: pure register-wise max fold of surviving stored registers
+    // and insert contributions — state-sized, no base scan
+    val cold = v0
+      .join(broadcast(hotRegs), Seq("source", "bucket"), "left_anti")
+      .select(col("source"), col("bucket"), col("r"))
+      .unionByName(insRegs
+        .join(broadcast(hotRegs), Seq("source", "bucket"), "left_anti")
+        .select(col("source"), col("bucket"), col("ins_r").as("r")))
+      .groupBy("source", "bucket").agg(max(col("r")).as("r"))
+    // post-state base: the CDC batch already MERGEd (as for x15)
+    writeViewOnce(postDir) {
+      docs.filter(!purged && col("doc_id") % 10 =!= 2)
+        .write.mode("overwrite").parquet(postDir)
+    }
+    // hot path: ONE scan of the post-state, semi-joined to the broadcast
+    // hot set BEFORE the register aggregate
+    val recomputed = tokRegs(s.read.parquet(postDir))
+      .join(broadcast(hotRegs), Seq("source", "bucket"), "left_semi")
+      .groupBy("source", "bucket").agg(max(col("rho")).cast("long").as("r"))
+    (hotRegs, cold.unionByName(recomputed))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- x17: HLL sketch-state IVM — recompute-on-retract -------------------
+    // the sketch-state generalization of x15 (semigroup registers instead
+    // of semigroup scalars): maintained per-source HLL registers under
+    // inserts (register-wise max fold) and retractions (non-invertible ->
+    // hot registers recompute from the post-state, LeftSemi-guarded).
+    // Must land exactly on the from-scratch x5 registers of the
+    // post-state corpus — the oracle states that in closed form.
+    "x17_hll_ivm_recompute" -> ((s, d) => x17HllIvm(s, d)._2),
+
     // -- f12: bucketed tables -> exchange-free co-located join -------------
     // the write pays one hash shuffle per table INTO the bucket layout
     // (8 buckets on the join key, sorted within); after that, every
@@ -970,6 +1059,78 @@ object Lakehouse {
         .reduce(_ unionByName _)
     }),
 
+    // -- es22: MULTI-WRITER exactly-once streaming commit (es20 ∘ f22) ------
+    // two CONCURRENT streaming writers own disjoint partitions of one
+    // table; every micro-batch stages its parquet FIRST and then publishes
+    // through the OccLog CAS (put-if-absent manifest link). The CAS
+    // interleaving between the writers is nondeterministic, but every
+    // loser REBASEs (disjoint partitions), so: final version = 1 + total
+    // commits (no lost or duplicate commit), and each partition's entry is
+    // its writer's LAST batch — making the read-back content
+    // race-invariant, which is exactly what the closed-form oracle states.
+    // OccStreamSpec adds the kill-restart half (a batch retry republishes
+    // the same staged dir: one extra manifest version, identical content)
+    // and the latch-held race in both orders. Scale: commits are one link
+    // syscall on metadata; staged data files are never rewritten.
+    "es22_stream_occ_sink" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = s"${ioDir(d)}/stream_occ"
+      Events.rmTree(new java.io.File(root))
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      val t0 = System.currentTimeMillis()
+      // per-writer change-file sequences: batch i of partition p holds p's
+      // docs with doc_id % (i+2) == 0, tagged gen=i (batch 3 is final)
+      def seed(p: String): Unit = (0 until 4).foreach { i =>
+        val tmp = s"$root/_tmp_${p}_$i"
+        docs.filter(col("lang") === p && col("doc_id") % (i + 2) === 0)
+          .withColumn("gen", lit(i.toLong))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val inDir = new java.io.File(s"$root/changes_$p"); inDir.mkdirs()
+        val dst = new java.io.File(inDir, f"b$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(t0 + i * 2000L)
+        Events.rmTree(new java.io.File(tmp))
+      }
+      seed("en"); seed("de")
+      import graft.sources.OccLog
+      def stage(p: String, name: String, df: DataFrame): String = {
+        val dir = s"$root/data/$p/$name"
+        df.write.mode("overwrite").parquet(dir)
+        dir
+      }
+      OccLog.init(root, Map(
+        "en" -> stage("en", "v1", docs.filter(col("lang") === "en")
+          .withColumn("gen", lit(-1L))),
+        "de" -> stage("de", "v1", docs.filter(col("lang") === "de")
+          .withColumn("gen", lit(-1L)))))
+      def writer(p: String) = {
+        val sch = s.read.parquet(s"$root/changes_$p").schema
+        s.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/changes_$p")
+          .writeStream.option("checkpointLocation", s"$root/ckpt_$p")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            occCommitBatch(root, p, stage(p, s"b$id", b))
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+      }
+      val fin = Events.withStreamPartitions(s) {
+        val qEn = writer("en"); val qDe = writer("de")
+        qEn.awaitTermination(); qDe.awaitTermination()
+        OccLog.readLatest(root)
+      }
+      fin.entries.values.toSeq.sorted.map(s.read.parquet(_))
+        .reduce(_ unionByName _)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          max(col("gen")).as("gen"))
+        .withColumn("final_version", lit(fin.version.toLong))
+    }),
+
     // -- f17: dynamic partition overwrite (partition restatement) ----------
     // the daily-restatement move on a hive-layout table: one partition's
     // data is recomputed (here: the 'de' slice re-curated to drop sub-100
@@ -1232,6 +1393,29 @@ object Lakehouse {
     // the recompute-on-retract maintenance must reproduce. The max-delete
     // predicate (every bucket's max-value purchase row not already classed
     // delete/update) is closed-form on both sides.
+    // from-scratch x5-style HLL registers over the POST-state corpus
+    // (src7 purged, docs ending in 2 deleted, docs ending in 9 inserted —
+    // i.e. everything except src7 and %10==2 survives): exactly what the
+    // sketch-state maintenance must reproduce. No DISTINCT pass — MAX over
+    // rho is duplicate-insensitive.
+    "x17_hll_ivm_recompute" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents
+        |             WHERE source <> 'src7' AND doc_id % 10 <> 2),
+        |h AS (SELECT source, substring(md5(tok), 1, 2) AS bucket,
+        |             substring(md5(tok), 3, 8) AS w FROM tok),
+        |z AS (SELECT source, bucket, w, ltrim(w, '0') AS s FROM h),
+        |r AS (SELECT source, bucket,
+        |        CASE WHEN length(s) = 0 THEN 32
+        |             ELSE (length(w) - length(s)) * 4 +
+        |               CASE WHEN s[1] = '1' THEN 3
+        |                    WHEN s[1] IN ('2','3') THEN 2
+        |                    WHEN s[1] IN ('4','5','6','7') THEN 1
+        |                    ELSE 0 END
+        |        END + 1 AS rho
+        |      FROM z)
+        |SELECT source, bucket, CAST(MAX(rho) AS BIGINT) AS r
+        |FROM r GROUP BY source, bucket""".stripMargin,
     "x15_minmax_ivm_recompute" ->
       """WITH base AS (
         |  SELECT event_id, user_id, user_id % 8 AS bucket, event_type,
@@ -1307,6 +1491,14 @@ object Lakehouse {
         |  FROM u)
         |SELECT okey, status, CAST(price AS DOUBLE) AS price
         |FROM last WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    // race-invariant closed form: each partition's final entry is its
+    // writer's LAST batch (gen=3, doc_id % 5 = 0), and the version count
+    // is exact — 1 init + 8 CAS commits = 9, any interleaving
+    "es22_stream_occ_sink" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(3 AS BIGINT) AS gen, CAST(9 AS BIGINT) AS final_version
+        |FROM documents WHERE lang IN ('en', 'de') AND doc_id % 5 = 0
+        |GROUP BY lang""".stripMargin,
     // all four commits' change rows in CLOSED FORM: batch 1 updates from
     // base, batch 2 deletes (base pre-images) + re-updates (batch-1
     // pre-images), batch 3 resurrection-as-insert (the tombstone made the

@@ -172,7 +172,111 @@ object TextOps {
         .withColumn("repetitive", (col("ratio") < 0.35).cast("int"))
     }))
 
+  /** t36 BPE-training internals. A word's symbol sequence is encoded as a
+    * DOUBLE-space-delimited string (`"  l  o  w  "`): applying merge
+    * (A, B) is then a plain string `replace(" A  B ", " AB ")` whose
+    * left-to-right non-overlapping semantics (identical in Spark's
+    * UTF8String and DuckDB) are EXACTLY greedy BPE — the pattern consumes
+    * one of the two boundary spaces on each side, so adjacent occurrences
+    * in a run ("a a a a" -> "aa aa") still match, while symbol-prefix
+    * false positives ("a ab") cannot (the trailing space requires a full
+    * symbol boundary). Training state is the word-TYPE table (vocab-sized,
+    * persisted once — never the corpus), each iteration is one partial-agg
+    * pair count + a rank-1 TakeOrdered (no global sort) + one more codegen
+    * replace stacked on the state expression; only K merge rows ever reach
+    * the driver. At a production K (~30k) one would re-materialize the
+    * state every few hundred merges to bound the expression chain; at the
+    * gated K=8 the chain is the cheaper form. */
+  private[graft] def bpeState0(docs: DataFrame): DataFrame =
+    docs.select(explode(ws).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("st"),
+        col("f"))
+
+  /** Weighted adjacent-pair counts over the current symbol state: one
+    * map-side-combinable hash aggregate, pair displayed single-spaced. */
+  private[graft] def bpePairCounts(state: DataFrame): DataFrame =
+    state.select(split(col("st"), "  ").as("l"), col("f"))
+      // wrapped split yields '' sentinels at both ends: symbols live at
+      // 2..len-1, pairs at 2..len-2 — and the when() guard matters because
+      // Spark's sequence(2, 1) would count DOWN, not come back empty
+      .select(explode(when(size(col("l")) >= 4,
+        sequence(lit(2), size(col("l")) - 2))
+        .otherwise(array().cast("array<int>"))).as("i"), col("l"), col("f"))
+      .select(concat(element_at(col("l"), col("i")), lit(" "),
+        element_at(col("l"), col("i") + 1)).as("pair"), col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("n"))
+
+  /** Iterate K merges; ties broken (count desc, pair asc) in both engines. */
+  private[graft] def bpeTrain(docs: DataFrame, k: Int): Seq[(Int, String, Long)] = {
+    val s0 = bpeState0(docs)
+    s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cur = s0
+      val merges = Seq.newBuilder[(Int, String, Long)]
+      var step = 1
+      var dry = false
+      while (step <= k && !dry) {
+        val top = bpePairCounts(cur)
+          .orderBy(col("n").desc, col("pair")).limit(1).collect()
+        if (top.isEmpty) dry = true
+        else {
+          val pair = top.head.getString(0)
+          val n = top.head.getLong(1)
+          val Array(a, b) = pair.split(' ')
+          merges += ((step, pair, n))
+          cur = cur.select(
+            replace(col("st"), lit(s" $a  $b "), lit(s" $a$b ")).as("st"),
+            col("f"))
+          step += 1
+        }
+      }
+      merges.result()
+    } finally { s0.unpersist(); () }
+  }
+
+  /** The DuckDB twin is K generated chained CTEs — same encoding, same
+    * replace, same tie-break. */
+  private def bpeOracle(k: Int): String = {
+    val head =
+      """WITH wf AS (
+        |  SELECT w, COUNT(*) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE regexp_matches(w, '^[a-z]{2,}$') GROUP BY w),
+        |s0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS st, f FROM wf)""".stripMargin
+    val iters = (1 to k).map { i =>
+      val p = i - 1
+      s"""p$i AS (SELECT pair, SUM(f) AS n FROM (
+         |    SELECT l[i] || ' ' || l[i+1] AS pair, f
+         |    FROM (SELECT string_split(st, '  ') AS l, f,
+         |                 unnest(generate_series(2, len(string_split(st, '  ')) - 2)) AS i
+         |          FROM s$p)) GROUP BY pair),
+         |m$i AS (SELECT pair, n FROM p$i ORDER BY n DESC, pair LIMIT 1),
+         |s$i AS (SELECT replace(st, ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+         |                       ' ' || replace(pair, ' ', '') || ' ') AS st, f
+         |        FROM s$p, m$i)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    val tail = (1 to k)
+      .map(i => s"SELECT $i AS step, pair, CAST(n AS BIGINT) AS n FROM m$i")
+      .mkString(" UNION ALL ")
+    head + iters + tail
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- t36: iterated BPE training to a vocab budget ------------------------
+    // t26 proves ONE merge step; this is the tokenizer-training pipeline:
+    // K rank-1 merges, each a full pair-count aggregate over the (vocab-
+    // sized, persisted) word-type state + a codegen'd replace. The gated
+    // output is the merge LADDER itself — (step, pair, count) — i.e. the
+    // artifact a tokenizer ships. Spec-pinned against the classic
+    // low/lower/newest/widest hand example.
+    "t36_bpe_train" -> ((s, d) => {
+      val ladder = bpeTrain(documents(s, d), 8)
+      import s.implicits._
+      ladder.toDF("step", "pair", "n")
+    }),
+
     // -- token counting (whitespace + distinct + max token length) ---------
     "t1_token_stats" -> ((s, d) =>
       documents(s, d).select(
@@ -822,6 +926,7 @@ object TextOps {
     s"len(list_filter(string_split(text, ' '), w -> w IN (${set.map(w => s"'$w'").mkString(", ")}))) AS $name"
 
   def oracles: Map[String, String] = Map(
+    "t36_bpe_train" -> bpeOracle(8),
     // the decomposed suffix is restated codepoint-by-codepoint via chr():
     // 769=U+0301 combining acute, 778=U+030A ring above, 776=U+0308
     // diaeresis — byte-identical to the engine's escaped literal

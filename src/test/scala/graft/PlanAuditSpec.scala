@@ -71,6 +71,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("t36 BPE iteration: partial-agg pair count + rank-1 TakeOrdered, no global sort") {
+    // one training iteration = pair count (map-side combinable) + top-1
+    // selection. The selection must plan as TakeOrderedAndProject (a
+    // per-partition top-1 + driver-side merge of 1-row candidates), never
+    // a rangepartitioned global Sort — at a billion word types the sort
+    // would be the bottleneck of every one of the K iterations.
+    val docs = graft.Tables.documents(spark, sf)
+    val step = graft.operators.TextOps
+      .bpePairCounts(graft.operators.TextOps.bpeState0(docs))
+      .orderBy(org.apache.spark.sql.functions.col("n").desc,
+        org.apache.spark.sql.functions.col("pair"))
+      .limit(1)
+    val p = step.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("partial_"), s"pair count lost map-side combine:\n${p.take(2000)}")
+    assert(!p.contains("rangepartitioning"), s"global sort crept in:\n${p.take(2000)}")
+  }
+
   test("the big aggregations are partial (map-side combine before the shuffle)") {
     // A1 (k-mer count) and d1 (exact dedup) shuffle partial aggregates,
     // never raw rows — the difference between shuffling 16-byte partial
@@ -308,6 +326,43 @@ class PlanAuditSpec extends AnyFunSuite {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None) => s.conf.unset(k)
     }
+  }
+
+  test("x17 HLL-state recompute scans the post-state base ONLY semi-joined to hot registers") {
+    // sketch-state variant of the x15 seam: HLL registers are not
+    // invertible, so the hot-register recompute is the only base access —
+    // and it must sit under the LeftSemi broadcast guard with no
+    // Aggregate between the guard and the scan (MAX needs no distinct
+    // pass, so nothing may aggregate below the prune).
+    val p = plan("x17_hll_ivm_recompute")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+    val opt = SparkEntry.queries("x17_hll_ivm_recompute")(spark, sf)
+      .queryExecution.optimizedPlan
+    val postScans = opt.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if (r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.exists(_.toString.contains("x17_post"))
+          case _ => false
+        }) => r
+    }
+    assert(postScans.size == 1, s"expected 1 x17_post scan, got ${postScans.size}")
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    def guarded(n: LogicalPlan): Boolean = n match {
+      case j: Join if j.joinType.sql == "LEFT SEMI" &&
+          j.left.exists(_ eq postScans.head) =>
+        !j.left.exists {
+          case a: Aggregate => a.exists(_ eq postScans.head)
+          case _ => false
+        }
+      case l if l eq postScans.head => false
+      case other =>
+        other.children.filter(_.exists(_ eq postScans.head)).forall(guarded)
+    }
+    assert(guarded(opt),
+      "x17_post scan is reachable without the LeftSemi prune (or aggregates below it):\n" + opt)
   }
 
   test("x15 recompute-on-retract scans the post-state base ONLY semi-joined to hot keys") {

@@ -357,6 +357,46 @@ class LakehouseSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("x17 HLL-state IVM: view equals from-scratch registers; purge drops its source") {
+    // the sketch-state recompute-on-retract seam: the maintained register
+    // view must equal the from-scratch x5 registers of the post-state
+    // corpus, every purged-source register must be hot (its extremum was
+    // retracted by definition), the purged source must vanish from the
+    // view, and the cold fold path must be genuinely exercised.
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val (hotRegs, view) = graft.operators.Lakehouse.x17HllIvm(s, d)
+    val h = md5(col("tok").cast("binary"))
+    val scratch = graft.Tables.documents(s, d)
+      .filter(col("source") =!= "src7" && col("doc_id") % 10 =!= 2)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("source"), substring(h, 1, 2).as("bucket"),
+        (graft.operators.Sketches.leadingZeroBits(substring(h, 3, 8)) + 1).as("rho"))
+      .groupBy("source", "bucket").agg(max(col("rho")).cast("long").as("r"))
+    assert(canon(view) == canon(scratch),
+      "maintained HLL register view diverged from the from-scratch post-state registers")
+    val hot = hotRegs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def regKeys(src: String): Set[(String, String)] = graft.Tables.documents(s, d)
+      .filter(col("source") === src && col("doc_id") % 10 =!= 9)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("source"), substring(h, 1, 2).as("bucket")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val purgedRegs = regKeys("src7")
+    assert(purgedRegs.nonEmpty, "degenerate fixture: src7 has no registers")
+    assert(purgedRegs.subsetOf(hot),
+      s"purged-source registers missing from the hot set: ${purgedRegs -- hot}")
+    assert(view.filter(col("source") === "src7").count() == 0,
+      "purged source lingered in the maintained view")
+    // some stored registers stayed cold (fold path exercised) ...
+    val v0regs = s.read.parquet(s"${graft.Scratch.dir(d)}/x17_view")
+      .select("source", "bucket")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert((v0regs -- hot).nonEmpty, "every register went hot; no cold-fold coverage")
+    // ... and some NON-purged registers went hot (the tie-detection path
+    // fires on point deletes too, not only on the purge)
+    assert((hot -- purgedRegs).nonEmpty, "only the purge produced hot registers")
+  }
+
   test("es21 bucketed advance: a commit touching 1 bucket rewrites exactly 1 bucket") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("bukadv").toString

@@ -84,6 +84,30 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("t36: iterated BPE training reproduces the classic hand example") {
+    // Sennrich et al.'s corpus {low:5, lower:2, newest:6, widest:3}: the
+    // hand-derivable 8-merge ladder, including both tie-break sites
+    // (lo-vs-ow at 7, and e w < n e < w est at 6) and a RUN-adjacent merge
+    // (es then est inside the same words).
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text, "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.bpeTrain(docs, 8)
+    val expected = Seq(
+      (1, "e s", 9L), (2, "es t", 9L), (3, "l o", 7L), (4, "lo w", 7L),
+      (5, "e w", 6L), (6, "ew est", 6L), (7, "n ewest", 6L), (8, "d est", 3L))
+    assert(got == expected, got.toString)
+    // the doubled-space encoding handles runs: merging (a, a) inside
+    // "aaaa" must yield [aa, aa], not [aa, a, a] — greedy left-to-right.
+    // After merge 1 the pair 'aa a' occurs ONCE (in "aaa" only); the buggy
+    // [aa, a, a] split would count it twice and also leave an 'a a'.
+    val runDocs = Seq((1L, "aaaa aaa", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val run = TextOps.bpeTrain(runDocs, 2)
+    assert(run == Seq((1, "a a", 5L), (2, "aa a", 1L)), run.toString)
+  }
+
   test("s13: the JL sign projection preserves similarity structure") {
     // the sketch must be USEFUL, not just engine-exact: for planted
     // near-duplicate pairs the 16-dim sketch dot product has to rank the
