@@ -71,6 +71,38 @@ object GenomicsIO {
         Genomics.countCanonical(Fastq.guardReads(reads, minLen = 15), 15), 15)
     }),
 
+    // -- f24: the LITERAL `.4mc` input-codec path ---------------------------
+    // the reference's default input format, closed at the seam it actually
+    // uses: FASTQ text written as a block-LZ4 `.4mc` container (FourMc
+    // writer, 4 KiB blocks cut MID-LINE like the real codec) and read back
+    // through `Fastq.readLinesWithFormat` with the Hadoop input format
+    // class name — the exact call shape of the reference's
+    // `newAPIHadoopFile(..., FourMcTextInputFormat, ...)` decompresser
+    // (ReflexivDataFrameDecompresser.java:205). Sequence lines recovered
+    // by the P2 heuristic filter (the decompresser's own move), k-mer
+    // counted, and gated against the SAME g1 oracle — so container write,
+    // footer index, block checksums, and line reassembly across block
+    // boundaries are all on the hash. FourMcSpec adds the ≥3-way split
+    // grid and the straddling-line ownership proof.
+    "f24_fourmc_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val tmp = s"${ioDir(d)}/fastq_4mc"
+      val file = s"$tmp/reads.4mc"
+      val seqs = documents(s, d).select(Genomics.dna32(col("doc_id")).as("read"))
+      Fastq.toFastqLines(seqs).coalesce(1).foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          graft.sources.FourMc.writeFile(
+            new org.apache.hadoop.conf.Configuration(), file,
+            it.map(_.getString(0)), blockBytes = 4 * 1024)
+          ()
+      }
+      val lines = Fastq.readLinesWithFormat(
+        s, file, "graft.sources.FourMcTextInputFormat")
+      val reads = Fastq.filterSequenceLines(lines)
+      Genomics.decodeCounts(
+        Genomics.countCanonical(Fastq.guardReads(reads, minLen = 15), 15), 15)
+    }),
+
     // -- es12: the DSv2 connector's STREAMING path through the gate --------
     // sequencing-run ingestion: the machine drops FASTQ shards into a
     // directory and the pipeline tails it. Here the same 9000-read corpus
@@ -306,6 +338,8 @@ object GenomicsIO {
     // the DSv2 multi-split read must land the identical k-mer table
     "f11_fastq_dsv2" -> Genomics.oracles("g1_kmer_count"),
     "f21_blz4_container" -> Genomics.oracles("g1_kmer_count"),
+    // the literal `.4mc` codec path must land on the identical k-mer table
+    "f24_fourmc_roundtrip" -> Genomics.oracles("g1_kmer_count"),
     "es19_stream_blz4" -> Genomics.oracles("g1_kmer_count"),
     // the streaming WRITE side: manifest-gated re-ingest of the per-batch
     // compressed shards must reproduce the identical k-mer table
