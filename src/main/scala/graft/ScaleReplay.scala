@@ -33,11 +33,12 @@ object ScaleReplay {
     // accept BOTH `a b c` and `a,b,c` — every sibling main (Verify,
     // ClusterSmoke, Bench) takes comma lists, so this one must too
     val names = args.drop(2).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    val unknown = names.filterNot(SparkEntry.queries.contains)
+    val allQueries = SparkEntry.queries ++ SparkEntry.localQueries
+    val unknown = names.filterNot(allQueries.contains)
     if (unknown.nonEmpty) {
       System.err.println(
         s"unknown queries: ${unknown.mkString(", ")}\n" +
-          s"valid names: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+          s"valid names: ${allQueries.keys.toSeq.sorted.mkString(", ")}")
       sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -115,7 +116,7 @@ object ScaleReplay {
     var times = Vector.empty[(String, Double)]
     names.foreach { n =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, dir).write.mode("overwrite").format("noop").save()
+      allQueries(n)(spark, dir).write.mode("overwrite").format("noop").save()
       times :+= (n -> (System.nanoTime() - t0) / 1e9)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()

@@ -50,4 +50,60 @@ class AqeSkewSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("d19 hot-gram corpus: no stage collapses onto a single straggler task") {
+    // VERDICT r10 #9: ONE 40-gram repeated ~1e5 times is the adversary
+    // for substring dedup — if the cross-doc test shuffled raw hot-key
+    // rows (no map-side combine) or the hit semi-join shuffled the probe
+    // side on the gram, every hot row would land on one reducer task.
+    // Corpus: 64 docs each carrying the same 2000-char 'z' run (the one
+    // hot gram spread across docs, so per-doc windows stay uniform and
+    // any residual straggler can only come from gram-key concentration)
+    // plus filler. Pin: in every stage with real work, the slowest task
+    // stays within 4x the stage median.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("d19skew").toString
+    val docs = (0 until 64).map(i => (i.toLong, "z" * 2000, "en", s"src${i % 4}")) ++
+      (64 until 96).map(i => (i.toLong,
+        s"filler doc $i with ordinary words " + ("tok " * 50).trim, "en", "srcF"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val stageTasks =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.util.Vector[Long]]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        stageTasks.computeIfAbsent(te.stageId, _ => new java.util.Vector[Long]())
+          .add(te.taskInfo.duration)
+        ()
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    val result =
+      try {
+        val r = graft.operators.Dedup.queries("d19_substring_dedup")(s, dir)
+          .collect()
+        // let straggling TaskEnd events drain before reading the map
+        Thread.sleep(1500)
+        r
+      } finally s.sparkContext.removeSparkListener(listener)
+    // correctness on the skew corpus: every run doc is 100% duplicated
+    // (one island covering the whole doc), fillers too (identical texts)
+    val byDoc = result.map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    (0L until 64L).foreach { id =>
+      assert(byDoc(id) == ((1L, 2000L)), s"doc $id: ${byDoc.get(id)}")
+    }
+    // spread pin: stages with >= 4 tasks and a non-trivial slowest task
+    import scala.jdk.CollectionConverters._
+    val audited = stageTasks.asScala.toSeq.map { case (sid, v) =>
+      (sid, v.asScala.toSeq.sorted)
+    }.filter { case (_, ds) => ds.size >= 4 && ds.last >= 500 }
+    audited.foreach { case (sid, ds) =>
+      val median = math.max(ds(ds.size / 2), 125L) // noise floor
+      assert(ds.last <= 4 * median,
+        s"stage $sid single-task collapse: max ${ds.last} ms vs median $median ms " +
+          s"over ${ds.size} tasks")
+    }
+  }
 }

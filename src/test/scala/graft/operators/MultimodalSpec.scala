@@ -4,90 +4,112 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions.{col, length}
 import graft.TestSpark
 
-/** m6's stub pHash: locality-sensitivity is the property the banded
-  * pairing depends on — a small payload edit must flip only the bits of
-  * the touched blocks, so edited copies stay within the hamming<=3
-  * radius [[Dedup.simhashPairs]] is pigeonhole-complete for.
+/** The real-pixel image stack under m2/m3/m6:
+  *  - the PNG encoder round-trips pixel-exactly through javax.imageio AND
+  *    through an independent pure-JDK Inflater + scanline parse (two
+  *    decoders agreeing on every byte pins the encoder)
+  *  - the integer bilinear resampler is exact (identity at 1:1, hand
+  *    values at 2:1)
+  *  - dHash is locality-sensitive on true pixels: a small region edit
+  *    stays within the hamming ≤ 3 radius [[Dedup.simhashPairs]] is
+  *    pigeonhole-complete for, so every planted twin is recalled
   */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def phash(p: Array[Byte]): Long = {
-    val par = new Array[Long](60)
-    var i = 0
-    while (i < p.length) { par(i % 60) += p(i) & 0xffL; i += 1 }
-    var sig = 0L
-    var b = 0
-    while (b < 60) { if ((par(b) & 1L) == 1L) sig |= 1L << b; b += 1 }
-    sig
-  }
-
-  test("stub pHash flips exactly the bits of edited blocks") {
-    val rnd = new scala.util.Random(307L)
-    val base = Array.fill(300)((rnd.nextInt(26) + 'a').toByte)
-    val s0 = phash(base)
-    // single-byte parity-changing edit at position p flips bit p % 60 only
-    for (p <- Seq(0, 7, 59, 60, 299)) {
-      val e = base.clone(); e(p) = (e(p) + 1).toByte
-      assert((s0 ^ phash(e)) == (1L << (p % 60)), s"edit at $p")
+  /** Independent PNG decode: no ImageIO — raw Inflater + filter-0
+    * scanline parse. Any disagreement with [[Multimodal.decodePng]]
+    * means the encoder or the ImageIO usage is wrong. */
+  private def decodeIndependent(png: Array[Byte]): Array[Array[Int]] = {
+    def be(off: Int): Int =
+      ((png(off) & 0xff) << 24) | ((png(off + 1) & 0xff) << 16) |
+        ((png(off + 2) & 0xff) << 8) | (png(off + 3) & 0xff)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P')
+    var off = 8
+    var w = 0; var h = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    while (off < png.length) {
+      val len = be(off)
+      val tag = new String(png, off + 4, 4, "US-ASCII")
+      // CRC32 of tag+body must match the chunk trailer
+      val c = new java.util.zip.CRC32()
+      c.update(png, off + 4, 4 + len)
+      assert(c.getValue.toInt == be(off + 8 + len), s"chunk $tag crc")
+      tag match {
+        case "IHDR" =>
+          w = be(off + 8); h = be(off + 12)
+          assert(png(off + 16) == 8 && png(off + 17) == 2, "RGB8 expected")
+        case "IDAT" => idat.write(png, off + 8, len)
+        case _      => ()
+      }
+      off += 12 + len
     }
-    // a 3-byte edit in 3 distinct blocks stays within pairing radius
-    val e3 = base.clone()
-    Seq(1, 32, 63).foreach(p => e3(p) = (e3(p) + 1).toByte)
-    assert(java.lang.Long.bitCount(s0 ^ phash(e3)) == 3)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var done = 0
+    while (!inf.finished()) done += inf.inflate(raw, done, raw.length - done)
+    assert(done == raw.length, "short inflate")
+    inf.end()
+    Array.tabulate(h, w) { (y, x) =>
+      val o = y * (1 + 3 * w) + 1 + 3 * x
+      assert(raw(y * (1 + 3 * w)) == 0, "filter-0 expected")
+      ((raw(o) & 0xff) << 16) | ((raw(o + 1) & 0xff) << 8) | (raw(o + 2) & 0xff)
+    }
   }
 
-  test("m6 query plants one findable near-pair per doc") {
-    val got = Multimodal.queries("m6_phash_neardup")(
+  test("PNG encode round-trips pixel-exactly through ImageIO AND a raw inflate") {
+    for (id <- Seq(0L, 7L, 12345L)) {
+      val w = 16 + (id % 17).toInt; val h = 12 + (id % 13).toInt
+      val png = Multimodal.pngRgb(w, h, (x, y) => Multimodal.pixel(id, 0, x, y, w, h))
+      val expected = Array.tabulate(h, w)((y, x) => Multimodal.pixel(id, 0, x, y, w, h))
+      val viaImageIO = Multimodal.decodePng(png)
+      val viaInflate = decodeIndependent(png)
+      assert(viaImageIO.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq,
+        s"ImageIO decode diverged for id=$id")
+      assert(viaInflate.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq,
+        s"independent decode diverged for id=$id")
+    }
+  }
+
+  test("integer bilinear: identity at 1:1, exact quarter-points at 2:1") {
+    val src = Array(Array(0, 100, 200, 300), Array(40, 140, 240, 340),
+      Array(80, 180, 280, 380), Array(120, 220, 320, 420))
+    assert(Multimodal.bilinear(src, 4, 4).map(_.toSeq).toSeq ==
+      src.map(_.toSeq).toSeq, "1:1 resample must be the identity")
+    // 2:1 half-pixel centers land at source x = 0.5, 2.5 (fx = 128):
+    // out(0)(0) = avg of the 2x2 block = (0+100+40+140)/4 = 70
+    val half = Multimodal.bilinear(src, 2, 2)
+    assert(half(0)(0) == 70 && half(0)(1) == 270 &&
+      half(1)(0) == 150 && half(1)(1) == 350, half.map(_.toSeq).toSeq.toString)
+  }
+
+  test("dHash locality: the m6 region edit stays inside the pairing radius") {
+    for (id <- 0L until 50L) {
+      def img(edit: Boolean) = Multimodal.decodePng(
+        Multimodal.pngRgb(32, 24, { (x, y) =>
+          val v = Multimodal.pixel(id, 0, x, y, 32, 24)
+          if (edit && x >= 12 && x < 16 && y >= 8 && y < 12)
+            (v & 0xffff00) | math.min(255, (v & 0xff) + 6)
+          else v
+        }))
+      val ham = java.lang.Long.bitCount(
+        Multimodal.dhash60(img(edit = false)) ^ Multimodal.dhash60(img(edit = true)))
+      assert(ham <= 3, s"id=$id edited twin drifted to hamming $ham")
+    }
+  }
+
+  test("m6 recalls every planted twin and nothing else at sf0.001") {
+    val got = Multimodal.localQueries("m6_phash_neardup")(
       spark, "/root/testdata/sf0.001")
     import spark.implicits._
     val pairs = got.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val nDocs = 500
-    // every planted (doc, doc + 400000) copy must be recovered
     (0L until nDocs.toLong).foreach { id =>
       assert(pairs.contains((id, id + 400000)), s"planted pair $id missing")
     }
-  }
-
-  test("m2/m3 slice PAYLOAD BYTES, not characters (multibyte contract)") {
-    // the SQL oracle can only state char ops, so it carries an
-    // ASCII-payload contract for these stubs (see Multimodal.oracles);
-    // this spec pins the BYTE semantics the engine actually has, on
-    // multibyte utf-8 the oracle cannot express: a 3-bytes-per-char CJK
-    // text slices mid-codepoint and the results are functions of the
-    // utf-8 byte array alone.
-    import spark.implicits._
-    import org.apache.spark.sql.functions.{col, length => slen}
-    val text = "\u667a\u80fd \u6570\u636e \u5904\u7406 \u5f15\u64ce \u89c4\u6a21 \u6d4b\u8bd5" // 17 chars, 41 utf-8 bytes
-    val bytes = text.getBytes("UTF-8")
-    assert(text.length == 17 && bytes.length == 41)
-    val dir = java.nio.file.Files.createTempDirectory("mbyte").toString
-    Seq((1L, text, "zh", "s"))
-      .toDF("doc_id", "text", "lang", "source")
-      .withColumn("n_chars", slen(col("text")).cast("long"))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    // m1: n_bytes and fake dims derive from the 41 BYTES, not 17 chars
-    val m1 = Multimodal.queries("m1_media_meta")(spark, dir)
-      .as[(Long, Long, String, Long, Long)].collect().head
-    assert(m1._2 == 41L && m1._4 == 41L % 640 && m1._5 == (41L * 31) % 480)
-    // m3: every-2nd-BYTE downsample -> 21 bytes, md5 of the raw byte
-    // subsequence (NOT valid utf-8 -> inexpressible as a SQL string)
-    val expect = {
-      val out = Array.tabulate((bytes.length + 1) / 2)(i => bytes(2 * i))
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(out).map("%02x".format(_)).mkString
-    }
-    val m3 = Multimodal.queries("m3_resize")(spark, dir)
-      .as[(Long, Long, String)].collect().head
-    assert(m3._2 == 21L && m3._3 == expect)
-    // m2: 41 bytes -> 2 full 16-byte frames, frame 0 sampled; its md5 is
-    // the hash of bytes [0,16) which split the 6th codepoint in half
-    val m2 = Multimodal.queries("m2_frame_sample")(spark, dir)
-      .as[(Long, Long, String)].collect()
-    val f0 = java.security.MessageDigest.getInstance("MD5")
-      .digest(java.util.Arrays.copyOfRange(bytes, 0, 16))
-      .map("%02x".format(_)).mkString
-    assert(m2.length == 1 && m2.head._2 == 0L && m2.head._3 == f0)
+    // per-doc hash-noise green keeps accidental cross-doc pairs at zero
+    assert(pairs.size == nDocs, s"unexpected extra pairs: ${pairs.size - nDocs}")
   }
 
   test("m7: every verdict class fires on its planted row, with precedence") {

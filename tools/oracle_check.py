@@ -57,9 +57,153 @@ def t20_oracle(con, sf_dir):
         "doc_id", "n_bytes", "n_compressed", "ratio", "repetitive"])
 
 
+# ---- real-pixel image references (m2/m3/m6) --------------------------------
+# The engine synthesizes real PNGs, decodes them with javax.imageio, and
+# does integer pixel math; the reference here re-derives the SAME pixels
+# through an independent pure-Python PNG cycle — encode the formula pixels
+# as a filter-0 RGB8 PNG, zlib-inflate the IDAT back, parse scanlines —
+# then runs identical integer resample/luma/dHash math. A defect in the
+# engine's PNG encoder, ImageIO usage, resampler, or hash mismatches here.
+
+def _px(id_, frame, x, y, w, h):
+    r = x * 255 // (w - 1)
+    b = y * 255 // (h - 1)
+    # linear combine then square mod prime (matches the engine exactly;
+    # an xor-separable hash would preserve orderings across ids)
+    m = ((id_ + 1) * 1000003 + frame * 8191 + x * 131 + y) % 67867967
+    g = (m * m % 16777213) % 256
+    return (r, g, b)
+
+
+def _png_cycle(w, h, px):
+    """pixels -> filter-0 RGB8 PNG scanlines -> zlib deflate -> inflate ->
+    unfilter: the decoded matrix the engine must also land on (PNG is
+    lossless)."""
+    import zlib
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        for x in range(w):
+            raw.extend(px(x, y))
+    dec = zlib.decompress(zlib.compress(bytes(raw)))
+    stride = 1 + 3 * w
+    img = []
+    for y in range(h):
+        o = y * stride
+        assert dec[o] == 0, "unexpected scanline filter"
+        img.append([(dec[o + 1 + 3 * x], dec[o + 2 + 3 * x], dec[o + 3 + 3 * x])
+                    for x in range(w)])
+    return img
+
+
+def _bilinear(src, tw, th):
+    h, w = len(src), len(src[0])
+    out = []
+    for ti in range(th):
+        y_f = ((2 * ti + 1) * h - th) * 128 // th
+        y0, fy = y_f >> 8, y_f & 255
+        y1 = min(y0 + 1, h - 1)
+        row = []
+        for tj in range(tw):
+            x_f = ((2 * tj + 1) * w - tw) * 128 // tw
+            x0, fx = x_f >> 8, x_f & 255
+            x1 = min(x0 + 1, w - 1)
+            row.append(((256 - fx) * (256 - fy) * src[y0][x0] +
+                        fx * (256 - fy) * src[y0][x1] +
+                        (256 - fx) * fy * src[y1][x0] +
+                        fx * fy * src[y1][x1]) >> 16)
+        out.append(row)
+    return out
+
+
+def _luma(p):
+    return (p[0] * 299 + p[1] * 587 + p[2] * 114) // 1000
+
+
+def _doc_ids(con, sf_dir):
+    return [r[0] for r in con.execute(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()]
+
+
+def m3_oracle(con, sf_dir):
+    import hashlib
+    rows = []
+    for id_ in _doc_ids(con, sf_dir):
+        w, h = 16 + id_ % 17, 12 + id_ % 13
+        img = _png_cycle(w, h, lambda x, y: _px(id_, 0, x, y, w, h))
+        rs = [_bilinear([[p[c] for p in row] for row in img], 8, 8)
+              for c in range(3)]
+        data = bytes(rs[c][y][x] for y in range(8) for x in range(8)
+                     for c in range(3))
+        mean = sum(_luma((rs[0][y][x], rs[1][y][x], rs[2][y][x]))
+                   for y in range(8) for x in range(8)) // 64
+        rows.append((id_, w, h, hashlib.md5(data).hexdigest(), mean))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "w", "h", "resized_md5", "mean_luma"])
+
+
+def m2_oracle(con, sf_dir):
+    import hashlib
+    rows = []
+    for id_ in _doc_ids(con, sf_dir):
+        for f in (0, 4):
+            img = _png_cycle(16, 12, lambda x, y: _px(id_, f, x, y, 16, 12))
+            lum = [[_luma(p) for p in row] for row in img]
+            flat = bytes(v for row in lum for v in row)
+            rows.append((id_, f, sum(sum(r) for r in lum) // (16 * 12),
+                         hashlib.md5(flat).hexdigest()))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "frame_idx", "mean_luma", "luma_md5"])
+
+
+def _dhash60(img):
+    g = _bilinear([[_luma(p) for p in row] for row in img], 11, 6)
+    sig = 0
+    for y in range(6):
+        for x in range(10):
+            if g[y][x + 1] > g[y][x]:
+                sig |= 1 << (y * 10 + x)
+    return sig
+
+
+def m6_oracle(con, sf_dir):
+    sigs = {}
+    for id_ in _doc_ids(con, sf_dir):
+        def px(x, y, edit):
+            r, g, b = _px(id_, 0, x, y, 32, 24)
+            if edit and 12 <= x < 16 and 8 <= y < 12:
+                b = min(255, b + 6)
+            return (r, g, b)
+        sigs[id_] = _dhash60(_png_cycle(32, 24, lambda x, y: px(x, y, False)))
+        sigs[id_ + 400000] = _dhash60(
+            _png_cycle(32, 24, lambda x, y: px(x, y, True)))
+    buckets = {}
+    for id_, s in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, (s >> (15 * b)) & 32767), []).append(id_)
+    pairs = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        ham = bin(sigs[a] ^ sigs[b]).count("1")
+        if ham <= 3:
+            rows.append((a, b, ham))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+
+
 # queries whose reference is not expressible in DuckDB SQL: computed in
 # Python instead, hash-compared exactly like the SQL oracles
-PY_ORACLES = {"t20_compress_ratio": t20_oracle}
+PY_ORACLES = {
+    "t20_compress_ratio": t20_oracle,
+    "m2_frame_sample": m2_oracle,
+    "m3_resize": m3_oracle,
+    "m6_phash_neardup": m6_oracle,
+}
 
 
 def main():

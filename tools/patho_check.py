@@ -7,10 +7,10 @@ cross-engine seam the benign driver testdata cannot surface.
 
 Usage: python3 tools/patho_check.py [base_sf_dir]   (default sf0.001)
 
-Byte-slicing stub queries (m2 frame sampling, m3 resize, m6 pHash) are
-excluded: they slice RAW utf-8 bytes — possibly mid-codepoint — which no
-DuckDB string op can express, so their oracles carry a documented
-ASCII-payload contract instead (see Multimodal.oracles).
+Nothing is skipped: the former byte-slicing stubs (m2/m3/m6) are real
+PNG-pixel ops as of round 11, gated in the local surface against pure-
+Python references that are text-independent — every declared query runs
+on every pathological corpus.
 """
 import shutil
 import subprocess
@@ -19,7 +19,7 @@ import tempfile
 from pathlib import Path
 
 BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-SKIP = {"m2_frame_sample", "m3_resize", "m6_phash_neardup"}
+SKIP = set()
 # --seed N swaps the hand-crafted documents for a seeded RANDOM corpus
 # (mixed-script alphabet, 0-200-token docs, planted dup pairs) — the
 # probabilistic complement to the crafted edge cases.
@@ -101,6 +101,14 @@ def build_corpus(out_dir: Path) -> None:
         else:
             uniq = " ".join(f"u{i}t{j}" for j in range(32))
             add(i, uniq, "en", "srcUniq")
+    # d19/d21 skew adversary (VERDICT r10 #9): ONE 40-gram ('z'*40) occurs
+    # ~5e4 times in EACH of two docs — a single hot gram key of ~1e5 rows
+    # through the cross-doc partial agg and the hit semi-join, and both
+    # docs must come back 100% duplicated (every position a hit, one
+    # island, dup_chars = full length). AqeSkewSpec pins the task-time
+    # spread on the same shape.
+    add(70, "z" * 50000)
+    add(71, "z" * 50000)
     tbl = pa.table({
         "doc_id": pa.array([d[0] for d in docs], pa.int64()),
         "text": pa.array([d[1] for d in docs], pa.string()),
