@@ -258,7 +258,93 @@ object Multimodal {
     * batch pipeline (one codec instance per batch, payloads never leave
     * the executor) — at 100 TB the decode is embarrassingly parallel and
     * the only shuffle anywhere is m6's banded candidate join. */
+  // ---------------------- real-audio engine (round 11) --------------------
+
+  /** Deterministic integer triangle wave in [-1000, 1000] — exact in any
+    * integer language (the audio analogue of [[pixel]]). */
+  private[graft] def tri(n: Int, p: Int): Int =
+    math.abs((n % p) * 4000 / p - 2000) - 1000
+
+  /** Per-doc PCM samples: two mixed triangle tones whose periods derive
+    * from the doc id. Fits int16 with headroom. */
+  private[graft] def pcm(id: Long, n: Int): Array[Int] = {
+    val p1 = 20 + (id % 11).toInt
+    val p2 = 50 + (id % 7).toInt
+    Array.tabulate(n)(i => tri(i, p1) * 8 + tri(i, p2) * 5)
+  }
+
+  /** Minimal canonical WAV encoder: RIFF/WAVE, PCM fmt chunk (mono,
+    * 16-bit little-endian), one data chunk. */
+  private[graft] def wavPcm16(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => out.putShort(s.toShort))
+    out.array()
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (the JDK's audio codec
+    * layer — the ImageIO of this path): returns (sampleRate, samples). */
+  private[graft] def decodeWav(wav: Array[Byte]): (Int, Array[Int]) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"unexpected decoded format: $fmt")
+    val bytes = in.readAllBytes()
+    in.close()
+    val samples = Array.tabulate(bytes.length / 2)(i =>
+      ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt)
+    (fmt.getSampleRate.toInt, samples)
+  }
+
+  /** Integer floor sqrt (exact in any language). */
+  private[graft] def isqrt(v: Long): Long = {
+    require(v >= 0)
+    var r = math.sqrt(v.toDouble).toLong
+    while (r * r > v) r -= 1
+    while ((r + 1) * (r + 1) <= v) r += 1
+    r
+  }
+
   def localQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- m8: REAL audio decode + integer DSP features -------------------------
+    // the audio leg of the modality triad, real end to end: per doc a
+    // genuine PCM WAV (deterministic two-tone triangle mix), decoded with
+    // javax.sound.sampled (the JDK audio codec layer), then integer-exact
+    // features — peak amplitude, floor-sqrt RMS, zero-crossing count —
+    // the trio an audio curator filters on (silence/clipping/noise
+    // screens). The Python reference builds and re-parses its own WAV
+    // (header + LE int16 data), so the engine's encoder, AudioSystem
+    // usage, and DSP must agree with an independent implementation.
+    // Partition-wise batch decode; nothing but (doc_id, 4 longs) leaves
+    // the executor.
+    "m8_audio_features" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 800 + (id % 5).toInt * 160
+          val wav = wavPcm16(pcm(id, n), 8000)
+          val (sr, samples) = decodeWav(wav)
+          val peak = samples.map(v => math.abs(v).toLong).max
+          val rms = isqrt(samples.map(v => v.toLong * v).sum / samples.length)
+          var zcr = 0L
+          var i = 1
+          while (i < samples.length) {
+            if ((samples(i) >= 0) != (samples(i - 1) >= 0)) zcr += 1
+            i += 1
+          }
+          (id, sr.toLong, samples.length.toLong, peak, rms, zcr)
+        })
+        .toDF("doc_id", "sample_rate", "n_samples", "peak", "rms", "zcr")
+    }),
     // -- m3: REAL image resize ----------------------------------------------
     // per doc: a w×h PNG (dims vary per doc), ImageIO decode, integer
     // bilinear to 8×8 RGB; output pins the resized pixel bytes (md5) and

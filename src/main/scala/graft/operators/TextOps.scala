@@ -195,17 +195,21 @@ object TextOps {
         col("f"))
 
   /** Weighted adjacent-pair counts over the current symbol state: one
-    * map-side-combinable hash aggregate, pair displayed single-spaced. */
+    * map-side-combinable hash aggregate, pair displayed single-spaced.
+    * The pair ARRAY is built inside one transform() per word and only the
+    * pairs explode — exploding an index and carrying the symbol list per
+    * row would duplicate the whole list O(len) times, which on a single
+    * 40k-char repeat-run word is a multi-GB row blowup (the patho corpus
+    * catches it; DuckDB's oracle needs the same discipline). */
   private[graft] def bpePairCounts(state: DataFrame): DataFrame =
     state.select(split(col("st"), "  ").as("l"), col("f"))
       // wrapped split yields '' sentinels at both ends: symbols live at
       // 2..len-1, pairs at 2..len-2 — and the when() guard matters because
       // Spark's sequence(2, 1) would count DOWN, not come back empty
       .select(explode(when(size(col("l")) >= 4,
-        sequence(lit(2), size(col("l")) - 2))
-        .otherwise(array().cast("array<int>"))).as("i"), col("l"), col("f"))
-      .select(concat(element_at(col("l"), col("i")), lit(" "),
-        element_at(col("l"), col("i") + 1)).as("pair"), col("f"))
+        expr("transform(sequence(2, size(l) - 2), " +
+          "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+        .otherwise(array().cast("array<string>"))).as("pair"), col("f"))
       .groupBy("pair").agg(sum(col("f")).as("n"))
 
   /** Iterate K merges; ties broken (count desc, pair asc) in both engines. */
@@ -237,23 +241,30 @@ object TextOps {
   }
 
   /** The DuckDB twin is K generated chained CTEs — same encoding, same
-    * replace, same tie-break. */
+    * replace, same tie-break. Pair extraction mirrors the engine's
+    * discipline: build the pair LIST once per word inside list_transform
+    * and unnest only that (unnesting an index while re-slicing the symbol
+    * list per row duplicates the list O(len) times — tens of GB on the
+    * patho corpus's 40k-char repeat-run word). State CTEs are MATERIALIZED
+    * (each is referenced twice; inlining would re-evaluate the whole
+    * chain exponentially). */
   private def bpeOracle(k: Int): String = {
     val head =
-      """WITH wf AS (
+      """WITH wf AS MATERIALIZED (
         |  SELECT w, COUNT(*) AS f
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
         |  WHERE regexp_matches(w, '^[a-z]{2,}$') GROUP BY w),
-        |s0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS st, f FROM wf)""".stripMargin
+        |s0 AS MATERIALIZED (SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS st, f FROM wf)""".stripMargin
     val iters = (1 to k).map { i =>
       val p = i - 1
       s"""p$i AS (SELECT pair, SUM(f) AS n FROM (
-         |    SELECT l[i] || ' ' || l[i+1] AS pair, f
-         |    FROM (SELECT string_split(st, '  ') AS l, f,
-         |                 unnest(generate_series(2, len(string_split(st, '  ')) - 2)) AS i
-         |          FROM s$p)) GROUP BY pair),
-         |m$i AS (SELECT pair, n FROM p$i ORDER BY n DESC, pair LIMIT 1),
-         |s$i AS (SELECT replace(st, ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+         |    SELECT unnest(list_transform(
+         |             generate_series(2, len(l) - 2),
+         |             i -> l[i] || ' ' || l[i+1])) AS pair, f
+         |    FROM (SELECT string_split(st, '  ') AS l, f FROM s$p)
+         |    WHERE len(l) >= 4) GROUP BY pair),
+         |m$i AS MATERIALIZED (SELECT pair, n FROM p$i ORDER BY n DESC, pair LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT replace(st, ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
          |                       ' ' || replace(pair, ' ', '') || ' ') AS st, f
          |        FROM s$p, m$i)""".stripMargin
     }.mkString(",\n", ",\n", "\n")

@@ -112,6 +112,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.size == nDocs, s"unexpected extra pairs: ${pairs.size - nDocs}")
   }
 
+  test("m8 WAV cycle: AudioSystem decodes the synthesized PCM bit-exactly") {
+    for (id <- Seq(0L, 3L, 1234L)) {
+      val n = 800 + (id % 5).toInt * 160
+      val samples = Multimodal.pcm(id, n)
+      val (sr, dec) = Multimodal.decodeWav(Multimodal.wavPcm16(samples, 8000))
+      assert(sr == 8000, s"decoded rate $sr")
+      assert(dec.toSeq == samples.toSeq, s"id=$id decode diverged")
+    }
+    // floor-sqrt boundary exactness (the one place a float sqrt could
+    // round differently from Python's math.isqrt)
+    assert(Multimodal.isqrt(0) == 0 && Multimodal.isqrt(15) == 3 &&
+      Multimodal.isqrt(16) == 4 && Multimodal.isqrt(((1L << 31) - 1) * ((1L << 31) - 1)) == (1L << 31) - 1)
+  }
+
   test("m7: every verdict class fires on its planted row, with precedence") {
     val s = spark
     import s.implicits._

@@ -196,6 +196,40 @@ def m6_oracle(con, sf_dir):
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
 
 
+def _tri(n, p):
+    return abs((n % p) * 4000 // p - 2000) - 1000
+
+
+def m8_oracle(con, sf_dir):
+    """Audio reference: synthesize the same two-tone PCM, run it through
+    an independent WAV encode + header-parse decode cycle, then the same
+    integer DSP (peak, floor-sqrt RMS, zero crossings)."""
+    import math
+    import struct
+    rows = []
+    for id_ in _doc_ids(con, sf_dir):
+        n = 800 + (id_ % 5) * 160
+        p1, p2 = 20 + id_ % 11, 50 + id_ % 7
+        samples = [_tri(i, p1) * 8 + _tri(i, p2) * 5 for i in range(n)]
+        # WAV cycle: canonical RIFF encode, then re-parse header + LE int16
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE" +
+               b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16) +
+               b"data" + struct.pack("<I", len(data)) + data)
+        assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+        (sr,) = struct.unpack_from("<I", wav, 24)
+        (dlen,) = struct.unpack_from("<I", wav, 40)
+        dec = list(struct.unpack_from(f"<{dlen // 2}h", wav, 44))
+        assert dec == samples
+        peak = max(abs(v) for v in dec)
+        rms = math.isqrt(sum(v * v for v in dec) // len(dec))
+        zcr = sum(1 for i in range(1, len(dec))
+                  if (dec[i] >= 0) != (dec[i - 1] >= 0))
+        rows.append((id_, sr, len(dec), peak, rms, zcr))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "sample_rate", "n_samples", "peak", "rms", "zcr"])
+
+
 # queries whose reference is not expressible in DuckDB SQL: computed in
 # Python instead, hash-compared exactly like the SQL oracles
 PY_ORACLES = {
@@ -203,6 +237,7 @@ PY_ORACLES = {
     "m2_frame_sample": m2_oracle,
     "m3_resize": m3_oracle,
     "m6_phash_neardup": m6_oracle,
+    "m8_audio_features": m8_oracle,
 }
 
 
