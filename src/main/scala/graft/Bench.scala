@@ -117,7 +117,12 @@ object Bench {
       r
     }
     selected.foreach { case (name, fn) =>
-      timed(name, fn).foreach(t => times :+= (name -> t))
+      // stderr progress (stdout stays the contract's single JSON line):
+      // a multi-pass full-set run is tens of minutes — make it observable
+      timed(name, fn).foreach { t =>
+        times :+= (name -> t)
+        System.err.println(f"[bench] $name%-28s ${t}%8.2f s")
+      }
     }
     // Noise mitigation: this host's throughput swings in tens-of-seconds
     // phases (the same query measures 2.9 s or 14.5 s with identical code
