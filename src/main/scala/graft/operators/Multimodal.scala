@@ -407,6 +407,54 @@ object Multimodal {
         .toDF("doc_id", "frame_idx", "mean_luma", "luma_md5")
     }),
 
+    // -- m9: REAL scene-cut detection (temporal frame differencing) ----------
+    // the video-curation primitive behind keyframe extraction and frame
+    // dedup: decode CONSECUTIVE frames of each container and threshold
+    // the summed absolute luma difference. Each doc's 8-frame container
+    // holds three scenes with doc-dependent cut positions; frames within
+    // a scene differ only by a 1-luma corner jitter (so the differencing
+    // is exercised against near-identical REAL decodes, not byte-equal
+    // shortcuts), frames across scenes re-texture the whole plane. The
+    // integer threshold has >1000x margin on both sides, so engines can
+    // never disagree on a boundary. Scale: per-doc pairwise decode,
+    // embarrassingly parallel; only (doc, frame, long, int) rows move.
+    "m9_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val cut1 = 2 + (id % 3).toInt // first frame of scene 1
+          val cut2 = 5 + (id % 2).toInt // first frame of scene 2
+          def scene(f: Int) = if (f < cut1) 0 else if (f < cut2) 1 else 2
+          val frames = Array.tabulate(8) { f =>
+            pngRgb(16, 12, { (x, y) =>
+              val v = pixel(id, scene(f), x, y, 16, 12)
+              if (x == 0 && y == 0) // within-scene jitter: one corner px
+                (v & 0xffff00) | math.min(255, (v & 0xff) + (f % 2))
+              else v
+            })
+          }
+          val offsets = frames.scanLeft(0)(_ + _.length)
+          val payload = Array.concat(frames.toIndexedSeq: _*)
+          val lum = (0 until 8).map { f =>
+            decodePng(java.util.Arrays.copyOfRange(
+              payload, offsets(f), offsets(f + 1))).map(_.map(luma))
+          }
+          (1 until 8).iterator.map { f =>
+            var diff = 0L
+            var y = 0
+            while (y < 12) {
+              var x = 0
+              while (x < 16) {
+                diff += math.abs(lum(f)(y)(x) - lum(f - 1)(y)(x)); x += 1
+              }
+              y += 1
+            }
+            (id, f.toLong, diff, if (diff >= 1000L) 1 else 0)
+          }
+        })
+        .toDF("doc_id", "frame_idx", "diff_sum", "is_cut")
+    }),
+
     // -- m6: REAL perceptual-hash near-duplicate pairing ---------------------
     // image near-dup at corpus scale: every doc is a 32×24 PNG; its
     // planted twin re-encodes the same image with a small brightness edit

@@ -191,7 +191,8 @@ object TextOps {
     docs.select(explode(ws).as("w"))
       .filter(col("w").rlike("^[a-z]{2,}$"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("st"),
+      .select(col("w"),
+        concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("st"),
         col("f"))
 
   /** Weighted adjacent-pair counts over the current symbol state: one
@@ -254,7 +255,7 @@ object TextOps {
         |  SELECT w, COUNT(*) AS f
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
         |  WHERE regexp_matches(w, '^[a-z]{2,}$') GROUP BY w),
-        |s0 AS MATERIALIZED (SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS st, f FROM wf)""".stripMargin
+        |s0 AS MATERIALIZED (SELECT w, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS st, f FROM wf)""".stripMargin
     val iters = (1 to k).map { i =>
       val p = i - 1
       s"""p$i AS (SELECT pair, SUM(f) AS n FROM (
@@ -264,7 +265,7 @@ object TextOps {
          |    FROM (SELECT string_split(st, '  ') AS l, f FROM s$p)
          |    WHERE len(l) >= 4) GROUP BY pair),
          |m$i AS MATERIALIZED (SELECT pair, n FROM p$i ORDER BY n DESC, pair LIMIT 1),
-         |s$i AS MATERIALIZED (SELECT replace(st, ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+         |s$i AS MATERIALIZED (SELECT w, replace(st, ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
          |                       ' ' || replace(pair, ' ', '') || ' ') AS st, f
          |        FROM s$p, m$i)""".stripMargin
     }.mkString(",\n", ",\n", "\n")
@@ -272,6 +273,16 @@ object TextOps {
       .map(i => s"SELECT $i AS step, pair, CAST(n AS BIGINT) AS n FROM m$i")
       .mkString(" UNION ALL ")
     head + iters + tail
+  }
+
+  /** t37's twin: the SAME K-merge chain, but the answer is the ENCODED
+    * word table after the final merge (token count per word type). */
+  private def bpeEncodeOracle(k: Int): String = {
+    val ladder = bpeOracle(k)
+    val chain = ladder.substring(0, ladder.lastIndexOf("\nSELECT 1 AS step"))
+    chain +
+      s"\nSELECT w, f, CAST(len(string_split(st, '  ')) - 2 AS BIGINT) AS n_tokens," +
+      s" CAST(length(w) AS BIGINT) AS n_chars FROM s$k"
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -286,6 +297,27 @@ object TextOps {
       val ladder = bpeTrain(documents(s, d), 8)
       import s.implicits._
       ladder.toDF("step", "pair", "n")
+    }),
+
+    // -- t37: tokenizer APPLY — encode the corpus with t36's merges ----------
+    // the other half of the train→apply loop: the K learned merges are a
+    // tiny driver-side table (what a tokenizer ships); applying them is a
+    // chain of K codegen'd replaces over the word-TYPE table — no
+    // re-aggregation, no shuffle beyond the vocab groupBy, and the
+    // per-word token count is the fertility statistic tokenizer evals
+    // report. The twin replays the identical chain in SQL and reads the
+    // encoded table after the final merge.
+    "t37_bpe_encode" -> ((s, d) => {
+      val docs = documents(s, d)
+      val merges = bpeTrain(docs, 8)
+      val encoded = merges.foldLeft(bpeState0(docs)) { case (df, (_, pair, _)) =>
+        val Array(a, b) = pair.split(' ')
+        df.withColumn("st",
+          replace(col("st"), lit(s" $a  $b "), lit(s" $a$b ")))
+      }
+      encoded.select(col("w"), col("f"),
+        (size(split(col("st"), "  ")) - 2).cast("long").as("n_tokens"),
+        length(col("w")).cast("long").as("n_chars"))
     }),
 
     // -- token counting (whitespace + distinct + max token length) ---------
@@ -938,6 +970,7 @@ object TextOps {
 
   def oracles: Map[String, String] = Map(
     "t36_bpe_train" -> bpeOracle(8),
+    "t37_bpe_encode" -> bpeEncodeOracle(8),
     // the decomposed suffix is restated codepoint-by-codepoint via chr():
     // 769=U+0301 combining acute, 778=U+030A ring above, 776=U+0308
     // diaeresis — byte-identical to the engine's escaped literal

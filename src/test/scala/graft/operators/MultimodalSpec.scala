@@ -126,6 +126,25 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.isqrt(16) == 4 && Multimodal.isqrt(((1L << 31) - 1) * ((1L << 31) - 1)) == (1L << 31) - 1)
   }
 
+  test("m9 finds exactly the planted scene boundaries with wide margin") {
+    val got = Multimodal.localQueries("m9_scene_cuts")(
+      spark, "/root/testdata/sf0.001")
+    import spark.implicits._
+    val rows = got.as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1)
+    rows.foreach { case (id, fs) =>
+      val cuts = fs.filter(_._4 == 1).map(_._2).toSet
+      assert(cuts == Set(2L + id % 3, 5L + id % 2), s"doc $id cuts $cuts")
+      // within-scene diffs are the 1-luma corner jitter at most; cross-
+      // scene re-textures the whole plane — no boundary ambiguity
+      fs.foreach { case (_, f, diff, isCut) =>
+        if (isCut == 1) assert(diff >= 1000, s"doc $id frame $f weak cut: $diff")
+        else assert(diff <= 1, s"doc $id frame $f noisy non-cut: $diff")
+      }
+    }
+    assert(rows.size == 500)
+  }
+
   test("m7: every verdict class fires on its planted row, with precedence") {
     val s = spark
     import s.implicits._

@@ -106,6 +106,16 @@ class SelectionSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source")
     val run = TextOps.bpeTrain(runDocs, 2)
     assert(run == Seq((1, "a a", 5L), (2, "aa a", 1L)), run.toString)
+    // t37 apply on the same corpus: the learned merges encode low/newest
+    // to single tokens while lower/widest keep their unmerged residue
+    val enc = TextOps.queries("t37_bpe_encode")(spark, {
+      val dir = java.nio.file.Files.createTempDirectory("t37").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }).as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(enc("low") == ((5L, 1L)) && enc("newest") == ((6L, 1L)), enc.toString)
+    assert(enc("lower") == ((2L, 3L)) && enc("widest") == ((3L, 3L)), enc.toString)
   }
 
   test("s13: the JL sign projection preserves similarity structure") {

@@ -196,6 +196,32 @@ def m6_oracle(con, sf_dir):
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
 
 
+def m9_oracle(con, sf_dir):
+    rows = []
+    for id_ in _doc_ids(con, sf_dir):
+        cut1, cut2 = 2 + id_ % 3, 5 + id_ % 2
+
+        def scene(f):
+            return 0 if f < cut1 else (1 if f < cut2 else 2)
+
+        def frame_luma(f):
+            def px(x, y):
+                r, g, b = _px(id_, scene(f), x, y, 16, 12)
+                if x == 0 and y == 0:
+                    b = min(255, b + f % 2)
+                return (r, g, b)
+            img = _png_cycle(16, 12, px)
+            return [[_luma(p) for p in row] for row in img]
+
+        lum = [frame_luma(f) for f in range(8)]
+        for f in range(1, 8):
+            diff = sum(abs(lum[f][y][x] - lum[f - 1][y][x])
+                       for y in range(12) for x in range(16))
+            rows.append((id_, f, diff, 1 if diff >= 1000 else 0))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "frame_idx", "diff_sum", "is_cut"])
+
+
 def _tri(n, p):
     return abs((n % p) * 4000 // p - 2000) - 1000
 
@@ -238,6 +264,7 @@ PY_ORACLES = {
     "m3_resize": m3_oracle,
     "m6_phash_neardup": m6_oracle,
     "m8_audio_features": m8_oracle,
+    "m9_scene_cuts": m9_oracle,
 }
 
 
