@@ -96,9 +96,18 @@ object Bench {
     spark.sparkContext.addSparkListener(metrics)
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
+    // EVERY timed sample, per query — the artifact records {min, median,
+    // passes} so a noisy-host outlier is adjudicable from the file alone
+    // (VERDICT r11 #2: a 31s-vs-62s ambiguity must carry its spread).
+    var samples = Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    // driver-side operator counters (contraction rounds, endgame size —
+    // graft.core.Counters): last run's per-query delta, deterministic
+    // across passes, so retimes just overwrite with the same values
+    var counters = Map.empty[String, Map[String, Long]]
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Option[Double] = {
       metrics.current = name
+      val cBefore = graft.core.Counters.snapshot
       val t0 = System.nanoTime()
       val r = try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -107,6 +116,11 @@ object Bench {
         case e: Throwable =>
           errors :+= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
           None
+      }
+      r.foreach { t =>
+        samples += name -> (samples(name) :+ t)
+        val d = graft.core.Counters.diff(cBefore, graft.core.Counters.snapshot)
+        if (d.nonEmpty) counters += name -> d
       }
       metrics.current = ""
       // drop checkpoint/cache blocks the finished query left behind so they
@@ -168,6 +182,20 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${times.length},"queries":$qj,"errors":$es,"sf":"$sfDir","detail":"/root/repo/BENCH_DETAIL.json"}"""
     }
     val fullQs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted
+      if (s.isEmpty) 0.0
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val sampJ = times.map { case (k, _) =>
+      val v = samples(k)
+      s"${jstr(k)}:{" + s""""min":${v.min},"median":${median(v)},"passes":${v.length}}"""
+    }.mkString("{", ",", "}")
+    val ctrJ = counters.toSeq.sortBy(_._1).map { case (q, m) =>
+      s"${jstr(q)}:" + m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val memJ = times.map { case (k, _) =>
       s"${jstr(k)}:${metrics.peakMem.getOrElse(k, 0L)}" }.mkString("{", ",", "}")
     val spillJ = times.map { case (k, _) =>
@@ -178,6 +206,7 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
       (s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
+        s""""samples":$sampJ,"counters":$ctrJ,""" +
         s""""peak_task_mem":$memJ,"spill_bytes":$spillJ,""" +
         s""""spilled_queries":$spilled,"errors":$es,"sf":"$sfDir"}""").getBytes("UTF-8"))
     var line = render(times.sortBy(_._1))

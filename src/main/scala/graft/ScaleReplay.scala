@@ -113,16 +113,35 @@ object ScaleReplay {
       spark.stop()
       return
     }
-    var times = Vector.empty[(String, Double)]
+    // SPARK_GRAFT_PASSES=N: min-of-N per query (default 1) — the noisy
+    // host makes single samples unadjudicable (VERDICT r11 #1/#2); the
+    // emitted line carries min + all samples + operator counters
+    // (contraction rounds, endgame size) per query.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(1)
+    var times = Vector.empty[(String, Seq[Double])]
+    var counters = Map.empty[String, Map[String, Long]]
     names.foreach { n =>
-      val t0 = System.nanoTime()
-      allQueries(n)(spark, dir).write.mode("overwrite").format("noop").save()
-      times :+= (n -> (System.nanoTime() - t0) / 1e9)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
+      val ts = (0 until passes).map { _ =>
+        val cBefore = graft.core.Counters.snapshot
+        val t0 = System.nanoTime()
+        allQueries(n)(spark, dir).write.mode("overwrite").format("noop").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        val d = graft.core.Counters.diff(cBefore, graft.core.Counters.snapshot)
+        if (d.nonEmpty) counters += n -> d
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+        t
+      }
+      times :+= (n -> ts)
     }
-    val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_replay_x$factor","queries":$qs,"sf":"$sfDir"}""")
+    val qs = times.map { case (k, v) => s""""$k":${v.min}""" }.mkString("{", ",", "}")
+    val samp = times.map { case (k, v) =>
+      s""""$k":${v.mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
+    val ctr = counters.toSeq.sortBy(_._1).map { case (q, m) =>
+      s""""$q":""" + m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_replay_x$factor","queries":$qs,"samples":$samp,"counters":$ctr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -175,9 +175,12 @@ object AssemblerWide {
         Iterator((cnt, b))
       }.collect().foldLeft((0L, 0L)) { case ((an, ab), (cn, cb)) => (an + cn, ab + cb) }
     var (n, bases) = stats(frags)
+    graft.core.Counters.add("assembler.seed_rows", n)
     while (iter < maxIter && !done) {
       if (n <= localThreshold && bases <= localMaxBases) {
         // last-mile local contraction (see Assembler.contractChains)
+        graft.core.Counters.add("assembler.endgame_rows", n)
+        graft.core.Counters.add("assembler.endgame_bases", bases)
         frags = frags.coalesce(1).mapPartitions { it =>
           Assembler.contractChains(
             it.map(f => (f.head.toSeq, f.tail.toSeq, f.seq)).toArray, k)
@@ -212,6 +215,7 @@ object AssemblerWide {
         }
       }
     }
+    graft.core.Counters.add("assembler.rounds", (iter - resumeIter.getOrElse(0)).toLong)
     frags
       .map { f =>
         Assembler.normalizeContig(KmerCodec.decodeBlocks(f.seq),

@@ -30,6 +30,11 @@ import graft.Tables._
   *  7. `dsir_keep`   — OPTIONAL DSIR domain-matching gate
   *     ([[TextOps.dsirWeights]], the t30 engine): importance weight > 0
   *     keeps. Omitted → constant 1.
+  *  8. `fert_keep`   — OPTIONAL tokenizer-fertility gate (the t36→t37
+  *     engine): BPE merges trained on this corpus, word-type table
+  *     encoded, drop docs whose token count exceeds fertilityMax per
+  *     qualifying word. Column-gated (absent when disabled) so the
+  *     pre-round-12 c1–c6 outputs stay byte-stable.
   *  `keep` = all of the above.
   *
   * Exposed three ways: this function (library), the `c1_curate` oracle
@@ -51,7 +56,8 @@ object Curation {
              semCentroidSet: Option[DataFrame] = None,
              classifierMin: Option[Long] = None,
              dsirTargetLang: Option[String] = None,
-             clusterSplit: Boolean = false): DataFrame = {
+             clusterSplit: Boolean = false,
+             fertilityMax: Option[Long] = None): DataFrame = {
     // materialize the (doc_id, text) projection once: six verdict branches
     // consume it, and each would otherwise re-run the upstream lineage
     // (a parquet text scan at best, a whole strip/augment sub-DAG at
@@ -149,7 +155,37 @@ object Curation {
             when(col("logw_bits") > 0, 1).otherwise(0).as("dsir_keep"))
     }
 
-    // 8. optional leakage-free split assignment (the d17 engine): the
+    // 8. optional tokenizer-fertility gate (the t36→t37 engine composed
+    //    as a curation verdict — the tokenizer-health screen a training
+    //    pipeline runs): train K=8 BPE merges on THIS corpus, encode the
+    //    word-type table, and drop docs whose token count exceeds
+    //    fertilityMax × word count (integer rule — no division, no
+    //    floats). Words outside ^[a-z]{2,}$ carry no tokenizer evidence
+    //    and count on neither side; docs with no qualifying word pass
+    //    trivially. Scale: the merge table is K driver rows, the encoded
+    //    vocab is word-TYPE-sized and broadcast — the only corpus-sized
+    //    work is one explode + hash agg per doc.
+    val fert: Option[DataFrame] = fertilityMax.map { maxPerWord =>
+        val merges = TextOps.bpeTrain(base, 8)
+        val enc = merges.foldLeft(TextOps.bpeState0(base)) { case (df, (_, pair, _)) =>
+          val Array(a, b) = pair.split(' ')
+          df.withColumn("st", replace(col("st"), lit(s" $a  $b "), lit(s" $a$b ")))
+        }.select(col("w"), (size(split(col("st"), "  ")) - 2).cast("long").as("n_tokens"))
+        val perDoc = base
+          .select(col("doc_id"), explode(ws).as("w"))
+          .filter(col("w").rlike("^[a-z]{2,}$"))
+          .join(broadcast(enc), "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_w"), sum(col("n_tokens")).as("n_tok"))
+        base.select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("n_w").isNull ||
+              col("n_tok") <= lit(maxPerWord) * col("n_w"), 1)
+              .otherwise(0).as("fert_keep"))
+    }
+
+    // 9. optional leakage-free split assignment (the d17 engine): the
     //    md5 bucket is keyed by the near-dup CLUSTER's canonical id —
     //    reusing the CC table the nd verdict already computed — so a
     //    whole duplicate cluster lands in one split atomically.
@@ -173,15 +209,20 @@ object Curation {
             .otherwise("train").as("split"))
       }
 
-    exact.join(nd, "doc_id").join(quality, "doc_id").join(clean, "doc_id")
-      .join(sem, "doc_id").join(cls, "doc_id").join(dsir, "doc_id")
-      .join(spl, "doc_id")
-      .select(col("doc_id"), col("exact_keep"), col("nd_keep"),
-        col("quality_ok"), col("clean"), col("sem_keep"), col("cls_keep"),
-        col("dsir_keep"),
-        (col("exact_keep") * col("nd_keep") * col("quality_ok") * col("clean") *
-          col("sem_keep") * col("cls_keep") * col("dsir_keep")).as("keep"),
-        col("split"))
+    // fert_keep is COLUMN-GATED (present only when the stage is enabled),
+    // unlike the always-present sem/cls/dsir flags: the stage landed in
+    // round 12 and the c1–c6 outputs are pinned byte-stable across rounds
+    // (VERDICT r11 #7's done condition), so a new constant column may not
+    // appear in them.
+    val flags = Seq(col("exact_keep"), col("nd_keep"), col("quality_ok"),
+      col("clean"), col("sem_keep"), col("cls_keep"), col("dsir_keep")) ++
+      (if (fert.isDefined) Seq(col("fert_keep")) else Nil)
+    val joined = exact.join(nd, "doc_id").join(quality, "doc_id")
+      .join(clean, "doc_id").join(sem, "doc_id").join(cls, "doc_id")
+      .join(dsir, "doc_id")
+    fert.fold(joined)(joined.join(_, "doc_id")).join(spl, "doc_id")
+      .select(col("doc_id") +: flags :+
+        flags.reduce(_ * _).as("keep") :+ col("split"): _*)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -268,6 +309,22 @@ object Curation {
         dsirTargetLang = Some("en"))
     }),
 
+    // -- the pipeline with the TOKENIZER-FERTILITY gate live ---------------
+    // t36→t37 composed as a curation verdict (VERDICT r11 #7): K=8 BPE
+    // merges trained on the train split itself, the word-type table
+    // encoded under them, and fert_keep = 0 for docs whose BPE token
+    // count exceeds 4 tokens per qualifying word — the tokenizer-health
+    // screen that drops docs the tokenizer fragments pathologically.
+    // The oracle replays train→apply→gate through the SHARED ladder
+    // builder (TextOps.bpeLadderCtes), so the chain cannot drift from
+    // t36/t37's.
+    "c7_curate_fert" -> ((s, d) => {
+      val doc = documents(s, d)
+      curate(doc.filter(col("doc_id") % 100 =!= 0),
+        doc.filter(col("doc_id") % 100 === 0),
+        fertilityMax = Some(4L))
+    }),
+
     // -- the pipeline with the LEAKAGE-FREE SPLIT live ---------------------
     // d17's cluster-keyed train/val/test assignment composed as the final
     // curation stage, reusing the connected-components table the nd
@@ -287,7 +344,8 @@ object Curation {
   // and folds sem_keep into keep.
   private def curateOracle(sem: Boolean, cls: Boolean = false,
                            bp: Boolean = false, dsir: Boolean = false,
-                           split: Boolean = false): String = {
+                           split: Boolean = false,
+                           fert: Boolean = false): String = {
       // `bp = true` swaps the raw train split for its d15
       // boilerplate-stripped form (synthetic-header corpus, word 4-grams
       // in >= 3 docs of a source removed, survivors reassembled)
@@ -335,6 +393,23 @@ object Curation {
           |          FROM train t LEFT JOIN dsper ON dsper.doc_id = t.doc_id)""".stripMargin
       val dsirExpr = if (dsir) "dsirk.dk" else "1"
       val dsirJoin = if (dsir) "\nJOIN dsirk ON dsirk.doc_id = t.doc_id" else ""
+      // the c7 fertility fragment: the t36/t37 ladder over the train split
+      // (shared builder — the merge chain cannot drift), the encoded
+      // word-type table read after the final merge, and the integer gate
+      // n_tok <= 4 * n_w (docs with no qualifying word pass trivially)
+      val fertCtes =
+        TextOps.bpeLadderCtes(8, "train") + ",\n" +
+        """fenc AS (SELECT w, CAST(len(string_split(st, '  ')) - 2 AS BIGINT) AS n_tokens FROM s8),
+          |fwords AS (SELECT doc_id, w FROM (
+          |             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM train)
+          |           WHERE regexp_matches(w, '^[a-z]{2,}$')),
+          |fstat AS (SELECT doc_id, COUNT(*) AS n_w, SUM(e.n_tokens) AS n_tok
+          |          FROM fwords f JOIN fenc e USING (w) GROUP BY doc_id),
+          |fertk AS (SELECT t.doc_id,
+          |            CASE WHEN f.doc_id IS NULL OR n_tok <= 4 * n_w THEN 1 ELSE 0 END AS fk
+          |          FROM train t LEFT JOIN fstat f ON f.doc_id = t.doc_id)""".stripMargin
+      val fertExpr = if (fert) "fertk.fk" else null
+      val fertJoin = if (fert) "\nJOIN fertk ON fertk.doc_id = t.doc_id" else ""
       val semCtes = if (!sem) "" else
         """embt AS (SELECT d.vec_id AS doc_id, s.embedding::DOUBLE[] AS v
           |         FROM embeddings d
@@ -433,7 +508,8 @@ object Curation {
           |          JOIN tsh USING (g))""".stripMargin +
         (if (sem) ",\n" + semCtes else "") +
         (if (cls) ",\n" + clsCte else "") +
-        (if (dsir) ",\n" + dsirCte else "") + "\n" +
+        (if (dsir) ",\n" + dsirCte else "") +
+        (if (fert) ",\n" + fertCtes else "") + "\n" +
         s"""SELECT t.doc_id, ex.exact_keep,
           |  COALESCE(clu.ndk, 1) AS nd_keep,
           |  qual.quality_ok,
@@ -441,15 +517,18 @@ object Curation {
           |  $semExpr AS sem_keep,
           |  $clsExpr AS cls_keep,
           |  $dsirExpr AS dsir_keep,
-          |  ex.exact_keep * COALESCE(clu.ndk, 1) * qual.quality_ok *
+          |""".stripMargin +
+        (if (fert) s"  $fertExpr AS fert_keep,\n" else "") +
+        s"""  ex.exact_keep * COALESCE(clu.ndk, 1) * qual.quality_ok *
           |    (CASE WHEN dirty.doc_id IS NULL THEN 1 ELSE 0 END) * ($semExpr) *
-          |    ($clsExpr) * ($dsirExpr) AS keep,
-          |  $splitExpr AS split
+          |    ($clsExpr) * ($dsirExpr)""".stripMargin +
+        (if (fert) s" * ($fertExpr)" else "") + " AS keep,\n" +
+        s"""  $splitExpr AS split
           |FROM train t
           |JOIN ex ON ex.doc_id = t.doc_id
           |LEFT JOIN clu ON clu.doc_id = t.doc_id
           |JOIN qual ON qual.doc_id = t.doc_id
-          |LEFT JOIN dirty ON dirty.doc_id = t.doc_id$semJoin$clsJoin$dsirJoin""".stripMargin
+          |LEFT JOIN dirty ON dirty.doc_id = t.doc_id$semJoin$clsJoin$dsirJoin$fertJoin""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -458,6 +537,7 @@ object Curation {
     "c3_curate_cls" -> curateOracle(sem = false, cls = true),
     "c4_curate_bp" -> curateOracle(sem = false, bp = true),
     "c5_curate_dsir" -> curateOracle(sem = false, dsir = true),
-    "c6_curate_split" -> curateOracle(sem = false, split = true)
+    "c6_curate_split" -> curateOracle(sem = false, split = true),
+    "c7_curate_fert" -> curateOracle(sem = false, fert = true)
   )
 }

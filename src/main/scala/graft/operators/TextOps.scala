@@ -248,14 +248,22 @@ object TextOps {
     * list per row duplicates the list O(len) times — tens of GB on the
     * patho corpus's 40k-char repeat-run word). State CTEs are MATERIALIZED
     * (each is referenced twice; inlining would re-evaluate the whole
-    * chain exponentially). */
-  private def bpeOracle(k: Int): String = {
+    * chain exponentially). The s$i state falls back to s$p when m$i is
+    * EMPTY (LEFT JOIN + CASE): on a corpus whose training dries before K
+    * merges the engine stops and keeps the realized encoding, so the
+    * oracle's state chain must carry through too — the old cross join
+    * emptied every later CTE and t37 diverged on degenerate corpora
+    * (ADVICE r11; patho --vocab-dry pins the parity). */
+  /** The K-merge ladder as bare CTEs (`wf, s0, p1, m1, s1, ... s$k`) over
+    * `table` — shared with [[Curation]]'s c7 fertility gate so the
+    * train+apply replay cannot drift from t36/t37's oracle. */
+  private[operators] def bpeLadderCtes(k: Int, table: String): String = {
     val head =
-      """WITH wf AS MATERIALIZED (
+      s"""wf AS MATERIALIZED (
         |  SELECT w, COUNT(*) AS f
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-        |  WHERE regexp_matches(w, '^[a-z]{2,}$') GROUP BY w),
-        |s0 AS MATERIALIZED (SELECT w, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS st, f FROM wf)""".stripMargin
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $table) t
+        |  WHERE regexp_matches(w, '^[a-z]{2,}$$') GROUP BY w),
+        |s0 AS MATERIALIZED (SELECT w, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS st, f FROM wf)""".stripMargin
     val iters = (1 to k).map { i =>
       val p = i - 1
       s"""p$i AS (SELECT pair, SUM(f) AS n FROM (
@@ -265,14 +273,20 @@ object TextOps {
          |    FROM (SELECT string_split(st, '  ') AS l, f FROM s$p)
          |    WHERE len(l) >= 4) GROUP BY pair),
          |m$i AS MATERIALIZED (SELECT pair, n FROM p$i ORDER BY n DESC, pair LIMIT 1),
-         |s$i AS MATERIALIZED (SELECT w, replace(st, ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
-         |                       ' ' || replace(pair, ' ', '') || ' ') AS st, f
-         |        FROM s$p, m$i)""".stripMargin
-    }.mkString(",\n", ",\n", "\n")
+         |s$i AS MATERIALIZED (SELECT w,
+         |          CASE WHEN pair IS NULL THEN st
+         |               ELSE replace(st, ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+         |                      ' ' || replace(pair, ' ', '') || ' ') END AS st, f
+         |        FROM s$p LEFT JOIN m$i ON TRUE)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + iters
+  }
+
+  private def bpeOracle(k: Int): String = {
     val tail = (1 to k)
       .map(i => s"SELECT $i AS step, pair, CAST(n AS BIGINT) AS n FROM m$i")
       .mkString(" UNION ALL ")
-    head + iters + tail
+    "WITH " + bpeLadderCtes(k, "documents") + "\n" + tail
   }
 
   /** t37's twin: the SAME K-merge chain, but the answer is the ENCODED

@@ -23,15 +23,29 @@ import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
   *             by compLen == rawLen — the 4mc incompressible-block rule)
   *   footer   [footerLen: Int BE][version: Int BE]
   *            [blockOffset: Long BE]*n [totalRawBytes: Long BE]
-  *            [XXH32(footerLen..totalRawBytes)] [MAGIC]
+  *            [XXH32(footerLen..totalRawBytes)]
+  *            [footerLen: Int BE (copy)] [MAGIC]
+  *
+  * The trailing footerLen copy sits at the FIXED position len-8, so the
+  * footer is located with one 8-byte tail read and then read exactly
+  * sized — no probing, no tail-size cap on the footer (a >4 MiB footer,
+  * ~134 GB of 256 KiB blocks, was previously rejected as corrupt), and
+  * no way for a payload int that happens to equal 8n+28 to derail
+  * discovery (ADVICE r11). footerLen = 8n + 28 covers the whole trailer
+  * including the copy+magic, so the trailer spans exactly footerLen
+  * bytes ending at EOF.
   *
   * FIDELITY NOTE: the reference repo does NOT ship the 4mc source
   * in-tree (`/root/reference/hadoop-4mc` holds only an IDE module file;
-  * the code is an unresolvable external Maven artifact), so the byte
-  * constants here follow the public project's documented design but
-  * could not be verified against a real `.4mc` file offline (zero
-  * egress, no binary). What IS pinned: the structure (LZ4 blocks +
-  * XXH32 + indexed footer), the split semantics below, and the
+  * the code is an unresolvable external Maven artifact), so this
+  * container follows the public project's documented DESIGN (LZ4
+  * blocks, XXH32 integrity, indexed footer) but is NOT byte-compatible
+  * with files produced by `com.fing.mapreduce` — the exact field
+  * layout could not be verified offline (zero egress, no sample
+  * binary), and the fixed-position footerLen copy above is this
+  * implementation's own self-describing choice. Treat `.4mc` here as
+  * "this engine's splittable LZ4 line container in the 4mc style";
+  * what IS pinned is the structure, the split semantics below, and the
   * writer/reader round-trip at every split granularity (FourMcSpec's
   * split grid + the f24 oracle gate).
   *
@@ -50,6 +64,13 @@ object FourMc {
   private[sources] val Magic = Array[Byte]('4', 'M', 'C', 0)
   private[sources] val Version = 1
 
+  /** Hard cap on a block's RAW size: bounds the allocation a (possibly
+    * corrupt or hostile) 12-byte block header can demand BEFORE any
+    * checksum runs (ADVICE r11 — a bogus rawLen could otherwise ask for
+    * ~2 GiB). 64 MiB is 256x the default block and far above any sane
+    * split-friendly setting. Enforced symmetrically at write time. */
+  private[sources] val MaxBlockBytes = 64 * 1024 * 1024
+
   private def lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
 
   private[sources] def xxh32(bytes: Array[Byte], off: Int, len: Int): Int =
@@ -66,7 +87,8 @@ object FourMc {
     * the block count. Single-writer per path (call per task). */
   def writeFile(conf: Configuration, path: String, lines: Iterator[String],
                 blockBytes: Int = 256 * 1024): Int = {
-    require(blockBytes > 0, s"blockBytes must be positive, got $blockBytes")
+    require(blockBytes > 0 && blockBytes <= MaxBlockBytes,
+      s"blockBytes must be in (0, $MaxBlockBytes], got $blockBytes")
     val p = new Path(path)
     val out = p.getFileSystem(conf).create(p, true)
     val comp = lz4.fastCompressor()
@@ -102,24 +124,29 @@ object FourMc {
       }
       if (buf.size() > 0) emit(buf.toByteArray)
       val body = offsets.toArray.flatMap(beL) ++ beL(totalRaw)
-      val footer = be(body.length + 20) ++ be(Version) ++ body
+      val fl = body.length + 20 // whole trailer incl. checksum + copy + magic
+      val footer = be(fl) ++ be(Version) ++ body
       out.write(footer); out.write(be(xxh32(footer, 0, footer.length)))
+      out.write(be(fl)) // fixed-position copy at len-8: locates the footer
       out.write(Magic)
       offsets.length
     } finally out.close()
   }
 
-  /** Footer read: (block offsets, first block-region-end byte). One tail
-    * read; checksum-validated; every derived seek is bounds-checked with
-    * the file named. The footerLen field value is bodyLen + 20, so the
-    * on-disk trailer (footerLen..magic) spans footerLen - 4 bytes —
-    * recovered from the tail without trusting any unvalidated seek. */
+  /** Footer read: (block offsets, first block-region-end byte). The
+    * fixed-position footerLen copy at len-8 locates the trailer in one
+    * 8-byte tail read; the trailer is then read exactly sized and
+    * checksum-validated, so footers of ANY size (footerLen is bounded
+    * only by the file itself) are handled and a coincidental payload int
+    * can never masquerade as the footer (ADVICE r11 — the old ascending
+    * probe had both defects). Every derived seek is bounds-checked with
+    * the file named. */
   def footerOffsets(conf: Configuration, path: String): (Seq[Long], Long) = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
-    require(len >= 36L,
-      s"$path: $len bytes is too short for a $Extension file (min 36); truncated?")
+    require(len >= 40L, // header 12 + minimal (0-block) trailer 28
+      s"$path: $len bytes is too short for a $Extension file (min 40); truncated?")
     val in = fs.open(p)
     try {
       val hdr = new Array[Byte](12)
@@ -128,38 +155,29 @@ object FourMc {
         s"$path: bad $Extension magic; not a 4mc file")
       require(xxh32(hdr, 0, 8) == java.nio.ByteBuffer.wrap(hdr, 8, 4).getInt,
         s"$path: header checksum mismatch; corrupt header")
-      val maxTail = math.min(len, 4L * 1024 * 1024).toInt
-      val tail = new Array[Byte](maxTail)
-      in.seek(len - maxTail)
-      in.readFully(tail)
-      val bb = java.nio.ByteBuffer.wrap(tail)
-      require(tail.slice(maxTail - 4, maxTail).sameElements(Magic),
+      val tail8 = new Array[Byte](8)
+      in.seek(len - 8)
+      in.readFully(tail8)
+      require(tail8.slice(4, 8).sameElements(Magic),
         s"$path: missing trailing magic; truncated or not a $Extension file")
-      // footerLen for n blocks = 8 (len+ver) + 8n+8 (body) + 12? no:
-      // fl = bodyLen + 20 with bodyLen = 8n + 8 ⇒ fl = 8n + 28; trailer
-      // bytes on disk = 4+4+bodyLen+4+4 = fl - 4 ⇒ fl sits at
-      // maxTail - (fl - 4). Probe ascending n until the stored Int agrees.
-      var n = 0
-      var found = -1
-      while (found < 0 && {
-        val fl = 8 * n + 28
-        maxTail - (fl - 4) >= 0
-      }) {
-        val fl = 8 * n + 28
-        val pos = maxTail - (fl - 4)
-        if (bb.getInt(pos) == fl) found = pos else n += 1
-      }
-      require(found >= 0,
-        s"$path: cannot locate the $Extension footer in the file tail; corrupt")
-      val fl = 8 * n + 28
-      require(bb.getInt(found + 4) == Version,
-        s"$path: unsupported $Extension footer version ${bb.getInt(found + 4)}")
-      val stored = bb.getInt(maxTail - 8)
-      val got = xxh32(tail, found, fl - 12)
+      val fl = java.nio.ByteBuffer.wrap(tail8).getInt(0)
+      require(fl >= 28 && (fl - 28) % 8 == 0 && fl <= len - 12,
+        s"$path: implausible footer length $fl for a $len-byte file; corrupt")
+      val n = (fl - 28) / 8
+      val trailer = new Array[Byte](fl)
+      val footerStart = len - fl
+      in.seek(footerStart)
+      in.readFully(trailer)
+      val bb = java.nio.ByteBuffer.wrap(trailer)
+      require(bb.getInt(0) == fl,
+        s"$path: footer length copies disagree (${bb.getInt(0)} vs $fl); corrupt")
+      require(bb.getInt(4) == Version,
+        s"$path: unsupported $Extension footer version ${bb.getInt(4)}")
+      val stored = bb.getInt(fl - 12)
+      val got = xxh32(trailer, 0, fl - 12)
       require(stored == got,
         f"$path: footer checksum mismatch (stored 0x$stored%08x, got 0x$got%08x)")
-      val footerStart = len - maxTail + found
-      val offs = (0 until n).map(i => bb.getLong(found + 8 + 8 * i))
+      val offs = (0 until n).map(i => bb.getLong(8 + 8 * i))
       offs.zipWithIndex.foreach { case (o, i) =>
         require(o >= 12 && o < footerStart,
           s"$path: footer offset[$i]=$o outside the block region " +
@@ -178,8 +196,10 @@ object FourMc {
     in.readFully(h)
     val bb = java.nio.ByteBuffer.wrap(h)
     val rawLen = bb.getInt(0); val compLen = bb.getInt(4); val ck = bb.getInt(8)
-    require(rawLen >= 0 && compLen >= 0 && compLen <= rawLen,
-      s"$name block@$offset: impossible sizes raw=$rawLen comp=$compLen")
+    require(rawLen >= 0 && compLen >= 0 && compLen <= rawLen &&
+      rawLen <= MaxBlockBytes, // bound the allocation BEFORE trusting the header
+      s"$name block@$offset: impossible sizes raw=$rawLen comp=$compLen " +
+        s"(max block $MaxBlockBytes)")
     val payload = new Array[Byte](compLen)
     in.readFully(payload)
     val got = xxh32(payload, 0, compLen)

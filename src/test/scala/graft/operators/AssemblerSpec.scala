@@ -29,6 +29,48 @@ class AssemblerSpec extends AnyFunSuite {
     Assembler.assemble(counts, k, minCov = 1, maxIter = 40).collect().toSeq
   }
 
+  test("contractChainsLong (primitive endgame walk) == generic contractChains") {
+    // random disjoint path/cycle mixtures: fragment the k-mer chains of
+    // several genomes (open paths) and circles (cycles) at random split
+    // points, shuffle, and demand the two walks emit the same fragment SET
+    // (order differs only by emit phase; both phases are compared sorted)
+    val k = 9
+    for (seed <- 1 to 10) {
+      val r = new scala.util.Random(seed)
+      val frags = scala.collection.mutable.ArrayBuffer.empty[Assembler.Frag]
+      def pack(s: String): Long =
+        s.foldLeft(0L)((a, c) => (a << 2) | "ACGT".indexOf(c).toLong)
+      def fragment(seq: String, circular: Boolean): Unit = {
+        // cut the sequence into >= 1 overlapping-(k-1) fragments
+        var cuts = (1 until (seq.length - k + 1)).filter(_ => r.nextInt(4) == 0)
+        val bounds = (0 +: cuts :+ (seq.length - k + 1)).distinct.sorted
+        bounds.zip(bounds.tail).foreach { case (a, b) =>
+          val sub = seq.substring(a, b + k - 1)
+          frags += Assembler.Frag(pack(sub.take(k - 1)), pack(sub.takeRight(k - 1)),
+            KmerCodec.encodeBlocks(sub))
+        }
+      }
+      // open paths: distinct random genomes (collision-unlikely at len 60)
+      (0 until 3).foreach(i => fragment(randGenome(60, seed * 100 + i), circular = false))
+      // cycles: a genome wrapped by its own first k-1 bases
+      val g = randGenome(40, seed * 100 + 50)
+      fragment(g + g.take(k - 1), circular = true)
+      val shuffled = r.shuffle(frags.toSeq).toArray
+      // an 8-mer head collision across random genomes would trip the
+      // duplicate-head invariant in BOTH walks — not what's under test
+      if (shuffled.map(_.head).distinct.length != shuffled.length) {
+        info(s"seed=$seed skipped: head collision in the random fixture")
+      } else {
+      def key(f: Assembler.Frag) = (f.head, f.tail, KmerCodec.decodeBlocks(f.seq))
+      val generic = Assembler.contractChains(
+        shuffled.map(f => (f.head, f.tail, f.seq)), k)
+        .map { case (h, t, s) => (h, t, KmerCodec.decodeBlocks(s)) }.toSeq.sorted
+      val fast = Assembler.contractChainsLong(shuffled, k).map(key).toSeq.sorted
+      assert(fast == generic, s"seed=$seed")
+      }
+    }
+  }
+
   test("single genome reconstructs exactly (both-strand reads)") {
     val genome = randGenome(600, seed = 7)
     val contigs = assembleFrom(reads(genome, 80, 9), 31)

@@ -26,6 +26,12 @@ SKIP = set()
 RANDOM_SEED = None
 if "--seed" in sys.argv:
     RANDOM_SEED = int(sys.argv[sys.argv.index("--seed") + 1])
+# --vocab-dry swaps in a corpus whose BPE training DRIES before the gated
+# K=8 merges (tiny vocabulary: single-letter words + one two-letter word
+# type): the engine stops at the realized merge count, and the t37 oracle's
+# state chain must carry through the empty m$i CTEs instead of emptying
+# (ADVICE r11 — the old cross join returned 0 rows here).
+VOCAB_DRY = "--vocab-dry" in sys.argv
 
 
 def build_random_corpus(out_dir: Path, seed: int) -> None:
@@ -50,6 +56,38 @@ def build_random_corpus(out_dir: Path, seed: int) -> None:
         "lang": pa.array([d[2] for d in docs], pa.string()),
         "source": pa.array([d[3] for d in docs], pa.string()),
         "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+    })
+    pq.write_table(tbl, out_dir / "documents.parquet")
+
+
+def build_vocab_dry_corpus(out_dir: Path) -> None:
+    """BPE-degenerate corpus: the only multi-letter word TYPE is 'ab', so
+    training realizes exactly one merge (a b) and then dries — 7 short of
+    the gated K=8. Enough docs/variety that the rest of the doc-op surface
+    still exercises real code paths (dups, sources, langs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    docs = []
+
+    def add(i, text, lang="en", source="srcV"):
+        docs.append((i, text, lang, source, len(text)))
+
+    add(0, "ab ab ab a b c")
+    add(1, "a b c d e f g")
+    add(2, "ab a ab b ab c")
+    add(3, "")                                    # empty
+    add(4, "a a a a a a a a a a")
+    add(5, "1 2 3 4 5 - @ %")                     # no [a-z]{2,} at all
+    add(6, "ab ab ab a b c")                      # exact dup of 0
+    for i in range(7, 24):                        # volume, still vocab-dry
+        add(i, " ".join(["ab", "a", "b", "c"][j % 4] for j in range(i)),
+            ["en", "de", "es"][i % 3], f"src{i % 2}")
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array([d[2] for d in docs], pa.string()),
+        "source": pa.array([d[3] for d in docs], pa.string()),
+        "n_chars": pa.array([d[4] for d in docs], pa.int64()),
     })
     pq.write_table(tbl, out_dir / "documents.parquet")
 
@@ -239,13 +277,26 @@ def main() -> int:
         shutil.copy(p, sf / p.name)
     if RANDOM_SEED is not None:
         build_random_corpus(sf, RANDOM_SEED)
+    elif VOCAB_DRY:
+        build_vocab_dry_corpus(sf)
     else:
         build_corpus(sf)
     build_events(sf)
     build_embeddings(sf)
     print(f"[patho] corpus at {sf}"
-          + (f" (random seed {RANDOM_SEED})" if RANDOM_SEED is not None else ""))
-    if RANDOM_SEED is None:
+          + (f" (random seed {RANDOM_SEED})" if RANDOM_SEED is not None else "")
+          + (" (vocab-dry)" if VOCAB_DRY else ""))
+    if VOCAB_DRY:
+        # the corpus must really dry the training before K=8: exactly one
+        # multi-letter word type ('ab') -> one realizable merge
+        import duckdb
+        n_types = duckdb.connect().execute(f"""
+            SELECT COUNT(DISTINCT w) FROM (
+              SELECT unnest(string_split(text, ' ')) AS w
+              FROM '{sf}/documents.parquet')
+            WHERE regexp_matches(w, '^[a-z]{{2,}}$') AND len(w) > 1""").fetchone()[0]
+        assert n_types == 1, f"vocab-dry corpus lost its shape: {n_types} word types"
+    if RANDOM_SEED is None and not VOCAB_DRY:
         # the crafted corpus must really split x10's estimator regimes:
         # even parity absorbed (distinct shingles < k), odd estimating
         import duckdb
