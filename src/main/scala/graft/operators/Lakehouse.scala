@@ -80,6 +80,32 @@ object Lakehouse {
     graft.sources.OccLog.commitReplacePartition(root, partition, dir, snap)
   }
 
+  /** es23's per-micro-batch verification: m7's verdict rules (same
+    * precedence, same planted %97==13 corruption, declared length = char
+    * count) over a batch of payload rows — returns ONLY the quarantine
+    * rows. Shared with OccStreamSpec's kill-restart test so the spec
+    * exercises the exact production verdict path. */
+  private[graft] def quarantineBatch(b: DataFrame): DataFrame =
+    b.select(col("doc_id"), col("source"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("observed_md5"),
+        col("n_chars"),
+        when(col("doc_id") % 97 === 13, lit("0" * 32))
+          .otherwise(md5(col("text").cast("binary"))).as("declared_md5"))
+      .withColumn("verdict",
+        when(col("n_bytes") === 0, "empty")
+          .when(col("observed_md5") =!= col("declared_md5"), "checksum_mismatch")
+          .when(col("n_bytes") =!= col("n_chars"), "size_mismatch")
+          .otherwise("ok"))
+      .filter(col("verdict") =!= "ok")
+      .select("doc_id", "source", "n_bytes", "verdict")
+
+  /** The quarantine table's schema — used to read manifest entries that
+    * may be EMPTY parquet dirs (a batch with no defects still commits). */
+  private[operators] val quarSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id bigint, source string, n_bytes bigint, verdict string")
+
   /** es21 bucket width: okey div 2^19 names a bucket. Range (not hash)
     * buckets so inserts into a fresh key range touch FRESH buckets and the
     * existing snapshot files are carried forward untouched. Bucket count
@@ -1023,12 +1049,19 @@ object Lakehouse {
       // its commit's change rows in the final union (the parquet write is
       // idempotent via overwrite; this map makes the bookkeeping match)
       val cdfDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+      // ALSO keyed by batch id: the PRE-commit manifest each batch reads.
+      // A retried batch must derive its advance from the same pre state,
+      // never from the already-advanced manifest — reading v{id+1} bucket
+      // dirs while overwriting that same verDir would be a self-read-
+      // overwrite (ADVICE r11); with the pre-state replay the retry is a
+      // pure re-execution (same input manifest -> same verDir content).
+      val preMan = new java.util.concurrent.ConcurrentHashMap[Long, Map[Long, String]]()
       val sch = s.read.parquet(s"$root/changes").schema
       val q = s.readStream.schema(sch).option("maxFilesPerTrigger", "1")
         .parquet(s"$root/changes")
         .writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          val man = manifest.get()
+          val man = preMan.computeIfAbsent(id, _ => manifest.get())
           val touched = batch.select((col("okey") / BUK_W).cast("long").as("bk"))
             .distinct().collect().map(_.getLong(0)).toSet
           // pre-images live only in touched buckets; and only batch KEYS
@@ -1128,6 +1161,68 @@ object Lakehouse {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
           max(col("gen")).as("gen"))
+        .withColumn("final_version", lit(fin.version.toLong))
+    }),
+
+    // -- es23: streaming media-integrity QUARANTINE (m7 ∘ es22) -------------
+    // m7's manifest audit as a stream (VERDICT r11 #5): payloads arrive in
+    // micro-batches (4 disjoint doc_id%4 change files), each batch is
+    // verified against its declared manifest (byte count vs declared char
+    // count, checksum vs the planted doc_id%97==13 corruption — the same
+    // verdict precedence as m7), and the batch's quarantine rows (verdict
+    // <> 'ok') are published EXACTLY-ONCE through the OccLog CAS: staged
+    // parquet first, then a replace-partition commit keyed by batch id,
+    // so a micro-batch retry republishes the same staged dir instead of
+    // appending a duplicate (OccStreamSpec's quarantine test pins the
+    // kill-restart at both crash sites). The answer reads the final
+    // manifest back: the quarantine mix per (source, verdict) plus the
+    // exact version count (1 init + 4 commits — any retry would show).
+    // Scale: commits are one link syscall on metadata; only quarantine
+    // rows (defect-sized, not corpus-sized) are ever staged.
+    "es23_stream_quarantine" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = s"${ioDir(d)}/stream_quar"
+      Events.rmTree(new java.io.File(root))
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      val t0 = System.currentTimeMillis()
+      val inDir = new java.io.File(s"$root/changes"); inDir.mkdirs()
+      (0 until 4).foreach { i =>
+        val tmp = s"$root/_tmp_$i"
+        docs.filter(col("doc_id") % 4 === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"b$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(t0 + i * 2000L)
+        Events.rmTree(new java.io.File(tmp))
+      }
+      import graft.sources.OccLog
+      OccLog.init(root, Map.empty)
+      val sch = s.read.parquet(s"$root/changes").schema
+      val q = s.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/changes")
+        .writeStream.option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val dir = s"$root/data/b$id"
+          quarantineBatch(b).write.mode("overwrite").parquet(dir)
+          OccLog.commitReplacePartition(root, s"b$id", dir,
+            OccLog.readLatest(root).version)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+      val fin = Events.withStreamPartitions(s) {
+        q.start().awaitTermination()
+        OccLog.readLatest(root)
+      }
+      // explicit schema: a defect-free batch commits an EMPTY parquet dir,
+      // which schema inference would reject
+      s.read.schema(quarSchema).parquet(fin.entries.values.toSeq.sorted: _*)
+        .groupBy("source", "verdict")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
         .withColumn("final_version", lit(fin.version.toLong))
     }),
 
@@ -1499,6 +1594,24 @@ object Lakehouse {
         |       CAST(3 AS BIGINT) AS gen, CAST(9 AS BIGINT) AS final_version
         |FROM documents WHERE lang IN ('en', 'de') AND doc_id % 5 = 0
         |GROUP BY lang""".stripMargin,
+    // closed form: m7's verdict rules over the whole corpus (the four
+    // doc_id%4 micro-batches partition it), verdict <> 'ok' only; the
+    // version count is exact — 1 init + 4 commits, so a double-published
+    // batch or a lost commit both hash-mismatch
+    "es23_stream_quarantine" ->
+      """WITH v AS (
+        |  SELECT doc_id, source,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CASE WHEN octet_length(encode(text)) = 0 THEN 'empty'
+        |         WHEN doc_id % 97 = 13 THEN 'checksum_mismatch'
+        |         WHEN octet_length(encode(text)) <> n_chars THEN 'size_mismatch'
+        |         ELSE 'ok' END AS verdict
+        |  FROM documents)
+        |SELECT source, verdict, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(5 AS BIGINT) AS final_version
+        |FROM v WHERE verdict <> 'ok'
+        |GROUP BY source, verdict""".stripMargin,
     // all four commits' change rows in CLOSED FORM: batch 1 updates from
     // base, batch 2 deletes (base pre-images) + re-updates (batch-1
     // pre-images), batch 3 resurrection-as-insert (the tombstone made the

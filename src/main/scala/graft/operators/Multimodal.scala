@@ -455,6 +455,47 @@ object Multimodal {
         .toDF("doc_id", "frame_idx", "diff_sum", "is_cut")
     }),
 
+    // -- m10: keyframe near-dup ACROSS docs (m9 ∘ m6) ------------------------
+    // the frame-level web-video dedup shape (VERDICT r11 #4): build each
+    // doc's m9-style 8-frame container, demux ONLY each scene's first
+    // frame by container offset (the keyframes m9's cut positions name),
+    // dHash-60 the decoded keyframe, and feed the d11 banding to find
+    // cross-doc duplicated scenes. Planted twins: docs 2j and 2j+1 share
+    // scene textures (seed id>>1) while their cut POSITIONS — hence
+    // keyframe frame indices and the 1-luma corner jitter — differ, so a
+    // twin pair is a genuine near-dup (different file bytes, hamming<=1),
+    // never a byte-equal shortcut. Keyframe identity is doc_id*4+scene.
+    // Scale: 3 signatures per doc; only 8-byte sigs shuffle (m6's
+    // banding invariant), decode stays embarrassingly parallel.
+    "m10_keyframe_neardup" -> ((s, d) => {
+      import s.implicits._
+      val sigs = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val cut1 = 2 + (id % 3).toInt
+          val cut2 = 5 + (id % 2).toInt
+          def scene(f: Int) = if (f < cut1) 0 else if (f < cut2) 1 else 2
+          val tex = id >> 1 // twin docs 2j / 2j+1 share scene textures
+          val frames = Array.tabulate(8) { f =>
+            pngRgb(16, 12, { (x, y) =>
+              val v = pixel(tex, scene(f), x, y, 16, 12)
+              if (x == 0 && y == 0)
+                (v & 0xffff00) | math.min(255, (v & 0xff) + (f % 2))
+              else v
+            })
+          }
+          val offsets = frames.scanLeft(0)(_ + _.length)
+          val payload = Array.concat(frames.toIndexedSeq: _*)
+          Seq(0 -> 0, cut1 -> 1, cut2 -> 2).iterator.map { case (f, sc) =>
+            val png = java.util.Arrays.copyOfRange(payload, offsets(f), offsets(f + 1))
+            (id * 4 + sc, dhash60(decodePng(png)))
+          }
+        })
+        .toDF("doc_id", "sig")
+      Dedup.simhashPairs(sigs).selectExpr(
+        "doc_a div 4 AS doc_a", "doc_a % 4 AS scene_a",
+        "doc_b div 4 AS doc_b", "doc_b % 4 AS scene_b", "hamming")
+    }),
+
     // -- m6: REAL perceptual-hash near-duplicate pairing ---------------------
     // image near-dup at corpus scale: every doc is a 32×24 PNG; its
     // planted twin re-encodes the same image with a small brightness edit

@@ -112,6 +112,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.size == nDocs, s"unexpected extra pairs: ${pairs.size - nDocs}")
   }
 
+  test("m10 pairs every twin doc's three scenes and nothing else at sf0.001") {
+    val got = Multimodal.localQueries("m10_keyframe_neardup")(
+      spark, "/root/testdata/sf0.001")
+    import spark.implicits._
+    val rows = got.as[(Long, Long, Long, Long, Long)].collect()
+    val pairs = rows.map(r => (r._1, r._2, r._3, r._4)).toSet
+    // twins 2j/2j+1 share all three scene textures; the jitter keeps them
+    // within hamming <= 1, so banding must recall every (scene-aligned) pair
+    (0L until 250L).foreach { j =>
+      (0L until 3L).foreach { sc =>
+        val p = (2 * j, sc, 2 * j + 1, sc)
+        assert(pairs.contains(p), s"planted twin pair doc=${2 * j} scene=$sc missing")
+        val ham = rows.find(r => (r._1, r._2, r._3, r._4) == p).get._5
+        assert(ham <= 1, s"twin pair $p beyond the jitter radius: hamming=$ham")
+      }
+    }
+    // unrelated textures CAN land within hamming <= 3 of each other by
+    // chance (60-bit hashes over 1500 keyframes); such pairs are correct
+    // algorithm output (the Python reference emits them too) — just pin
+    // that they stay a trace contamination, not a flood
+    val extra = pairs.size - 750
+    assert(extra >= 0 && extra <= 10, s"accidental pair count exploded: $extra")
+  }
+
   test("m8 WAV cycle: AudioSystem decodes the synthesized PCM bit-exactly") {
     for (id <- Seq(0L, 3L, 1234L)) {
       val n = 800 + (id % 5).toInt * 160

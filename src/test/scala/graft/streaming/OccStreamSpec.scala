@@ -113,6 +113,80 @@ class OccStreamSpec extends AnyFunSuite {
     assert(mPost.entries("p") == s"$post/data/b2", mPost.entries.toString)
   }
 
+  test("es23 quarantine writer: kill-restart never double-quarantines (both crash sites)") {
+    import spark.implicits._
+    // 3 batches of payload rows; id 13 carries the planted bad checksum,
+    // id 20 is an empty payload, id 21 a size mismatch (n_chars lies)
+    def seedQuar(root: String): Unit = {
+      val t0 = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val rows = Seq.tabulate(8) { j =>
+          val id = i * 10 + j
+          val text = if (id == 20) "" else s"payload-$id"
+          val nc = if (id == 21) 999L else text.length.toLong
+          (id.toLong, s"src$i", text, nc)
+        }
+        val scratch = s"$root/_tmp_$i"
+        rows.toDF("doc_id", "source", "text", "n_chars")
+          .coalesce(1).write.mode("overwrite").parquet(scratch)
+        val part = new java.io.File(scratch).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val inDir = new java.io.File(s"$root/changes"); inDir.mkdirs()
+        val dst = new java.io.File(inDir, f"b$i%02d.parquet")
+        Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(t0 + i * 2000L)
+      }
+    }
+    def runQuar(root: String, failPoint: Option[String]): (OccLog.Manifest, Seq[(Long, String)]) = {
+      val s = spark
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(failPoint.isDefined)
+      val sch = s.read.parquet(s"$root/changes").schema
+      def start() = s.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/changes")
+        .writeStream.option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val dir = s"$root/data/b$id"
+          graft.operators.Lakehouse.quarantineBatch(b)
+            .write.mode("overwrite").parquet(dir)
+          if (id == 1 && failPoint.contains("before") && armed.getAndSet(false))
+            sys.error("injected crash BEFORE commit")
+          graft.operators.Lakehouse.occCommitBatch(root, s"b$id", dir)
+          if (id == 1 && failPoint.contains("after") && armed.getAndSet(false))
+            sys.error("injected crash AFTER commit")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try { start().awaitTermination() }
+      catch { case _: StreamingQueryException => start().awaitTermination() }
+      assert(!armed.get(), "the injected crash never fired")
+      val fin = OccLog.readLatest(root)
+      val rows = spark.read
+        .schema("doc_id bigint, source string, n_bytes bigint, verdict string")
+        .parquet(fin.entries.values.toSeq.sorted: _*)
+        .select(col("doc_id"), col("verdict"))
+        .as[(Long, String)].collect().toSeq.sorted
+      (fin, rows)
+    }
+    val clean = tmp("quar_clean"); seedQuar(clean); OccLog.init(clean, Map.empty)
+    val (mClean, qClean) = runQuar(clean, None)
+    assert(mClean.version == 4, s"1 init + 3 commits, got ${mClean.version}")
+    // the three planted defects, exactly once each, correctly classified
+    assert(qClean == Seq((13L, "checksum_mismatch"), (20L, "empty"),
+      (21L, "size_mismatch")), qClean.toString)
+
+    for (site <- Seq("before", "after")) {
+      val root = tmp(s"quar_$site"); seedQuar(root); OccLog.init(root, Map.empty)
+      val (m, q) = runQuar(root, Some(site))
+      // crash-before adds no version; crash-after exactly one (the retry
+      // republishes the same staged dir into the same partition key)
+      assert(m.version == (if (site == "before") 4 else 5),
+        s"$site: version ${m.version}")
+      assert(q == qClean, s"$site: quarantine content diverged: $q")
+    }
+  }
+
   test("latch-held race, both orders: versions claimed once, both updates survive") {
     import scala.concurrent.{blocking, Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global

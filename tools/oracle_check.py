@@ -222,6 +222,45 @@ def m9_oracle(con, sf_dir):
         "doc_id", "frame_idx", "diff_sum", "is_cut"])
 
 
+def m10_oracle(con, sf_dir):
+    """Keyframe near-dup (m9 ∘ m6): per doc, the m9-style container's
+    scene-first frames (texture seed doc_id >> 1 so twin docs share
+    scenes; the f%2 corner jitter keeps twins near- not byte-equal),
+    dHash-60 per keyframe, then the same 4x15-bit banding as m6."""
+    sigs = {}
+    for id_ in _doc_ids(con, sf_dir):
+        cut1, cut2 = 2 + id_ % 3, 5 + id_ % 2
+
+        def scene(f):
+            return 0 if f < cut1 else (1 if f < cut2 else 2)
+
+        tex = id_ >> 1
+        for f, sc in ((0, 0), (cut1, 1), (cut2, 2)):
+            def px(x, y):
+                r, g, b = _px(tex, scene(f), x, y, 16, 12)
+                if x == 0 and y == 0:
+                    b = min(255, b + f % 2)
+                return (r, g, b)
+            sigs[id_ * 4 + sc] = _dhash60(_png_cycle(16, 12, px))
+    buckets = {}
+    for kf, s in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, (s >> (15 * b)) & 32767), []).append(kf)
+    pairs = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        ham = bin(sigs[a] ^ sigs[b]).count("1")
+        if ham <= 3:
+            rows.append((a // 4, a % 4, b // 4, b % 4, ham))
+    return pd.DataFrame(rows, columns=[
+        "doc_a", "scene_a", "doc_b", "scene_b", "hamming"])
+
+
 def _tri(n, p):
     return abs((n % p) * 4000 // p - 2000) - 1000
 
@@ -265,6 +304,7 @@ PY_ORACLES = {
     "m6_phash_neardup": m6_oracle,
     "m8_audio_features": m8_oracle,
     "m9_scene_cuts": m9_oracle,
+    "m10_keyframe_neardup": m10_oracle,
 }
 
 
