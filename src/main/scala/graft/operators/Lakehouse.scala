@@ -1761,13 +1761,20 @@ object Lakehouse {
         |SELECT okey, status, CAST(price AS DOUBLE) AS price
         |FROM last WHERE rn = 1 AND op <> 'D'""".stripMargin,
     // non-de partitions untouched; the de partition replaced by its
-    // restated (n_chars >= 100) batch
+    // restated (n_chars >= 100) batch — UNLESS that batch is EMPTY:
+    // dynamic overwrite rewrites only partitions present in the batch, so
+    // an empty restatement is a no-op and the OLD de rows survive (the
+    // real INSERT OVERWRITE ... PARTITION semantics; the vocab-dry patho
+    // corpus, whose de docs are all short, caught the oracle assuming the
+    // partition is always rewritten — round 12)
     "f17_dynamic_overwrite" ->
-      """SELECT lang, COUNT(*) AS n_docs,
+      """WITH has AS (SELECT COUNT(*) AS n FROM documents
+        |             WHERE lang = 'de' AND n_chars >= 100)
+        |SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  COUNT(DISTINCT doc_id) AS n_keys
-        |FROM documents
-        |WHERE lang <> 'de' OR n_chars >= 100
+        |FROM documents, has
+        |WHERE lang <> 'de' OR n_chars >= 100 OR has.n = 0
         |GROUP BY lang""".stripMargin
   )
 }

@@ -18,7 +18,12 @@ import sys
 import tempfile
 from pathlib import Path
 
-BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+# first NON-FLAG positional is the base sf dir (a leading flag like
+# --vocab-dry must not be eaten as the path — it silently dropped every
+# base table from the crafted corpus)
+_pos = [a for i, a in enumerate(sys.argv[1:])
+        if not a.startswith("--") and not (i > 0 and sys.argv[i] == "--seed")]
+BASE = _pos[0] if _pos else "/root/testdata/sf0.001"
 SKIP = set()
 # --seed N swaps the hand-crafted documents for a seeded RANDOM corpus
 # (mixed-script alphabet, 0-200-token docs, planted dup pairs) — the
