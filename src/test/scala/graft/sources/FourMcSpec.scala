@@ -111,6 +111,55 @@ class FourMcSpec extends AnyFunSuite {
       String.valueOf(e.getCause).contains("XXH32"), e.getMessage.take(500))
   }
 
+  test("footer self-description rejects tampering (r12 fixed-position layout)") {
+    def freshFile(): String = {
+      val path = tmpFile("fourmc_footer")
+      FourMc.writeFile(new Configuration(), path,
+        (0 until 300).map(i => s"rec-$i").iterator, blockBytes = 256)
+      val f = new java.io.File(path)
+      val sidecar = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+      if (sidecar.exists()) assert(sidecar.delete())
+      path
+    }
+    def patchInt(path: String, pos: Long, v: Int): Unit = {
+      val raf = new java.io.RandomAccessFile(path, "rw")
+      try { raf.seek(pos); raf.writeInt(v) } finally raf.close()
+    }
+    // sanity: untampered file parses
+    val base = freshFile()
+    val (offs, _) = FourMc.footerOffsets(new Configuration(), base)
+    assert(offs.size >= 2)
+    // (a) bogus footerLen copy at the fixed len-8 position
+    val p1 = freshFile()
+    patchInt(p1, new java.io.File(p1).length - 8, 999999999)
+    val e1 = intercept[IllegalArgumentException] {
+      FourMc.footerOffsets(new Configuration(), p1)
+    }
+    assert(e1.getMessage.contains("implausible footer length"), e1.getMessage)
+    // (b) plausible-but-wrong footerLen (right stride, wrong block count):
+    // the leading copy disagrees -> caught before any offset is trusted
+    val p2 = freshFile()
+    val len2 = new java.io.File(p2).length
+    val (offs2, _) = FourMc.footerOffsets(new Configuration(), p2)
+    patchInt(p2, len2 - 8, (8 * (offs2.size - 1) + 28))
+    val e2 = intercept[IllegalArgumentException] {
+      FourMc.footerOffsets(new Configuration(), p2)
+    }
+    assert(e2.getMessage.contains("footer length copies disagree"), e2.getMessage)
+    // (c) hostile block header: a ~2 GiB rawLen must be rejected BEFORE
+    // any allocation (the MaxBlockBytes bound)
+    val p3 = freshFile()
+    val (offs3, _) = FourMc.footerOffsets(new Configuration(), p3)
+    patchInt(p3, offs3(1), Int.MaxValue - 1) // block 1's rawLen field
+    val fs = new org.apache.hadoop.fs.Path(p3)
+      .getFileSystem(new Configuration())
+    val in = fs.open(new org.apache.hadoop.fs.Path(p3))
+    val e3 = intercept[IllegalArgumentException] {
+      try FourMc.readBlock(in, offs3(1), p3) finally in.close()
+    }
+    assert(e3.getMessage.contains("impossible sizes"), e3.getMessage)
+  }
+
   test("incompressible blocks store raw and still round-trip") {
     val rnd = new scala.util.Random(7)
     // truly incompressible: random hex strings
