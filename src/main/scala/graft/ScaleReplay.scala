@@ -116,8 +116,30 @@ object ScaleReplay {
     // SPARK_GRAFT_PASSES=N: min-of-N per query (default 1) — the noisy
     // host makes single samples unadjudicable (VERDICT r11 #1/#2); the
     // emitted line carries min + all samples + operator counters
-    // (contraction rounds, endgame size) per query.
-    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(1)
+    // (contraction rounds, endgame size) per query. Non-numeric values
+    // fail loudly; 0/negative clamp to 1 (ADVICE r12: zero passes used to
+    // run nothing and then throw v.min's UnsupportedOperationException).
+    val passes = sys.env.get("SPARK_GRAFT_PASSES") match {
+      case None => 1
+      case Some(raw) => raw.toIntOption match {
+        case Some(n) => math.max(1, n)
+        case None =>
+          System.err.println(s"SPARK_GRAFT_PASSES must be a positive int, got '$raw'")
+          sys.exit(2)
+      }
+    }
+    // Bench-style warmup (VERDICT r12 #3): run every selected query once
+    // at sf0.001 before timing. Generated code is plan-specific, so first
+    // samples otherwise run 3-10x the steady state (measured 16x j13:
+    // [112.5, 138.8, 55.3] cold vs [35.2, 27.3, ...] warmed) and min-of-N
+    // never converges inside realistic pass counts.
+    names.foreach { n =>
+      try allQueries(n)(spark, "/root/testdata/sf0.001")
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
     var times = Vector.empty[(String, Seq[Double])]
     var counters = Map.empty[String, Map[String, Long]]
     names.foreach { n =>
@@ -141,7 +163,9 @@ object ScaleReplay {
       s""""$q":""" + m.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_replay_x$factor","queries":$qs,"samples":$samp,"counters":$ctr,"sf":"$sfDir"}""")
+    // self-describing line (VERDICT r12 #2/#3): factor, passes, and the
+    // materialized corpus dir identify the run without reading counters
+    println(s"""{"metric":"scale_replay_x$factor","factor":$factor,"passes":$passes,"corpus_dir":"$dir","queries":$qs,"samples":$samp,"counters":$ctr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,7 +29,7 @@ object SparkEntry {
     * with Python-computed references (tools/oracle_check.py), covered
     * by Bench and ClusterSmoke. Currently just the zlib deflate ratio. */
   def localQueries: Map[String, (SparkSession, String) => DataFrame] =
-    TextOps.localQueries ++ Multimodal.localQueries
+    TextOps.localQueries ++ Multimodal.localQueries ++ Assembler.localQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */

@@ -289,6 +289,45 @@ object TextOps {
     "WITH " + bpeLadderCtes(k, "documents") + "\n" + tail
   }
 
+  /** t38's packing core over any `(source, doc_id, n_tok)` frame: docs
+    * laid end-to-end per source in doc_id order and cut into fixed
+    * `seqLen`-token training rows. One row per (sequence, segment):
+    * `(source, seq, doc_id, tok_start, n_tok, loss_mask, doc_start,
+    * doc_end)` — the doc-boundary metadata an attention-mask/loss-mask
+    * builder consumes — plus one `doc_id = -1, loss_mask = 0` PAD segment
+    * closing each source's final partial row. Docs SPAN row boundaries
+    * (the standard pretraining pack: an EOD-separated stream, not
+    * first-fit bins — bin placement is a sequential recurrence with no
+    * distributed or SQL-window form). Scale shape = t14/t15: the cumsum
+    * window partitions by source, the segment fan-out is a per-row
+    * sequence+explode, and the pad table is one tiny per-source
+    * aggregate — nothing is corpus-global. */
+  private[graft] def packSegments(perDoc: DataFrame, seqLen: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val spans = perDoc
+      .withColumn("cum_end", sum(col("n_tok")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_tok"))
+    val body = spans
+      .select(col("source"), col("doc_id"), col("cum_start"), col("cum_end"),
+        explode(expr(s"sequence(cum_start div $seqLen, (cum_end - 1) div $seqLen)"))
+          .as("seq"))
+      .select(col("source"), col("seq"), col("doc_id"),
+        greatest(col("cum_start") - col("seq") * seqLen, lit(0L)).as("tok_start"),
+        (least(col("cum_end"), (col("seq") + 1) * seqLen) -
+          greatest(col("cum_start"), col("seq") * seqLen)).as("n_tok"),
+        lit(1).as("loss_mask"),
+        (col("cum_start") >= col("seq") * seqLen).cast("int").as("doc_start"),
+        (col("cum_end") <= (col("seq") + 1) * seqLen).cast("int").as("doc_end"))
+    val pad = spans.groupBy(col("source")).agg(max(col("cum_end")).as("total"))
+      .filter(col("total") % seqLen =!= 0)
+      .select(col("source"), expr(s"(total - 1) div $seqLen").as("seq"),
+        lit(-1L).as("doc_id"), (col("total") % seqLen).as("tok_start"),
+        (lit(seqLen) - col("total") % seqLen).as("n_tok"),
+        lit(0).as("loss_mask"), lit(0).as("doc_start"), lit(0).as("doc_end"))
+    body.unionByName(pad)
+  }
+
   /** t37's twin: the SAME K-merge chain, but the answer is the ENCODED
     * word table after the final merge (token count per word type). */
   private def bpeEncodeOracle(k: Int): String = {
@@ -332,6 +371,37 @@ object TextOps {
       encoded.select(col("w"), col("f"),
         (size(split(col("st"), "  ")) - 2).cast("long").as("n_tokens"),
         length(col("w")).cast("long").as("n_chars"))
+    }),
+
+    // -- t38: sequence packing of the BPE-TOKENIZED corpus (VERDICT r12
+    // #4) — the export step between t31's shards and a training run:
+    // docs are measured in t37's learned-tokenizer units (per-word token
+    // counts from the encoded word-TYPE table; words outside the trainer's
+    // ^[a-z]{2,}$ domain count 1 token each, the single-byte-fallback
+    // convention), then packed end-to-end per source in doc_id order into
+    // fixed 512-token training rows with doc-boundary + loss-mask
+    // segments ([[packSegments]]). t14 packs WHITESPACE counts; this is
+    // the real thing a trainer consumes — tokenizer-exact lengths — and
+    // the oracle replays train→encode→measure→pack through the SHARED
+    // [[bpeLadderCtes]] ladder (c7's precedent), so engine and oracle
+    // token counts cannot drift. Scale: the encoded table is vocab-sized
+    // (one equi-join), everything after is t14's per-source window.
+    "t38_sequence_pack" -> ((s, d) => {
+      val docs = documents(s, d)
+      val merges = bpeTrain(docs, 8)
+      val encoded = merges.foldLeft(bpeState0(docs)) { case (df, (_, pair, _)) =>
+        val Array(a, b) = pair.split(' ')
+        df.withColumn("st",
+          replace(col("st"), lit(s" $a  $b "), lit(s" $a$b ")))
+      }
+      val enc = encoded.select(col("w"),
+        (size(split(col("st"), "  ")) - 2).cast("long").as("ntw"))
+      val perDoc = docs
+        .select(col("source"), col("doc_id"), explode(ws).as("w"))
+        .join(enc, Seq("w"), "left")
+        .groupBy(col("source"), col("doc_id"))
+        .agg(sum(coalesce(col("ntw"), lit(1L))).as("n_tok"))
+      packSegments(perDoc, 512L)
     }),
 
     // -- token counting (whitespace + distinct + max token length) ---------
@@ -979,12 +1049,46 @@ object TextOps {
     })
   )
 
+  /** t38's twin: the K-merge ladder (shared CTE builder — engine and
+    * oracle measure docs with the SAME realized tokenizer), the per-doc
+    * token count with the 1-token fallback for out-of-domain words, then
+    * the t14-style per-source cumsum pack with pad closure. */
+  private def bpePackOracle(k: Int, seqLen: Int): String =
+    "WITH " + bpeLadderCtes(k, "documents") + s""",
+       |enc AS (SELECT w, CAST(len(string_split(st, '  ')) - 2 AS BIGINT) AS ntw
+       |        FROM s$k),
+       |tok AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents),
+       |pd AS (SELECT source, doc_id, CAST(SUM(coalesce(ntw, 1)) AS BIGINT) AS n_tok
+       |       FROM tok LEFT JOIN enc USING (w) GROUP BY source, doc_id),
+       |c AS (SELECT source, doc_id, n_tok,
+       |        CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS ce
+       |      FROM pd),
+       |seg AS (SELECT source, doc_id, ce - n_tok AS cs, ce,
+       |         unnest(generate_series((ce - n_tok) // $seqLen, (ce - 1) // $seqLen)) AS seq
+       |       FROM c),
+       |body AS (SELECT source, seq, doc_id,
+       |          greatest(cs - seq * $seqLen, 0) AS tok_start,
+       |          least(ce, (seq + 1) * $seqLen) - greatest(cs, seq * $seqLen) AS n_tok,
+       |          1 AS loss_mask,
+       |          CASE WHEN cs >= seq * $seqLen THEN 1 ELSE 0 END AS doc_start,
+       |          CASE WHEN ce <= (seq + 1) * $seqLen THEN 1 ELSE 0 END AS doc_end
+       |        FROM seg),
+       |tot AS (SELECT source, MAX(ce) AS total FROM c GROUP BY source),
+       |pad AS (SELECT source, (total - 1) // $seqLen AS seq,
+       |          CAST(-1 AS BIGINT) AS doc_id,
+       |          total % $seqLen AS tok_start, $seqLen - total % $seqLen AS n_tok,
+       |          0 AS loss_mask, 0 AS doc_start, 0 AS doc_end
+       |        FROM tot WHERE total % $seqLen <> 0)
+       |SELECT * FROM body UNION ALL SELECT * FROM pad""".stripMargin
+
   private def sqlVotes(set: Seq[String], name: String) =
     s"len(list_filter(string_split(text, ' '), w -> w IN (${set.map(w => s"'$w'").mkString(", ")}))) AS $name"
 
   def oracles: Map[String, String] = Map(
     "t36_bpe_train" -> bpeOracle(8),
     "t37_bpe_encode" -> bpeEncodeOracle(8),
+    "t38_sequence_pack" -> bpePackOracle(8, 512),
     // the decomposed suffix is restated codepoint-by-codepoint via chr():
     // 769=U+0301 combining acute, 778=U+030A ring above, 776=U+0308
     // diaeresis — byte-identical to the engine's escaped literal

@@ -17,7 +17,7 @@ import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
   * compression, XXHash32 integrity, a block-offset index making the file
   * byte-range splittable):
   *
-  *   header   MAGIC "4MC\0" | version: Int BE = 1 | XXH32(first 8 bytes)
+  *   header   MAGIC "4MC\0" | version: Int BE = 2 | XXH32(first 8 bytes)
   *   block*   [rawLen: Int BE][compLen: Int BE][XXH32(payload): Int BE][payload]
   *            (payload stored UNCOMPRESSED when LZ4 gains nothing, marked
   *             by compLen == rawLen — the 4mc incompressible-block rule)
@@ -62,7 +62,12 @@ import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
 object FourMc {
   val Extension = ".4mc"
   private[sources] val Magic = Array[Byte]('4', 'M', 'C', 0)
-  private[sources] val Version = 1
+  /** Container version. 2 = the round-12 footer layout (fixed-position
+    * footerLen copy at len-8); version-1 files (the pre-r12 probed-footer
+    * layout) are NOT readable — the version is validated on open so a
+    * stale v1 file fails with a format-version message instead of a
+    * misleading "missing trailing magic" (ADVICE r12). */
+  private[sources] val Version = 2
 
   /** Hard cap on a block's RAW size: bounds the allocation a (possibly
     * corrupt or hostile) 12-byte block header can demand BEFORE any
@@ -155,6 +160,11 @@ object FourMc {
         s"$path: bad $Extension magic; not a 4mc file")
       require(xxh32(hdr, 0, 8) == java.nio.ByteBuffer.wrap(hdr, 8, 4).getInt,
         s"$path: header checksum mismatch; corrupt header")
+      val hdrVersion = java.nio.ByteBuffer.wrap(hdr, 4, 4).getInt
+      require(hdrVersion == Version,
+        s"$path: $Extension container version $hdrVersion, reader supports " +
+          s"$Version only (the footer layout changed in v$Version; files " +
+          "from older writers are incompatible — regenerate them)")
       val tail8 = new Array[Byte](8)
       in.seek(len - 8)
       in.readFully(tail8)
@@ -172,7 +182,8 @@ object FourMc {
       require(bb.getInt(0) == fl,
         s"$path: footer length copies disagree (${bb.getInt(0)} vs $fl); corrupt")
       require(bb.getInt(4) == Version,
-        s"$path: unsupported $Extension footer version ${bb.getInt(4)}")
+        s"$path: unsupported $Extension footer version ${bb.getInt(4)} " +
+          s"(reader supports $Version; older-writer files are incompatible)")
       val stored = bb.getInt(fl - 12)
       val got = xxh32(trailer, 0, fl - 12)
       require(stored == got,

@@ -136,6 +136,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(extra >= 0 && extra <= 10, s"accidental pair count exploded: $extra")
   }
 
+  test("m11 fingerprint: gain/phase remaster keeps the signature IDENTICAL " +
+    "while every WAV byte can differ") {
+    for (tex <- 0L until 300L) {
+      val base = Multimodal.audioSamples(tex, gain = 1, off = 0)
+      val twin = Multimodal.audioSamples(tex, gain = 2, off = 3)
+      // the whole point of an energy-ORDERING fingerprint: |2s| = 2|s|
+      // preserves every window comparison, and the 3-sample phase shift
+      // only drifts window sums by a bounded edge term the >= 2x envelope
+      // steps dominate — hamming must be exactly 0, not merely <= radius
+      assert(Multimodal.audioSig(base) == Multimodal.audioSig(twin),
+        s"tex=$tex twin signature drifted")
+      // ...yet the twins are NOT byte-dups: the WAVs differ in sample data
+      assert(!Multimodal.wavPcm16(base, 8000).sameElements(
+        Multimodal.wavPcm16(twin, 8000)), s"tex=$tex twins byte-identical")
+      // and the signature is doc-specific (adjacent textures disagree)
+      if (tex > 0)
+        assert(Multimodal.audioSig(base) !=
+          Multimodal.audioSig(Multimodal.audioSamples(tex - 1, 1, 0)),
+          s"tex=$tex collides with ${tex - 1}")
+    }
+  }
+
+  test("m11 recalls every planted audio twin at hamming 0 at sf0.001") {
+    val got = Multimodal.localQueries("m11_audio_neardup")(
+      spark, "/root/testdata/sf0.001")
+    import spark.implicits._
+    val rows = got.as[(Long, Long, Long)].collect()
+    val pairs = rows.map(r => (r._1, r._2)).toSet
+    (0L until 250L).foreach { j =>
+      assert(pairs.contains((2 * j, 2 * j + 1)), s"planted twin pair $j missing")
+      val ham = rows.find(r => (r._1, r._2) == ((2 * j, 2 * j + 1))).get._3
+      assert(ham == 0, s"twin pair $j not exact in fingerprint space: $ham")
+    }
+    // cross-texture accidental pairs are legitimate output (the reference
+    // emits them too) — pin that they stay trace-level
+    val extra = pairs.size - 250
+    assert(extra >= 0 && extra <= 10, s"accidental pair count exploded: $extra")
+  }
+
   test("m8 WAV cycle: AudioSystem decodes the synthesized PCM bit-exactly") {
     for (id <- Seq(0L, 3L, 1234L)) {
       val n = 800 + (id % 5).toInt * 160

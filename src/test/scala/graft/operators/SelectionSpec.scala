@@ -118,6 +118,58 @@ class SelectionSpec extends AnyFunSuite {
     assert(enc("lower") == ((2L, 3L)) && enc("widest") == ((3L, 3L)), enc.toString)
   }
 
+  test("t38: packSegments matches a sequential walk of the token stream") {
+    // Brute-force reference: per source, lay docs end-to-end in doc_id
+    // order, cut at every seqLen boundary, close the final partial row
+    // with a PAD segment — the definitionally-sequential recurrence the
+    // window/cumsum plan must reproduce exactly. The crafted frame hits
+    // every edge: a doc exactly seqLen long (doc_start AND doc_end, full
+    // row), a doc spanning 3 rows, an empty-ish 1-token doc, a source
+    // whose total is an exact multiple of seqLen (NO pad row), and one
+    // that isn't (pad row).
+    val seqLen = 10L
+    val perDoc = Seq(
+      ("A", 1L, 4L), ("A", 2L, 10L), ("A", 3L, 23L), ("A", 4L, 1L),
+      ("A", 5L, 2L),                                   // A total 40 = 4*10
+      ("B", 1L, 7L), ("B", 2L, 10L), ("B", 3L, 6L))    // B total 23 -> pad 7
+    def brute(rows: Seq[(String, Long, Long)]) = rows.groupBy(_._1).toSeq
+      .flatMap { case (src, ds) =>
+        var cur = 0L
+        val out = ds.sortBy(_._2).flatMap { case (_, id, n) =>
+          val (s0, e0) = (cur, cur + n); cur = e0
+          (s0 / seqLen to (e0 - 1) / seqLen).map { seq =>
+            val lo = math.max(s0, seq * seqLen)
+            val hi = math.min(e0, (seq + 1) * seqLen)
+            (src, seq, id, lo - seq * seqLen, hi - lo, 1,
+              if (s0 >= seq * seqLen) 1 else 0,
+              if (e0 <= (seq + 1) * seqLen) 1 else 0)
+          }
+        }
+        if (cur % seqLen == 0) out
+        else out :+ (src, (cur - 1) / seqLen, -1L, cur % seqLen,
+          seqLen - cur % seqLen, 0, 0, 0)
+      }.toSet
+    val got = TextOps.packSegments(
+        perDoc.toDF("source", "doc_id", "n_tok"), seqLen)
+      .as[(String, Long, Long, Long, Long, Int, Int, Int)].collect().toSet
+    assert(got == brute(perDoc), got.toString)
+    // invariants every training consumer relies on: each (source, seq)
+    // row's segments tile [0, seqLen) exactly, and each doc's segments
+    // reassemble its full token count
+    val bySeq = got.groupBy(r => (r._1, r._2))
+    bySeq.foreach { case (k, segs) =>
+      assert(segs.toSeq.map(_._5).sum == seqLen, s"row $k not full")
+      val sorted = segs.toSeq.sortBy(_._4)
+      assert(sorted.head._4 == 0 && sorted.sliding(2).forall {
+        case Seq(a, b) => a._4 + a._5 == b._4; case _ => true
+      }, s"row $k has gaps/overlap")
+    }
+    perDoc.foreach { case (src, id, n) =>
+      assert(got.toSeq.filter(r => r._1 == src && r._3 == id).map(_._5).sum == n,
+        s"doc $src/$id token count not conserved")
+    }
+  }
+
   test("s13: the JL sign projection preserves similarity structure") {
     // the sketch must be USEFUL, not just engine-exact: for planted
     // near-duplicate pairs the 16-dim sketch dot product has to rank the

@@ -295,6 +295,85 @@ def m8_oracle(con, sf_dir):
         "doc_id", "sample_rate", "n_samples", "peak", "rms", "zcr"])
 
 
+def _mix64(x):
+    m = (1 << 64) - 1
+    x &= m
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & m
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & m
+    return x ^ (x >> 31)
+
+
+def m11_oracle(con, sf_dir):
+    """Audio near-dup reference (m8 ∘ d11): the same two-tone PCM under the
+    per-window power-of-2 amplitude melody, through an independent WAV
+    encode + header-parse decode cycle (m8's discipline), then the
+    windowed-|amplitude| 60-bit fingerprint and the 4x15-bit banding.
+    Twins (docs 2j/2j+1, shared tex = id >> 1) differ in gain (x2) and
+    phase (+3 samples) — byte-different WAVs, identical energy orderings."""
+    import struct
+    NW, WL = 120, 160
+
+    def sig_for(doc):
+        tex = doc >> 1
+        gain, off = 1 + doc % 2, 3 * (doc % 2)
+        p1, p2 = 20 + tex % 11, 50 + tex % 7
+        samples = []
+        prev = -1
+        for w in range(NW):
+            e = _mix64(tex * NW + w + 1) & 3
+            if e == prev:
+                e = (e + 1) % 4
+            prev = e
+            amp = 1 << e
+            for i in range(WL):
+                t = w * WL + i + off
+                samples.append(gain * amp * (_tri(t, p1) + _tri(t, p2)))
+        # WAV cycle: canonical RIFF encode, then re-parse header + LE int16
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE" +
+               b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16) +
+               b"data" + struct.pack("<I", len(data)) + data)
+        (dlen,) = struct.unpack_from("<I", wav, 40)
+        dec = list(struct.unpack_from(f"<{dlen // 2}h", wav, 44))
+        assert dec == samples
+        f = [sum(abs(v) for v in dec[w * WL:(w + 1) * WL]) for w in range(NW)]
+        sig = 0
+        for i in range(60):
+            if f[2 * i + 1] > f[2 * i]:
+                sig |= 1 << i
+        return sig
+
+    sigs = {d: sig_for(d) for d in _doc_ids(con, sf_dir)}
+    buckets = {}
+    for d, s in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, (s >> (15 * b)) & 32767), []).append(d)
+    pairs = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        ham = bin(sigs[a] ^ sigs[b]).count("1")
+        if ham <= 3:
+            rows.append((a, b, ham))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+
+
+# a5's golden contig set: the reference repo's bundled example reads
+# (the only real dataset it ships) assemble to exactly ONE 4575 bp contig
+# at k=31 minCov=2 — pinned by DomainRunSpec since round ~6 and by this
+# digest (md5 of the orientation-canonicalized contig) since round 13.
+# The fixture is SF-independent, so the expected table is constant.
+A5_GOLDEN = [("66a1f0d81becb9f7e767bdb1f71e7f83", 4575)]
+
+
+def a5_oracle(con, sf_dir):
+    return pd.DataFrame(A5_GOLDEN, columns=["contig_md5", "len"])
+
+
 # queries whose reference is not expressible in DuckDB SQL: computed in
 # Python instead, hash-compared exactly like the SQL oracles
 PY_ORACLES = {
@@ -305,6 +384,8 @@ PY_ORACLES = {
     "m8_audio_features": m8_oracle,
     "m9_scene_cuts": m9_oracle,
     "m10_keyframe_neardup": m10_oracle,
+    "m11_audio_neardup": m11_oracle,
+    "a5_example_assembly": a5_oracle,
 }
 
 
