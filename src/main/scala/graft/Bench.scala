@@ -45,9 +45,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE decouples shuffle-partition count from thread
+    // count for partition-granularity experiments (VERDICT r12: d19's
+    // 128-partition peak-memory run) — oversubscribing local[] threads to
+    // get more partitions would contend the cores and corrupt the timing
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -208,7 +213,8 @@ object Bench {
       (s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
         s""""samples":$sampJ,"counters":$ctrJ,""" +
         s""""peak_task_mem":$memJ,"spill_bytes":$spillJ,""" +
-        s""""spilled_queries":$spilled,"errors":$es,"sf":"$sfDir"}""").getBytes("UTF-8"))
+        s""""spilled_queries":$spilled,"errors":$es,"sf":"$sfDir",""" +
+        s""""shuffle_partitions":$shuffle,"cpus":$cpus}""").getBytes("UTF-8"))
     var line = render(times.sortBy(_._1))
     if (line.length > 1500) {
       // keep the slowest queries (the ones the judge cares about) up to budget

@@ -301,7 +301,13 @@ object TextOps {
     * distributed or SQL-window form). Scale shape = t14/t15: the cumsum
     * window partitions by source, the segment fan-out is a per-row
     * sequence+explode, and the pad table is one tiny per-source
-    * aggregate — nothing is corpus-global. */
+    * aggregate — nothing is corpus-global. Parallelism is bounded by the
+    * source count; a corpus dominated by ONE giant source would swap the
+    * window for the two-phase per-partition-offset cumsum (per-partition
+    * token sums collected once, offsets broadcast back — the FASTA sink's
+    * distributed-id pattern, t14's documented escape hatch) without
+    * changing a single downstream expression, since only `cum_end` is
+    * window-derived. */
   private[graft] def packSegments(perDoc: DataFrame, seqLen: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))

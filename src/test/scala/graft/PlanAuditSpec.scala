@@ -29,6 +29,26 @@ class PlanAuditSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  test("r13 ops: t38 pack is window+equi-join, m11 banding is equi-join — " +
+    "no cartesian, no nested loop, no global sort") {
+    val t = plan("t38_sequence_pack")
+    assert(!t.contains("CartesianProduct"), "t38 has a cartesian")
+    assert(!t.contains("BroadcastNestedLoopJoin"), "t38 has a nested loop")
+    // the pack's only wide ops: the per-source window and the vocab
+    // equi-join — a GLOBAL sort appearing here is the q17-class defect
+    val gs = SparkEntry.queries("t38_sequence_pack")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+      }
+    assert(gs.isEmpty, s"t38 gained a global sort:\n${gs.mkString("\n")}")
+    val m = SparkEntry.localQueries("m11_audio_neardup")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // candidate generation must stay the d11 banded EQUI-join (bucket
+    // equality), never all-pairs: only 8-byte signatures shuffle
+    assert(!m.contains("CartesianProduct"), "m11 has a cartesian")
+    assert(!m.contains("BroadcastNestedLoopJoin"), "m11 has a nested loop")
+  }
+
   test("q5_nation_revenue broadcasts its dimension tables") {
     val p = plan("q5_nation_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

@@ -316,9 +316,16 @@ def main() -> int:
             f"x10 regime split lost: distinct shingles per side {sides}, k={k}")
         print(f"[patho] x10 regimes split: even(absorbed)={sides.get(0)} "
               f"< k={k} < odd(estimating)={sides.get(1)}")
-    v = subprocess.run(
-        ["sbt", "-batch", f"runMain graft.Verify {sf} {out}"],
-        cwd="/root/repo", capture_output=True, text=True)
+    # PATHO_RUNNER=lockfree drives Verify through tools/run_main.sh (raw
+    # classpath, no sbt lock) so several sweep modes can run CONCURRENTLY;
+    # the default stays sbt (always-compiled classes). With the lock-free
+    # runner YOU are responsible for `sbt package`/compile being current.
+    import os
+    if os.environ.get("PATHO_RUNNER") == "lockfree":
+        cmd = ["tools/run_main.sh", "graft.Verify", str(sf), str(out)]
+    else:
+        cmd = ["sbt", "-batch", f"runMain graft.Verify {sf} {out}"]
+    v = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
     if v.returncode != 0:
         print(f"[patho] verify failed to run (rc={v.returncode}); output tails:")
         print("---- stdout ----\n" + v.stdout[-4000:])
