@@ -842,24 +842,46 @@ object Dedup {
   /** Banded hamming pairing over a `(doc_id, sig)` 60-bit signature
     * table: pairs with popcount(xor) <= 3, found via 4x15-bit band
     * equality (pigeonhole-COMPLETE for that radius — spec-proven equal to
-    * brute force on random signatures). */
+    * brute force on random signatures).
+    *
+    * Bucket-group form (r13, guide §2.4/§2.3): the earlier band
+    * SELF-JOIN planned the `sig` subtree TWICE — for m6/m10/m11 that
+    * subtree is the full media decode pipeline, so every image/audio
+    * payload was decoded twice per run — and cost three exchanges (one
+    * per join side + distinct). Grouping each (band, value) bucket and
+    * emitting intra-bucket pairs computes signatures ONCE and shuffles
+    * twice (bucket exchange + distinct), with the hamming filter applied
+    * BEFORE the distinct so only true near-pairs (not raw band
+    * candidates) hit the second shuffle. Same pair set: both forms
+    * enumerate exactly the doc pairs sharing >= 1 of 4 band values
+    * (DedupSpec pins brute-force equality; every caller feeds unique
+    * doc_ids so the (doc_a, doc_b, hamming) distinct is the same
+    * dedup-across-bands the old (doc_a, doc_b, sa, sb) distinct did). */
   def simhashPairs(sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("bnd"),
-        shiftrightunsigned(col("sig"), 15 * b).bitwiseAND(lit(32767L))
-          .as("bv"))): _*)).as("e"))
-      .select(col("doc_id"), col("sig"), col("e.bnd").as("bnd"),
-        col("e.bv").as("bv"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.bnd") === col("y.bnd") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sa"), col("y.sig").as("sb"))
+    val spark = sig.sparkSession
+    import spark.implicits._
+    sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("bnd"),
+          shiftrightunsigned(col("sig"), 15 * b).bitwiseAND(lit(32767L))
+            .as("bv"))): _*)).as("e"))
+      .select(col("e.bnd").as("bnd"), col("e.bv").as("bv"),
+        col("doc_id"), col("sig"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey { case (bnd, bv, _, _) => (bnd, bv) }
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+        val docs = it.map { case (_, _, id, s) => (id, s) }.toArray
+        (for {
+          i <- docs.indices.iterator
+          j <- (i + 1 until docs.length).iterator
+          (ia, sa) = docs(i)
+          (ib, sb) = docs(j)
+          if ia != ib
+          h = java.lang.Long.bitCount(sa ^ sb).toLong
+          if h <= 3L
+        } yield if (ia < ib) (ia, ib, h) else (ib, ia, h)): Iterator[(Long, Long, Long)]
+      }
+      .toDF("doc_a", "doc_b", "hamming")
       .distinct()
-    cand.withColumn("hamming",
-        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
-      .filter(col("hamming") <= 3)
-      .select("doc_a", "doc_b", "hamming")
   }
 
   // ----------------------------------------------------------- oracle SQL

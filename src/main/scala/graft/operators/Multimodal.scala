@@ -27,9 +27,12 @@ import graft.Tables._
 object Multimodal {
 
   /** STUB decoder: stands in for e.g. an audio decode + tag read (the
-    * image path below is real). */
-  private def decodeStub(id: Long, payload: Array[Byte]): (Long, Long, String, Long, Long) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    * image path below is real). The digest instance is caller-provided so
+    * a partition allocates ONE (provider lookup per row measured in m1's
+    * profile — guide §1.2 "per-task work"). */
+  private def decodeStub(md: java.security.MessageDigest, id: Long,
+                         payload: Array[Byte]): (Long, Long, String, Long, Long) = {
+    md.reset()
     val hex = md.digest(payload).map("%02x".format(_)).mkString
     val n = payload.length.toLong
     (id, n, hex, n % 640, (n * 31) % 480)
@@ -86,22 +89,50 @@ object Multimodal {
       out.write(be(c.getValue.toInt), 0, 4)
     }
     chunk("IHDR", be(w) ++ be(h) ++ Array[Byte](8, 2, 0, 0, 0))
-    val defl = new java.util.zip.Deflater()
+    // one native zlib context per thread, reset per image: Deflater
+    // construction/finalization was a malloc+free pair per frame (8
+    // frames/doc in m2/m9/m10 — guide §1.2 "per-task work"). reset()
+    // restores the exact initial stream state, so output bytes are
+    // unchanged (pinned by the local PNG-cycle oracles).
+    val defl = pngDeflater.get()
+    defl.reset()
     defl.setInput(raw); defl.finish()
     val cbuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
     val tmp = new Array[Byte](8192)
     while (!defl.finished()) cbuf.write(tmp, 0, defl.deflate(tmp))
-    defl.end()
     chunk("IDAT", cbuf.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }
 
-  /** `javax.imageio` decode → row-major 0xRRGGBB matrix. */
+  private val pngDeflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater = new java.util.zip.Deflater()
+  }
+
+  /** `javax.imageio` decode → row-major 0xRRGGBB matrix.
+    *
+    * Perf (r13, guide §1.2 "per-task work"): ImageIO.read(InputStream)
+    * under the default use-cache setting spools each image through a
+    * FileCacheImageInputStream — a temp-file create/write/delete PER
+    * DECODE (the syscall traffic, not the inflate, dominated m9's
+    * profile); memory caching is turned on once instead. The per-pixel
+    * getRGB(x, y) loop (a ColorModel virtual dispatch per pixel) becomes
+    * the bulk row read — both forms return identical ARGB ints, and the
+    * local pure-Python PNG-cycle oracles pin the decoded values. */
+  private lazy val imageIoNoCache: Unit = javax.imageio.ImageIO.setUseCache(false)
   private[graft] def decodePng(png: Array[Byte]): Array[Array[Int]] = {
+    imageIoNoCache
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
     require(img != null, "ImageIO could not decode the PNG payload")
-    Array.tabulate(img.getHeight, img.getWidth)((y, x) => img.getRGB(x, y) & 0xffffff)
+    val w = img.getWidth
+    val h = img.getHeight
+    val flat = img.getRGB(0, 0, w, h, null, 0, w)
+    Array.tabulate(h) { y =>
+      val row = new Array[Int](w)
+      var x = 0
+      while (x < w) { row(x) = flat(y * w + x) & 0xffffff; x += 1 }
+      row
+    }
   }
 
   /** Integer ITU-esque luma (floor; exact in any integer language). */
@@ -150,7 +181,10 @@ object Multimodal {
       documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, payload) => decodeStub(id, payload) })
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (id, payload) => decodeStub(md, id, payload) }
+        }
         .toDF("doc_id", "n_bytes", "content_md5", "fake_w", "fake_h")
     }),
 
@@ -290,10 +324,36 @@ object Multimodal {
     out.array()
   }
 
+  /** The JDK's WAVE codec, resolved ONCE from the same
+    * `javax.sound.sampled.spi.AudioFileReader` service registry that
+    * `AudioSystem.getAudioInputStream` consults. AudioSystem's dispatch
+    * takes a GLOBAL lock per call (measured: 32 threads decoding WAVs
+    * through AudioSystem ran 46 s where ONE thread took 9 s — the
+    * provider walk serializes the whole executor; guide §2.6
+    * stragglers). The probe picks whichever registered reader accepts
+    * this engine's canonical WAV, so the decode path and bytes are
+    * unchanged — only the per-call registry lock is gone. Readers are
+    * stateless parsers, safe to share across tasks. */
+  private lazy val waveReader: javax.sound.sampled.spi.AudioFileReader = {
+    val probe = wavPcm16(Array(0, 100, -100, 0), 8000)
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    var found: javax.sound.sampled.spi.AudioFileReader = null
+    while (found == null && it.hasNext) {
+      val r = it.next()
+      try {
+        r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close()
+        found = r
+      } catch { case _: Exception => () }
+    }
+    require(found != null, "no registered AudioFileReader accepts canonical WAV")
+    found
+  }
+
   /** REAL audio decode via `javax.sound.sampled` (the JDK's audio codec
     * layer — the ImageIO of this path): returns (sampleRate, samples). */
   private[graft] def decodeWav(wav: Array[Byte]): (Int, Array[Int]) = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    val in = waveReader.getAudioInputStream(
       new java.io.ByteArrayInputStream(wav))
     val fmt = in.getFormat
     require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
@@ -408,14 +468,21 @@ object Multimodal {
           val n = 800 + (id % 5).toInt * 160
           val wav = wavPcm16(pcm(id, n), 8000)
           val (sr, samples) = decodeWav(wav)
-          val peak = samples.map(v => math.abs(v).toLong).max
-          val rms = isqrt(samples.map(v => v.toLong * v).sum / samples.length)
+          // single unboxed pass for peak/energy/zcr (the .map(...).max
+          // chain boxed every sample — guide §1.2 "per-task work")
+          var peak = 0L
+          var energy = 0L
           var zcr = 0L
-          var i = 1
+          var i = 0
           while (i < samples.length) {
-            if ((samples(i) >= 0) != (samples(i - 1) >= 0)) zcr += 1
+            val v = samples(i)
+            val a = math.abs(v).toLong
+            if (a > peak) peak = a
+            energy += v.toLong * v
+            if (i > 0 && (v >= 0) != (samples(i - 1) >= 0)) zcr += 1
             i += 1
           }
+          val rms = isqrt(energy / samples.length)
           (id, sr.toLong, samples.length.toLong, peak, rms, zcr)
         })
         .toDF("doc_id", "sample_rate", "n_samples", "peak", "rms", "zcr")
