@@ -82,6 +82,67 @@ object KmerFns {
     KmerCodec.canonicalLong(KmerCodec.encodeLong(str, 0, k), k)
   }
 
+  /** Fused `canon_pack(substring(s, i, len))` — 1-based `i`, ZERO
+    * allocation on the all-uppercase-ACGT ASCII fast path (the packed
+    * long is built straight off the UTF8String bytes). Anything off the
+    * fast path (multi-byte chars, lowercase, invalid bases, windows past
+    * the end) delegates to the composed form for exact parity —
+    * KmerExpressionsSpec pins equality against the composition. */
+  def canonPackAt(s: UTF8String, i: Int, len: Int): Long =
+    canonPackSub(s, i, len, 0, null)
+
+  /** [[canonPackAt]] over the PATCHED read: the composition
+    * `canon_pack(substring(concat(substr(s,1,p-1), b, substr(s,p+1,..)),
+    * i, len))` — the error corrector's candidate k-mer key — computed
+    * without materializing the altered read or the k-mer substring when
+    * `b` is one uppercase-ACGT char and the window stays inside an
+    * all-ASCII `s` (the always case for DNA reads). `p <= 0` or null `b`
+    * means no patch. Off-fast-path inputs build the composed string so
+    * the contract is exact everywhere (spec-pinned). */
+  def canonPackSub(s: UTF8String, i: Int, len: Int, p: Int, b: UTF8String): Long = {
+    val patch = b != null && p >= 1
+    val nBytes = s.numBytes()
+    if (i >= 1 && len >= 1 && len <= 31 && i - 1 + len <= nBytes &&
+        (!patch || (b.numBytes() == 1 && p <= nBytes))) {
+      // prefix must be pure ASCII for byte offset == char offset
+      var j = 0
+      var ascii = true
+      while (ascii && j < nBytes) { if (s.getByte(j) < 0) ascii = false; j += 1 }
+      if (ascii && (!patch || okBase(b.getByte(0)))) {
+        val start = i - 1
+        var v = 0L
+        var ok = true
+        j = 0
+        while (ok && j < len) {
+          var c: Byte = s.getByte(start + j)
+          if (patch && start + j == p - 1) c = b.getByte(0)
+          (c: @annotation.switch) match {
+            case 'A' => v = v << 2
+            case 'C' => v = (v << 2) | 1L
+            case 'G' => v = (v << 2) | 2L
+            case 'T' => v = (v << 2) | 3L
+            case _   => ok = false
+          }
+          j += 1
+        }
+        if (ok) return KmerCodec.canonicalLong(v, len)
+      }
+    }
+    canonPackSubSlow(s, i, len, p, b)
+  }
+
+  @inline private def okBase(c: Byte): Boolean =
+    c == 'A' || c == 'C' || c == 'G' || c == 'T'
+
+  private def canonPackSubSlow(s: UTF8String, i: Int, len: Int, p: Int, b: UTF8String): Long = {
+    val str = s.toString
+    val patched =
+      if (b == null || p < 1) str
+      else str.substring(0, math.min(p - 1, str.length)) + b.toString +
+        (if (p < str.length) str.substring(p) else "")
+    canonPack(UTF8String.fromString(patched).substringSQL(i, len))
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -295,6 +356,57 @@ case class CanonPack(child: Expression) extends UnaryExpression with ExpectsInpu
     copy(child = newChild)
 }
 
+/** `canon_pack_at(str, i, len)` -> packed canonical k-mer of the
+  * `len`-char window at 1-based `i` — the fused, allocation-free form of
+  * `canon_pack(substring(str, i, len))` (see [[KmerFns.canonPackAt]]).
+  * Same key domain as canon_pack, so join membership is unchanged. */
+case class CanonPackAt(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "canon_pack_at"
+  protected override def nullSafeEval(s: Any, i: Any, l: Any): Any =
+    KmerFns.canonPackAt(s.asInstanceOf[UTF8String], i.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, i, l) => s"graft.functions.KmerFns.canonPackAt($s, $i, $l)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): CanonPackAt =
+    copy(first = f, second = s, third = t)
+}
+
+/** `canon_pack_sub(str, i, len, p, b)` -> [[CanonPackAt]] over the read
+  * with the base at 1-based position `p` replaced by `b` — the error
+  * corrector's candidate k-mer key with no candidate-string
+  * materialization (see [[KmerFns.canonPackSub]]). */
+case class CanonPackSub(children: Seq[Expression])
+    extends Expression with ExpectsInputTypes {
+  require(children.size == 5, "canon_pack_sub takes (str, i, len, p, b)")
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, IntegerType, IntegerType, IntegerType, StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else KmerFns.canonPackSub(vs(0).asInstanceOf[UTF8String], vs(1).asInstanceOf[Int],
+      vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int], vs(4).asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val gs = children.map(_.genCode(ctx))
+    val anyNull = gs.map(_.isNull.toString).mkString(" || ")
+    ev.copy(code = code"""
+      ${gs.map(_.code).mkString("\n")}
+      boolean ${ev.isNull} = $anyNull;
+      long ${ev.value} = -1L;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.KmerFns.canonPackSub(
+          ${gs(0).value}, ${gs(1).value}, ${gs(2).value}, ${gs(3).value}, ${gs(4).value});
+      }""")
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CanonPackSub =
+    copy(children = newChildren)
+}
+
 /** `minimizer_md5(read, k, w)` -> array of distinct md5-hex (k,w)-window
   * minimizers (the minimap2 seeding sketch, Li 2018 §2.1). One codegen'd
   * kernel call per read replaces the interpreted HOF chain
@@ -359,6 +471,8 @@ object GraftFunctions {
     "kmer_pack" -> (args => KmerPack(args.head)),
     "kmer_unpack" -> (args => KmerUnpack(args(0), args(1))),
     "canon_pack" -> (args => CanonPack(args.head)),
+    "canon_pack_at" -> (args => CanonPackAt(args(0), args(1), args(2))),
+    "canon_pack_sub" -> (args => CanonPackSub(args)),
     "minimizer_md5" -> (args => MinimizerMd5(args(0), args(1), args(2))),
     "minimizer_windows" -> (args => MinimizerWindows(args(0), args(1), args(2))),
     "rolling_hash" -> (args => RollingHash(args.head)),

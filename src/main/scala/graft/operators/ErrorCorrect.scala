@@ -76,7 +76,7 @@ object ErrorCorrect {
     * membership below is unchanged vs the string form the DuckDB oracle
     * computes. String-domain fallback beyond the packable width. */
   private def fusedKey(src: String, k: Int): Column =
-    if (k <= 31) expr(s"canon_pack(substring($src, i, $k))")
+    if (k <= 31) expr(s"canon_pack_at($src, i, $k)")
     else canon(col(src).substr(col("i"), lit(k)))
 
   /** The solid-k-mer spectrum of a read set: `(skv)` keyed canonical
@@ -137,19 +137,29 @@ object ErrorCorrect {
         size(filter(col("bad"), i => i.between(col("lo"), col("hi")))))
     // 3 alternate bases per suspect position; only the ALTERED covering
     // k-mers need the solid lookup
+    // candidate k-mer keys come straight off the ORIGINAL read via the
+    // patched fused pack (canon_pack_sub) — the altered read string and
+    // the per-k-mer substrings are never materialized. The earlier
+    // concat-cand + substring form allocated ~3 objects per covering
+    // k-mer row and its GC dominated this stage (measured at sf0.1:
+    // 197 s of 604 s task time in GC on a bad pass; guide §1.2 per-task
+    // work / §5 memory pressure). `cand` is rebuilt only for the single
+    // winning row per read in the final projection below.
     val alt = suspects
       .repartition(fanout, col("read_id"), col("p"))
       .select(col("read_id"), col("read"), col("p"), col("oc"),
         explode(array(lit("A"), lit("C"), lit("G"), lit("T"))).as("b"))
       .filter(col("b") =!= col("read").substr(col("p"), lit(1)))
-      .withColumn("cand", concat(
-        col("read").substr(lit(1), col("p") - 1), col("b"),
-        col("read").substr(col("p") + 1, length(col("read")) - col("p"))))
     val sc = alt
-      .select(col("read_id"), col("p"), col("b"), col("oc"), col("cand"),
+      .select(col("read_id"), col("p"), col("b"), col("oc"), col("read"),
         explode(sequence(greatest(lit(1), col("p") - (k - 1)),
-          least(col("p"), length(col("cand")) - (k - 1)))).as("i"))
-      .withColumn("km", fusedKey("cand", k))
+          least(col("p"), length(col("read")) - (k - 1)))).as("i"))
+      .withColumn("km",
+        if (k <= 31) expr(s"canon_pack_sub(read, i, $k, p, b)")
+        else canon(concat(
+          col("read").substr(lit(1), col("p") - 1), col("b"),
+          col("read").substr(col("p") + 1, length(col("read")) - col("p")))
+          .substr(col("i"), lit(k))))
       .join(solid, col("km") === col("skv"), "left")
       .groupBy("read_id", "p", "b", "oc")
       .agg(sum(when(col("skv").isNotNull, 1).otherwise(0)).as("c"))

@@ -174,6 +174,23 @@ object Multimodal {
     sig
   }
 
+  /** Spread the 8-byte doc_id list across the session's shuffle
+    * parallelism BEFORE a decode mapPartitions: the sf parquet is one
+    * split, so every per-doc codec pipeline below otherwise runs on ONE
+    * task (measured: m11's synth+decode+DSP wall equals its single-core
+    * time while 31 cores idle — guide §2.5 input skew, "repartition
+    * immediately after the read"). Hash-by-doc_id, not round-robin:
+    * deterministic, no sort-before-repartition, and the unique key
+    * spreads evenly. Real media inputs arrive pre-split; this mirrors
+    * that. Row contents are untouched, so results are identical. */
+  private def spreadIds(s: SparkSession, df: org.apache.spark.sql.Dataset[Long]): org.apache.spark.sql.Dataset[Long] = {
+    val n = s.conf.get("spark.sql.shuffle.partitions", "200") match {
+      case "auto" => 200
+      case v => v.toInt
+    }
+    df.repartition(n, col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- payload -> metadata extraction via partition-wise batch decode ----
     "m1_media_meta" -> ((s, d) => {
@@ -463,7 +480,7 @@ object Multimodal {
     // the executor.
     "m8_audio_features" -> ((s, d) => {
       import s.implicits._
-      documents(s, d).select(col("doc_id")).as[Long]
+      spreadIds(s, documents(s, d).select(col("doc_id")).as[Long])
         .mapPartitions(_.map { id =>
           val n = 800 + (id % 5).toInt * 160
           val wav = wavPcm16(pcm(id, n), 8000)
@@ -494,7 +511,7 @@ object Multimodal {
     // all on the hash.
     "m3_resize" -> ((s, d) => {
       import s.implicits._
-      documents(s, d).select(col("doc_id")).as[Long]
+      spreadIds(s, documents(s, d).select(col("doc_id")).as[Long])
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("MD5")
           it.map { id =>
@@ -527,7 +544,7 @@ object Multimodal {
     // decode, and the sampling shape on true pixels.
     "m2_frame_sample" -> ((s, d) => {
       import s.implicits._
-      documents(s, d).select(col("doc_id")).as[Long]
+      spreadIds(s, documents(s, d).select(col("doc_id")).as[Long])
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("MD5")
           it.flatMap { id =>
@@ -562,7 +579,7 @@ object Multimodal {
     // embarrassingly parallel; only (doc, frame, long, int) rows move.
     "m9_scene_cuts" -> ((s, d) => {
       import s.implicits._
-      documents(s, d).select(col("doc_id")).as[Long]
+      spreadIds(s, documents(s, d).select(col("doc_id")).as[Long])
         .mapPartitions(_.flatMap { id =>
           val cut1 = 2 + (id % 3).toInt // first frame of scene 1
           val cut2 = 5 + (id % 2).toInt // first frame of scene 2
@@ -611,7 +628,7 @@ object Multimodal {
     // banding invariant), decode stays embarrassingly parallel.
     "m10_keyframe_neardup" -> ((s, d) => {
       import s.implicits._
-      val sigs = documents(s, d).select(col("doc_id")).as[Long]
+      val sigs = spreadIds(s, documents(s, d).select(col("doc_id")).as[Long])
         .mapPartitions(_.flatMap { id =>
           val cut1 = 2 + (id % 3).toInt
           val cut2 = 5 + (id % 2).toInt
@@ -651,7 +668,7 @@ object Multimodal {
     // embarrassingly parallel.
     "m11_audio_neardup" -> ((s, d) => {
       import s.implicits._
-      val sigs = documents(s, d).select(col("doc_id")).as[Long]
+      val sigs = spreadIds(s, documents(s, d).select(col("doc_id")).as[Long])
         .mapPartitions(_.map { id =>
           val wav = wavPcm16(
             audioSamples(id >> 1, gain = 1 + (id % 2).toInt,
@@ -673,7 +690,7 @@ object Multimodal {
     // hamming ≤ 3). No pixel data ever shuffles — only 8-byte signatures.
     "m6_phash_neardup" -> ((s, d) => {
       import s.implicits._
-      val sigs = documents(s, d).select(col("doc_id")).as[Long]
+      val sigs = spreadIds(s, documents(s, d).select(col("doc_id")).as[Long])
         .mapPartitions(_.flatMap { id =>
           def img(edit: Boolean) = decodePng(pngRgb(32, 24, { (x, y) =>
             val v = pixel(id, 0, x, y, 32, 24)

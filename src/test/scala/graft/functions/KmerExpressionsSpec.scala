@@ -98,6 +98,35 @@ class KmerExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("canon_pack_at / canon_pack_sub == composed substring forms (fuzz)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = new scala.util.Random(131)
+    // mixed alphabets (incl. lowercase + N) and window/patch positions
+    // both inside and past the end — every row must equal the composed
+    // canon_pack(substring(...)) / patched-concat form
+    val rows = (1 to 400).map { i =>
+      val n = r.nextInt(40) + 1
+      val alpha = i % 7 match {
+        case 0 => "ACGTN"; case 1 => "ACGTacgt"; case _ => "ACGT"
+      }
+      val s = Array.fill(n)(alpha(r.nextInt(alpha.length))).mkString
+      val k = r.nextInt(33) + 1           // 1..33 (beyond the 31 contract too)
+      val i0 = r.nextInt(n + 4) + 1       // window start, may run past end
+      val p = r.nextInt(n + 3) + 1        // patch pos, may run past end
+      val b = "ACGT"(r.nextInt(4)).toString
+      (s, i0, k, p, b)
+    }
+    val df = rows.toDF("s", "i", "k", "p", "b").selectExpr(
+      "canon_pack_at(s, i, k)", "canon_pack(substring(s, i, k))",
+      "canon_pack_sub(s, i, k, p, b)",
+      "canon_pack(substring(concat(substr(s, 1, p-1), b, substr(s, p+1, length(s)-p)), i, k))")
+    df.collect().foreach { row =>
+      assert(row.getLong(0) == row.getLong(1), s"canon_pack_at mismatch: $row")
+      assert(row.getLong(2) == row.getLong(3), s"canon_pack_sub mismatch: $row")
+    }
+  }
+
   test("KmerAlgebra optimizer rule collapses canonical(revcomp(x))") {
     GraftFunctions.register(spark)
     val df = spark.range(16)
