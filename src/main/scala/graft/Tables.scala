@@ -50,4 +50,24 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Hash-repartition `df` by `keys` to the session's shuffle parallelism
+    * when its plan would otherwise run on fewer map partitions. The
+    * driver-generated sf parquet is ONE row group, so scan-stage per-row
+    * work (shingling, hashing, codec pipelines) otherwise serializes on a
+    * single task while the other cores idle (guide §2.5 input skew:
+    * "repartition immediately after the read"). An already-split input
+    * (>= half the session parallelism) passes through untouched — at
+    * scale, where scans arrive pre-split by maxPartitionBytes, this is a
+    * no-op rather than an extra payload shuffle. Call it on a plain
+    * scan/projection: the partition probe builds the RDD lineage without
+    * running a job. Row contents are untouched, so results never change. */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val s = df.sparkSession
+    val n = s.conf.get("spark.sql.shuffle.partitions", "200") match {
+      case "auto" => 200
+      case v => v.toInt
+    }
+    if (df.rdd.getNumPartitions * 2 >= n) df else df.repartition(n, keys: _*)
+  }
 }

@@ -62,7 +62,12 @@ object Curation {
     // consume it, and each would otherwise re-run the upstream lineage
     // (a parquet text scan at best, a whole strip/augment sub-DAG at
     // worst — c4 paid that before checkpointing its own input)
-    val base = docs.select(col("doc_id"), col("text")).localCheckpoint()
+    // spread before the checkpoint: the checkpoint freezes the scan's
+    // partitioning, and a single-row-group input would pin every verdict
+    // branch's map side (shingles, md5, n-grams) to ONE task (see
+    // Tables.spread — no-op for pre-split input)
+    val base = graft.Tables.spread(
+      docs.select(col("doc_id"), col("text")), col("doc_id")).localCheckpoint()
     val ws = split(col("text"), " ")
 
     // 1. exact dedup
@@ -150,7 +155,8 @@ object Curation {
     val dsir = dsirTargetLang match {
       case None => base.select(col("doc_id"), lit(1).as("dsir_keep"))
       case Some(tl) =>
-        TextOps.dsirWeights(docs.select(col("doc_id"), col("lang"), col("text")), tl)
+        TextOps.dsirWeights(graft.Tables.spread(
+          docs.select(col("doc_id"), col("lang"), col("text")), col("doc_id")), tl)
           .select(col("doc_id"),
             when(col("logw_bits") > 0, 1).otherwise(0).as("dsir_keep"))
     }
@@ -268,7 +274,8 @@ object Curation {
     // them, as a real pipeline's would.
     "c4_curate_bp" -> ((s, d) => {
       val doc = documents(s, d)
-      val aug = doc.filter(col("doc_id") % 100 =!= 0)
+      val aug = graft.Tables.spread(doc.filter(col("doc_id") % 100 =!= 0)
+          .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
         .select(col("doc_id"), col("source"),
           concat(lit("site header for "), col("source"), lit(" menu "),
             col("text")).as("text"))

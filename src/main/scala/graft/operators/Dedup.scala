@@ -38,7 +38,10 @@ object Dedup {
     * the oracle (which states the same GREATEST(MAX+1, 100000)) stays
     * green — the planted-near-dup ground truth must hold at EVERY sf. */
   private[operators] def corpus(s: SparkSession, d: String): DataFrame = {
-    val doc = documents(s, d)
+    // spread the scan before the shingle/md5 map side (single-row-group
+    // input otherwise serializes it on one task — see Tables.spread)
+    val doc = graft.Tables.spread(
+      documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
     val off = broadcast(doc.agg(
       greatest(max(col("doc_id")) + 1, lit(100000L)).as("aug_off")))
     val truncated =
@@ -359,7 +362,8 @@ object Dedup {
     // df keys are content hashes, so the shuffle carries 16-byte keys at
     // 100 TB, and ubiquitous chunks never fan out (df agg, not self-join).
     "d8_chunk_dedup" -> ((s, d) => {
-      val chunks = Shingles.wordChunks(documents(s, d), 10)
+      val chunks = Shingles.wordChunks(graft.Tables.spread(
+        documents(s, d).select(col("doc_id"), col("text")), col("doc_id")), 10)
       val df = chunks.groupBy("chunk")
         .agg(countDistinct(col("doc_id")).as("df"))
       chunks.join(df, "chunk")
@@ -437,7 +441,9 @@ object Dedup {
 
     // -- SimHash (16-bit) over word bags -----------------------------------
     "d5_simhash" -> ((s, d) => {
-      val tok = documents(s, d).select(col("doc_id"), explode(words).as("w"))
+      val tok = graft.Tables.spread(documents(s, d)
+          .select(col("doc_id"), col("text")), col("doc_id"))
+        .select(col("doc_id"), explode(words).as("w"))
         .withColumn("m", md5(col("w").cast("binary")))
       val bitSums = (0 until 16).map(j =>
         sum(when(ascii(substring(col("m"), j + 1, 1)) % 2 === 1, 1).otherwise(-1)).as(s"s$j"))
@@ -528,7 +534,9 @@ object Dedup {
     // augmentation — oracle stays exact). d13 flags repeated spans
     // anywhere; d15 REMOVES them, scoped per source, the curation form.
     "d15_boilerplate" -> ((s, d) => {
-      val aug = documents(s, d).select(col("doc_id"), col("source"),
+      val aug = graft.Tables.spread(documents(s, d)
+        .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
+        .select(col("doc_id"), col("source"),
         concat(lit("site header for "), col("source"), lit(" menu "),
           col("text")).as("text"))
       stripBoilerplate(aug, 4, 3)
@@ -544,7 +552,8 @@ object Dedup {
     // hashes the copy still shares under CDC vs fixed chunking (CDC ~all,
     // fixed ~none).
     "d16_cdc_chunks" -> ((s, d) => {
-      val doc = documents(s, d).select(col("doc_id"), col("text"))
+      val doc = graft.Tables.spread(
+        documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
       // copy offset = past-end (floored at the historical 400000); the
       // same 1-row broadcast partitions the chunk tables back into
       // original vs copy, so the split stays exact at every corpus size
@@ -645,7 +654,8 @@ object Dedup {
     // to xxhash64 longs (5x less shuffle, 2^-64 collision odds); the gate
     // keeps the raw gram so DuckDB reproduces it verbatim.
     "d19_substring_dedup" -> ((s, d) =>
-      substringDedup(documents(s, d).select(col("doc_id"), col("text")), 40)),
+      substringDedup(graft.Tables.spread(
+        documents(s, d).select(col("doc_id"), col("text")), col("doc_id")), 40)),
 
     // -- d21: d19's AT-SCALE hash family (same precedent as d18) ------------
     // d19 shuffles the raw 40-char grams so DuckDB reproduces the keys
@@ -658,7 +668,8 @@ object Dedup {
     // plan pin (PlanAuditSpec) proves no string gram survives past the
     // projection.
     "d21_substring_dedup_xx" -> ((s, d) =>
-      substringDedup(documents(s, d).select(col("doc_id"), col("text")), 40,
+      substringDedup(graft.Tables.spread(
+        documents(s, d).select(col("doc_id"), col("text")), col("doc_id")), 40,
         fastHash = true)),
 
     // -- d20: NEAR-dup decontamination across the train/test boundary -------
@@ -676,7 +687,8 @@ object Dedup {
     // mod 100 — the d1-style offset alone would put twins of test docs
     // back into test, where they'd prove nothing).
     "d20_neardup_decon" -> ((s, d) => {
-      val doc = documents(s, d).select(col("doc_id"), col("text"))
+      val doc = graft.Tables.spread(
+        documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
       val off = broadcast(doc.agg(
         greatest(max(col("doc_id")) + 1, lit(100000L)).as("aug_off")))
       val truncated = concat_ws(" ",
