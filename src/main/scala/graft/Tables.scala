@@ -64,6 +64,11 @@ object Tables {
     * running a job. Row contents are untouched, so results never change. */
   def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
     val s = df.sparkSession
+    // session kill-switch (deployment knob + in-JVM A/B lever): a
+    // pre-split production input never reaches the repartition anyway,
+    // but this lets one session compare both forms under identical JIT
+    // state, which on this phase-noisy host is the only trustworthy A/B
+    if (!s.conf.get("spark.graft.spread", "true").toBoolean) return df
     val n = s.conf.get("spark.sql.shuffle.partitions", "200") match {
       case "auto" => 200
       case v => v.toInt

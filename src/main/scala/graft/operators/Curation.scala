@@ -155,8 +155,7 @@ object Curation {
     val dsir = dsirTargetLang match {
       case None => base.select(col("doc_id"), lit(1).as("dsir_keep"))
       case Some(tl) =>
-        TextOps.dsirWeights(graft.Tables.spread(
-          docs.select(col("doc_id"), col("lang"), col("text")), col("doc_id")), tl)
+        TextOps.dsirWeights(docs.select(col("doc_id"), col("lang"), col("text")), tl)
           .select(col("doc_id"),
             when(col("logw_bits") > 0, 1).otherwise(0).as("dsir_keep"))
     }
@@ -274,8 +273,7 @@ object Curation {
     // them, as a real pipeline's would.
     "c4_curate_bp" -> ((s, d) => {
       val doc = documents(s, d)
-      val aug = graft.Tables.spread(doc.filter(col("doc_id") % 100 =!= 0)
-          .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
+      val aug = doc.filter(col("doc_id") % 100 =!= 0)
         .select(col("doc_id"), col("source"),
           concat(lit("site header for "), col("source"), lit(" menu "),
             col("text")).as("text"))

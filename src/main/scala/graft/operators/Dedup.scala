@@ -362,8 +362,7 @@ object Dedup {
     // df keys are content hashes, so the shuffle carries 16-byte keys at
     // 100 TB, and ubiquitous chunks never fan out (df agg, not self-join).
     "d8_chunk_dedup" -> ((s, d) => {
-      val chunks = Shingles.wordChunks(graft.Tables.spread(
-        documents(s, d).select(col("doc_id"), col("text")), col("doc_id")), 10)
+      val chunks = Shingles.wordChunks(documents(s, d), 10)
       val df = chunks.groupBy("chunk")
         .agg(countDistinct(col("doc_id")).as("df"))
       chunks.join(df, "chunk")
@@ -534,9 +533,7 @@ object Dedup {
     // augmentation — oracle stays exact). d13 flags repeated spans
     // anywhere; d15 REMOVES them, scoped per source, the curation form.
     "d15_boilerplate" -> ((s, d) => {
-      val aug = graft.Tables.spread(documents(s, d)
-        .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
-        .select(col("doc_id"), col("source"),
+      val aug = documents(s, d).select(col("doc_id"), col("source"),
         concat(lit("site header for "), col("source"), lit(" menu "),
           col("text")).as("text"))
       stripBoilerplate(aug, 4, 3)
@@ -552,8 +549,7 @@ object Dedup {
     // hashes the copy still shares under CDC vs fixed chunking (CDC ~all,
     // fixed ~none).
     "d16_cdc_chunks" -> ((s, d) => {
-      val doc = graft.Tables.spread(
-        documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
+      val doc = documents(s, d).select(col("doc_id"), col("text"))
       // copy offset = past-end (floored at the historical 400000); the
       // same 1-row broadcast partitions the chunk tables back into
       // original vs copy, so the split stays exact at every corpus size

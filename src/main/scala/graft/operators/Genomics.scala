@@ -68,11 +68,7 @@ object Genomics {
   private def docSeqs(s: SparkSession, d: String, col64: Boolean): Dataset[String] = {
     import s.implicits._
     val c = if (col64) dna64(col("doc_id")) else dna32(col("doc_id"))
-    // spread BEFORE deriving the sequence: the k-mer extraction map side
-    // otherwise runs on the single-row-group scan's one task (see
-    // Tables.spread); only 8-byte ids shuffle
-    graft.Tables.spread(documents(s, d).select(col("doc_id")), col("doc_id"))
-      .select(c.cast("string")).as[String]
+    documents(s, d).select(c.cast("string")).as[String]
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
