@@ -384,6 +384,7 @@ case class CanonPackSub(children: Seq[Expression])
     Seq(StringType, IntegerType, IntegerType, IntegerType, StringType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "canon_pack_sub"
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.exists(_ == null)) null

@@ -29,6 +29,40 @@ object Lakehouse {
     * maintenance path being claimed. JVM-local (not a `_SUCCESS` probe)
     * so a code change can never be masked by a stale on-disk view. */
   private val viewWritten = scala.collection.mutable.Set[String]()
+  /** Land a Seq of micro-batch frames as ONE parquet file per batch with
+    * strictly increasing mtimes (the file-source replay contract), in a
+    * SINGLE write job: tag each batch, hash-partition by the tag so one
+    * task holds exactly one batch, `partitionBy` writes one file per tag
+    * (the tag column is a partition dir, so the DATA schema is exactly
+    * the input frame's), then move + stamp. Replaces the former
+    * one-`coalesce(1)`-job-PER-batch landing (4 sequential scans/writes
+    * per query — r13, guide §1.2/§2.6); file CONTENTS are unchanged up
+    * to row order, which no consumer observes (state aggregations +
+    * sorted oracle compare). */
+  private def landBatchFiles(batches: Seq[DataFrame], inDir: java.io.File): Unit = {
+    def del(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(del)
+      p.delete(); ()
+    }
+    val tagged = batches.zipWithIndex
+      .map { case (b, i) => b.withColumn("__b", lit(i)) }
+      .reduce(_.unionByName(_))
+    val tmp = new java.io.File(inDir.getParentFile, "_tmp_batches")
+    tagged.repartition(batches.length, col("__b"))
+      .write.mode("overwrite").partitionBy("__b").parquet(tmp.getPath)
+    val t0 = System.currentTimeMillis()
+    batches.indices.foreach { i =>
+      val part = new java.io.File(tmp, s"__b=$i").listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, f"b$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(t0 + i * 2000L)
+    }
+    del(tmp)
+  }
+
   private def writeViewOnce(path: String)(write: => Unit): Unit =
     synchronized { if (viewWritten.add(path)) write }
 
@@ -920,19 +954,7 @@ object Lakehouse {
       // land the feed as one file per batch with strictly increasing
       // mtimes — the file source then replays them in CDC order
       val inDir = new java.io.File(s"$root/changes"); inDir.mkdirs()
-      val t0 = System.currentTimeMillis()
-      batches.zipWithIndex.foreach { case (bdf, i) =>
-        val tmp = s"$root/_tmp_$i"
-        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, f"b$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(t0 + i * 2000L)
-        del(new java.io.File(tmp))
-      }
+      landBatchFiles(batches, inDir)
       val snapDir = s"$root/snap"
       base.write.mode("overwrite").parquet(s"$snapDir/v0")
       val current = new java.util.concurrent.atomic.AtomicReference(s"$snapDir/v0")
@@ -1020,19 +1042,7 @@ object Lakehouse {
             col("o_totalprice").cast(D2).as("price"),
             lit(4L).as("version"), lit("U").as("op")))
       val inDir = new java.io.File(s"$root/changes"); inDir.mkdirs()
-      val t0 = System.currentTimeMillis()
-      batches.zipWithIndex.foreach { case (bdf, i) =>
-        val tmp = s"$root/_tmp_$i"
-        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, f"b$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(t0 + i * 2000L)
-        del(new java.io.File(tmp))
-      }
+      landBatchFiles(batches, inDir)
       // Delta-sized snapshot advance (VERDICT r10 #6): the snapshot lives
       // as key-RANGE buckets (okey div 2^19) behind a version manifest.
       // Each commit rewrites ONLY the buckets containing changed keys —
