@@ -70,94 +70,88 @@ object Curation {
       docs.select(col("doc_id"), col("text")), col("doc_id")).localCheckpoint()
     val ws = split(col("text"), " ")
 
-    // 1. exact dedup
+    // Verdict branches emit VOTES — (doc_id, fi, v) rows, sparse where a
+    // branch only has evidence for some docs — and ONE hash aggregation
+    // assembles every flag (r13, guide §2.4 "share one exchange"): the
+    // former shape joined 7-8 per-doc flag tables pairwise on doc_id
+    // (each join an exchange of both sides + a sort/hash), and the
+    // sparse branches (nd/clean/sem/fert) each paid an extra base-sized
+    // densify join first. Per-flag defaults are applied in the
+    // aggregation's coalesce, so the sparse branches ship only their
+    // evidence rows. exact/quality vote for EVERY doc, so the groupBy
+    // covers the full corpus and row membership is unchanged.
+
+    // 1. exact dedup — dense votes (fi 0)
     val keepers = base
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("keeper"))
-    val exact = base
+    val exactV = base
       .withColumn("h", md5(col("text").cast("binary")))
       .join(keepers, "h")
       .select(col("doc_id"),
-        (col("doc_id") === col("keeper")).cast("int").as("exact_keep"))
+        (col("doc_id") === col("keeper")).cast("int").as("v"))
 
-    // 2. near-dup clusters (docs outside every candidate pair pass)
+    // 2. near-dup clusters — sparse: only docs in some candidate pair
+    //    (the CC table) vote; everyone else defaults to keep (fi 1)
     val comp = GraphOps.connectedComponents(
       Dedup.nearDupPairs(base).select(col("a").as("x"), col("b").as("y")))
-    val nd = base.select(col("doc_id"))
-      .join(comp.select(col("node").as("doc_id"),
-        (col("node") === col("component")).cast("int").as("ndk")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("ndk"), lit(1)).as("nd_keep"))
+    val ndV = comp.select(col("node").as("doc_id"),
+      (col("node") === col("component")).cast("int").as("v"))
 
-    // 3. quality gates
+    // 3. quality gates — dense votes (fi 2)
     val nt = size(ws)
     val sw = size(filter(ws, w => w.isInCollection(stopwords)))
-    val quality = base.select(col("doc_id"),
-      when(nt.between(10, 2000) && sw >= 1, 1).otherwise(0).as("quality_ok"))
+    val qualityV = base.select(col("doc_id"),
+      when(nt.between(10, 2000) && sw >= 1, 1).otherwise(0).as("v"))
 
-    // 4. decontamination vs the held-out set (broadcast the test grams)
+    // 4. decontamination — sparse: only dirty docs vote 0 (fi 3)
     val testSh = Shingles.wordNGrams(test.select(col("doc_id"), col("text")), 5)
       .select("sh").distinct()
-    val hits = Shingles.wordNGrams(base, 5)
+    val cleanV = Shingles.wordNGrams(base, 5)
       .join(broadcast(testSh), "sh")
       .select("doc_id").distinct()
-      .withColumn("dirty", lit(1))
-    val clean = base.select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("dirty").isNull, 1).otherwise(0).as("clean"))
+      .select(col("doc_id"), lit(0).as("v"))
 
-    // 5. optional semantic dedup over per-doc embeddings
-    val sem = embeddings match {
-      case None => base.select(col("doc_id"), lit(1).as("sem_keep"))
-      case Some(emb) =>
-        // ONLY corpus vectors participate: a held-out doc's embedding must
-        // neither train the centroids nor drop a corpus doc that happens
-        // to share its vector (the test split is evaluation data, not a
-        // dedup peer) — hence the semi-join before lloyd/semDedup
-        // materialized: semDedup, the kept join, and the has-embedding
-        // join all consume it, and its lineage (an embeddings self-join
-        // upstream in c2) is not free; the table is embeddings-sized
-        val vs = emb.select(col("doc_id").as("vec_id"), col("v"))
-          .join(base.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-          .localCheckpoint()
-        val cents = semCentroidSet.getOrElse(
-          KMeans.lloyd(vs, semCentroids, iters = 2))
-          .select(col("cid"), col("cv"))
-        val kept = Similarity.semDedup(vs, cents, semThreshold)
-          .select(col("vec_id").as("doc_id")).withColumn("sk", lit(1))
-        base.select(col("doc_id"))
-          .join(kept, Seq("doc_id"), "left")
-          .join(vs.select(col("vec_id").as("doc_id")).withColumn("has", lit(1)),
-            Seq("doc_id"), "left")
-          // no embedding → trivially kept; embedded but not in kept → dropped
-          .select(col("doc_id"),
-            when(col("has").isNull, 1)
-              .otherwise(coalesce(col("sk"), lit(0))).as("sem_keep"))
+    // 5. optional semantic dedup — sparse: only embedded docs vote; a doc
+    //    with no embedding defaults to keep (fi 4)
+    val semV = embeddings.map { emb =>
+      // ONLY corpus vectors participate: a held-out doc's embedding must
+      // neither train the centroids nor drop a corpus doc that happens
+      // to share its vector (the test split is evaluation data, not a
+      // dedup peer) — hence the semi-join before lloyd/semDedup
+      // materialized: semDedup and the kept join both consume it, and
+      // its lineage (an embeddings self-join upstream in c2) is not free
+      val vs = emb.select(col("doc_id").as("vec_id"), col("v"))
+        .join(base.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        .localCheckpoint()
+      val cents = semCentroidSet.getOrElse(
+        KMeans.lloyd(vs, semCentroids, iters = 2))
+        .select(col("cid"), col("cv"))
+      val kept = Similarity.semDedup(vs, cents, semThreshold)
+        .select(col("vec_id").as("doc_id")).withColumn("sk", lit(1))
+      // embedded but not in kept → dropped; no embedding → no vote (keep)
+      vs.select(col("vec_id").as("doc_id"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("sk"), lit(0)).as("v"))
     }
 
     // 6. optional hashed-linear-classifier gate ([[Sketches.linearScore]],
-    //    the x6 model): score > threshold keeps. Like sem_keep, the flag
-    //    column is ALWAYS present (constant 1 when disabled) so downstream
-    //    schemas never fork.
-    val cls = classifierMin match {
-      case None => base.select(col("doc_id"), lit(1).as("cls_keep"))
-      case Some(thr) =>
-        Sketches.linearScore(base)
-          .select(col("doc_id"),
-            when(col("score") > thr, 1).otherwise(0).as("cls_keep"))
+    //    the x6 model): score > threshold keeps — dense votes (fi 5); the
+    //    flag column stays ALWAYS present (constant 1 when disabled) so
+    //    downstream schemas never fork.
+    val clsV = classifierMin.map { thr =>
+      Sketches.linearScore(base)
+        .select(col("doc_id"),
+          when(col("score") > thr, 1).otherwise(0).as("v"))
     }
 
     // 7. optional DSIR domain-matching gate ([[TextOps.dsirWeights]], the
-    //    t30 engine): importance weight > 0 keeps — the resampling move
-    //    that biases the corpus toward a target domain. Needs `lang` on
-    //    the input docs (only consulted when enabled); constant 1
-    //    otherwise, so downstream schemas never fork.
-    val dsir = dsirTargetLang match {
-      case None => base.select(col("doc_id"), lit(1).as("dsir_keep"))
-      case Some(tl) =>
-        TextOps.dsirWeights(docs.select(col("doc_id"), col("lang"), col("text")), tl)
-          .select(col("doc_id"),
-            when(col("logw_bits") > 0, 1).otherwise(0).as("dsir_keep"))
+    //    t30 engine): importance weight > 0 keeps — dense votes (fi 6);
+    //    needs `lang` on the input docs (only consulted when enabled)
+    val dsirV = dsirTargetLang.map { tl =>
+      TextOps.dsirWeights(docs.select(col("doc_id"), col("lang"), col("text")), tl)
+        .select(col("doc_id"),
+          when(col("logw_bits") > 0, 1).otherwise(0).as("v"))
     }
 
     // 8. optional tokenizer-fertility gate (the t36→t37 engine composed
@@ -176,18 +170,16 @@ object Curation {
           val Array(a, b) = pair.split(' ')
           df.withColumn("st", replace(col("st"), lit(s" $a  $b "), lit(s" $a$b ")))
         }.select(col("w"), (size(split(col("st"), "  ")) - 2).cast("long").as("n_tokens"))
-        val perDoc = base
-          .select(col("doc_id"), explode(ws).as("w"))
+        // sparse votes (fi 7): only docs with >= 1 qualifying word carry
+        // tokenizer evidence; the rest default to keep in the aggregation
+        base.select(col("doc_id"), explode(ws).as("w"))
           .filter(col("w").rlike("^[a-z]{2,}$"))
           .join(broadcast(enc), "w")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_w"), sum(col("n_tokens")).as("n_tok"))
-        base.select(col("doc_id"))
-          .join(perDoc, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            when(col("n_w").isNull ||
-              col("n_tok") <= lit(maxPerWord) * col("n_w"), 1)
-              .otherwise(0).as("fert_keep"))
+            when(col("n_tok") <= lit(maxPerWord) * col("n_w"), 1)
+              .otherwise(0).as("v"))
     }
 
     // 9. optional leakage-free split assignment (the d17 engine): the
@@ -214,20 +206,42 @@ object Curation {
             .otherwise("train").as("split"))
       }
 
-    // fert_keep is COLUMN-GATED (present only when the stage is enabled),
-    // unlike the always-present sem/cls/dsir flags: the stage landed in
-    // round 12 and the c1–c6 outputs are pinned byte-stable across rounds
-    // (VERDICT r11 #7's done condition), so a new constant column may not
-    // appear in them.
+    // ---- one-shuffle verdict assembly -----------------------------------
+    // (fi, votes, default, flag name) — disabled optional stages appear as
+    // constant-1 columns after the aggregation (schemas never fork);
+    // fert_keep stays COLUMN-GATED (present only when the stage is
+    // enabled): the stage landed in round 12 and the c1–c6 outputs are
+    // pinned byte-stable across rounds (VERDICT r11 #7's done condition),
+    // so a new constant column may not appear in them.
+    val voteTables: Seq[(Int, DataFrame, Int, String)] =
+      Seq((0, exactV, 0, "exact_keep"), (1, ndV, 1, "nd_keep"),
+        (2, qualityV, 0, "quality_ok"), (3, cleanV, 1, "clean")) ++
+        semV.map((4, _, 1, "sem_keep")) ++ clsV.map((5, _, 1, "cls_keep")) ++
+        dsirV.map((6, _, 1, "dsir_keep")) ++ fert.map((7, _, 1, "fert_keep"))
+    val unioned = voteTables
+      .map { case (i, df, _, _) =>
+        df.select(col("doc_id"), lit(i).as("fi"), col("v").cast("int").as("v")) }
+      .reduce(_.unionByName(_))
+    val aggd = unioned.groupBy("doc_id").agg(
+      voteTables.map { case (i, _, dflt, name) =>
+        coalesce(max(when(col("fi") === i, col("v"))), lit(dflt)).as(name)
+      }.head,
+      voteTables.map { case (i, _, dflt, name) =>
+        coalesce(max(when(col("fi") === i, col("v"))), lit(dflt)).as(name)
+      }.tail: _*)
+    val withConsts = Seq(("sem_keep", semV), ("cls_keep", clsV), ("dsir_keep", dsirV))
+      .foldLeft(aggd) { case (df, (name, opt)) =>
+        if (opt.isDefined) df else df.withColumn(name, lit(1))
+      }
     val flags = Seq(col("exact_keep"), col("nd_keep"), col("quality_ok"),
       col("clean"), col("sem_keep"), col("cls_keep"), col("dsir_keep")) ++
       (if (fert.isDefined) Seq(col("fert_keep")) else Nil)
-    val joined = exact.join(nd, "doc_id").join(quality, "doc_id")
-      .join(clean, "doc_id").join(sem, "doc_id").join(cls, "doc_id")
-      .join(dsir, "doc_id")
-    fert.fold(joined)(joined.join(_, "doc_id")).join(spl, "doc_id")
-      .select(col("doc_id") +: flags :+
-        flags.reduce(_ * _).as("keep") :+ col("split"): _*)
+    // split: one extra join only when the cluster-keyed assignment is on
+    val out0 =
+      if (!clusterSplit) withConsts.withColumn("split", lit("train"))
+      else withConsts.join(spl, "doc_id")
+    out0.select(col("doc_id") +: flags :+
+      flags.reduce(_ * _).as("keep") :+ col("split"): _*)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
