@@ -182,8 +182,18 @@ object Bench {
       val r = math.rint(v * 1000) / 1000
       if (r == r.toLong.toDouble) s"${r.toLong}.0" else r.toString
     }
+    // per-query seconds printed at TWO decimals (r14): the full 256-query
+    // map cannot fit the line budget at any precision (measured 5.7k chars
+    // at 1 decimal vs the 1500 budget), but each saved char widens the
+    // slowest-queries window the cross-round differ sees — 2 decimals fits
+    // ~63 queries vs ~51 at 3, and quantizes multi-second timings by
+    // <0.3%. Full-precision numbers stay in BENCH_DETAIL.json ("detail").
+    def fmtQ(v: Double): String = {
+      val r = math.rint(v * 100) / 100
+      if (r == r.toLong.toDouble) s"${r.toLong}.0" else r.toString
+    }
     def render(qs: Seq[(String, Double)]): String = {
-      val qj = qs.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+      val qj = qs.map { case (k, v) => s"${jstr(k)}:${fmtQ(v)}" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${times.length},"queries":$qj,"errors":$es,"sf":"$sfDir","detail":"/root/repo/BENCH_DETAIL.json"}"""
     }
     val fullQs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")

@@ -20,7 +20,26 @@ package graft
   * runs don't accumulate dead trees under target/.
   */
 object Scratch {
-  private val root = new java.io.File("/root/repo/target/graft_io")
+  /** Scratch root: ephemeral per-JVM working state (deleted on exit), so
+    * it belongs on the fastest VOLATILE storage the host offers — the
+    * per-micro-batch fsyncs of streaming offset/commit logs and
+    * state-store deltas are pure machinery latency, not operator work
+    * (guide §6 I/O layout; a cluster deployment points this at local
+    * NVMe/ramdisk via SPARK_GRAFT_SCRATCH and keeps DURABLE checkpoints
+    * on reliable storage — these replay checkpoints are created fresh
+    * per invocation and never resumed). Default: /dev/shm when present
+    * and writable, else the old target/graft_io. */
+  private val root: java.io.File = {
+    val pick = sys.env.get("SPARK_GRAFT_SCRATCH").map(new java.io.File(_))
+      .orElse {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite)
+          Some(new java.io.File(shm, "graft_io")) else None
+      }
+      .getOrElse(new java.io.File("/root/repo/target/graft_io"))
+    pick.mkdirs()
+    pick
+  }
 
   private lazy val jvmRoot: java.io.File = {
     val dir = new java.io.File(root, s"jvm-${ProcessHandle.current().pid()}")
@@ -39,4 +58,13 @@ object Scratch {
   /** This JVM's scratch dir for a given sf data dir. */
   def dir(sfDir: String): String =
     s"${jvmRoot.getAbsolutePath}/${new java.io.File(sfDir).getName}"
+
+  private val freshCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** A fresh, never-reused scratch dir (streaming checkpoint roots: a
+    * reused checkpoint would RESUME the stream and change what it
+    * computes). Cleaned by the jvmRoot shutdown hook; callers may delete
+    * earlier. */
+  def fresh(prefix: String): java.io.File =
+    new java.io.File(jvmRoot, s"$prefix-${freshCounter.incrementAndGet()}")
 }

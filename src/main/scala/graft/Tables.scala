@@ -59,10 +59,23 @@ object Tables {
     * "repartition immediately after the read"). An already-split input
     * (>= half the session parallelism) passes through untouched — at
     * scale, where scans arrive pre-split by maxPartitionBytes, this is a
-    * no-op rather than an extra payload shuffle. Call it on a plain
-    * scan/projection: the partition probe builds the RDD lineage without
-    * running a job. Row contents are untouched, so results never change. */
-  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    * no-op rather than an extra payload shuffle. Row contents are
+    * untouched, so results never change. */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    spreadDS(df, keys: _*)
+
+  /** [[spread]] generalized to any Dataset (the m-family decode feeds are
+    * typed id lists). The partition probe reads the LEAF scan nodes of
+    * the physical plan (`execute()` on a leaf builds only that scan's
+    * RDD — no job, nothing upstream): the former `df.rdd.getNumPartitions`
+    * probe built the WHOLE plan's RDD, which under AQE eagerly kicks off
+    * broadcast/shuffle-stage materialization when the caller's frame
+    * carries exchanges (ADVICE r13). A plan that already contains an
+    * exchange is left untouched — its downstream partition count is the
+    * session parallelism by construction, exactly what the old probe
+    * concluded. */
+  def spreadDS[T](df: org.apache.spark.sql.Dataset[T],
+                  keys: org.apache.spark.sql.Column*): org.apache.spark.sql.Dataset[T] = {
     val s = df.sparkSession
     // session kill-switch (deployment knob + in-JVM A/B lever): a
     // pre-split production input never reaches the repartition anyway,
@@ -73,6 +86,14 @@ object Tables {
       case "auto" => 200
       case v => v.toInt
     }
-    if (df.rdd.getNumPartitions * 2 >= n) df else df.repartition(n, keys: _*)
+    val phys = df.queryExecution.sparkPlan
+    val hasExchange = phys.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    val parts =
+      if (hasExchange) n // already shuffled to session parallelism downstream
+      else phys.collectLeaves().map(_.execute().getNumPartitions).sum
+    if (parts * 2 >= n) df else df.repartition(n, keys: _*)
   }
 }

@@ -165,11 +165,14 @@ object Curation {
     //    vocab is word-TYPE-sized and broadcast — the only corpus-sized
     //    work is one explode + hash agg per doc.
     val fert: Option[DataFrame] = fertilityMax.map { maxPerWord =>
-        val merges = TextOps.bpeTrain(base, 8)
-        val enc = merges.foldLeft(TextOps.bpeState0(base)) { case (df, (_, pair, _)) =>
-          val Array(a, b) = pair.split(' ')
-          df.withColumn("st", replace(col("st"), lit(s" $a  $b "), lit(s" $a$b ")))
-        }.select(col("w"), (size(split(col("st"), "  ")) - 2).cast("long").as("n_tokens"))
+        // ONE word-type state for the whole gate (r14): train consumed a
+        // persisted bpeState0 and the encode then rebuilt the SAME state
+        // from scratch — a second corpus-scale explode + hash agg.
+        // bpeTrainEncode localCheckpoints the (vocab-sized, tiny) state
+        // once; the K training collects and the encode fold all read it
+        // back, and the train subtree appears once in the plan.
+        val enc = TextOps.bpeTrainEncode(base, 8)
+          .select(col("w"), (size(split(col("st"), "  ")) - 2).cast("long").as("n_tokens"))
         // sparse votes (fi 7): only docs with >= 1 qualifying word carry
         // tokenizer evidence; the rest default to keep in the aggregation
         base.select(col("doc_id"), explode(ws).as("w"))

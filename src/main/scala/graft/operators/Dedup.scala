@@ -771,10 +771,16 @@ object Dedup {
     // groups on the raw gram text instead.
     val grams = Shingles.wordNGramsPos(docs, n)
       .select(col("doc_id"), col("pos"), xxhash64(col("sh")).as("h"))
+    // "occurs in >= 2 distinct docs" as min(doc_id) != max(doc_id): the
+    // d19 form — plain min/max partial-aggregates map-side (one pass, 16 B
+    // of agg state per gram), where countDistinct planned an Expand +
+    // two-phase distinct aggregate shipping every (h, doc_id) pair
+    // (guide §2.3 "aggregate before you shuffle"). Same predicate, so the
+    // duplicated-gram SET — and everything downstream — is unchanged.
     val dup = grams.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2).select("h")
-    val hits = grams.join(dup, "h").select("doc_id", "pos")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select("h")
+    val hits = grams.join(dup, Seq("h"), "leftsemi").select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     hits
       .withColumn("prev", lag(col("pos"), 1).over(w))
@@ -868,12 +874,30 @@ object Dedup {
   def simhashPairs(sig: DataFrame): DataFrame = {
     val spark = sig.sparkSession
     import spark.implicits._
-    sig.select(col("doc_id"), col("sig"),
+    // Skew guard (r14, ADVICE r13 / guide §2.5): the bucket-group form
+    // enumerates O(|bucket|²) pairs inside ONE task per (band, value)
+    // bucket — fine for hash-like signatures (16x audit: max bucket 76 of
+    // 80k docs) but a DEGENERATE corpus (many identical dHash/audio sigs)
+    // funnels a huge fraction of the corpus into one bucket and
+    // serializes quadratic work on one straggler. Buckets above the cap
+    // are therefore routed to a distributed SELF-JOIN, which AQE's skew
+    // handling can split across tasks; everything else keeps the
+    // single-pass bucket enumeration. The band rows are localCheckpointed
+    // so the signature subtree (for media queries: the full decode
+    // pipeline) is STILL computed exactly once and shared by the size
+    // probe and both routes — the r13 plan-the-subtree-once win holds.
+    val cap = spark.conf.get("spark.graft.simhash.bucketCap", "4096").toInt
+    val bandRows = sig.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(b => struct(lit(b).as("bnd"),
           shiftrightunsigned(col("sig"), 15 * b).bitwiseAND(lit(32767L))
             .as("bv"))): _*)).as("e"))
       .select(col("e.bnd").as("bnd"), col("e.bv").as("bv"),
         col("doc_id"), col("sig"))
+      .localCheckpoint()
+    val hot = bandRows.groupBy("bnd", "bv").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > cap).select("bnd", "bv")
+    val groupPairs = bandRows
+      .join(broadcast(hot), Seq("bnd", "bv"), "left_anti")
       .as[(Int, Long, Long, Long)]
       .groupByKey { case (bnd, bv, _, _) => (bnd, bv) }
       .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
@@ -889,7 +913,14 @@ object Dedup {
         } yield if (ia < ib) (ia, ib, h) else (ib, ia, h)): Iterator[(Long, Long, Long)]
       }
       .toDF("doc_a", "doc_b", "hamming")
-      .distinct()
+    val hotRows = bandRows.join(broadcast(hot), Seq("bnd", "bv"), "left_semi")
+    val joinPairs = hotRows.as("x").join(hotRows.as("y"),
+        col("x.bnd") === col("y.bnd") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.sig ^ y.sig)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3L)
+    groupPairs.unionByName(joinPairs).distinct()
   }
 
   // ----------------------------------------------------------- oracle SQL

@@ -51,9 +51,30 @@ object Events {
 
   private[operators] def withStreamPartitions[T](s: SparkSession, n: Int = 4)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val ckptKey = "spark.sql.streaming.checkpointLocation"
     val prev = s.conf.get(key)
+    val prevCkpt = s.conf.getOption(ckptKey)
+    // Fresh per-call checkpoint ROOT on the fast scratch volume
+    // (graft.Scratch — tmpfs when available): without it every stream
+    // fsyncs its offset/commit logs and state-store deltas to the
+    // java.io.tmpdir disk each micro-batch — pure machinery latency in
+    // the measured ~550 ms/batch floor (guide §6). Fresh per call, so a
+    // stream can never RESUME an earlier invocation's checkpoint (batch
+    // counts stay exactly as before); named/unnamed streams inside one
+    // body get distinct subdirs (queryName / UUID) under the root.
+    // Queries that pass an explicit .option("checkpointLocation")
+    // override this conf, unchanged.
+    val ckptRoot = graft.Scratch.fresh("stream_ckpt")
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    s.conf.set(ckptKey, ckptRoot.getAbsolutePath)
+    try body finally {
+      s.conf.set(key, prev)
+      prevCkpt match {
+        case Some(v) => s.conf.set(ckptKey, v)
+        case None => s.conf.unset(ckptKey)
+      }
+      rmTree(ckptRoot)
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

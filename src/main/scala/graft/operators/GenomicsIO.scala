@@ -124,15 +124,13 @@ object GenomicsIO {
       s.catalog.dropTempView(name)
       val reads = s.readStream.format("fastq").option("maxFilesPerTrigger", "1")
         .load(tmp).select(col("seq")).as[String]
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      Events.withStreamPartitions(s) {
         val q = graft.streaming.EventStreams
           .kmerCountStream(Fastq.guardReads(reads, minLen = 15), 15)
           .writeStream.format("memory").queryName(name)
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
       Genomics.decodeCounts(s.table(name), 15)
     }),
 
@@ -158,15 +156,13 @@ object GenomicsIO {
       s.catalog.dropTempView(name)
       val reads = s.readStream.format("fastq").option("maxFilesPerTrigger", "1")
         .load(tmp).select(col("seq")).as[String]
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      Events.withStreamPartitions(s) {
         val q = graft.streaming.EventStreams
           .kmerCountStream(Fastq.guardReads(reads, minLen = 15), 15)
           .writeStream.format("memory").queryName(name)
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
       Genomics.decodeCounts(s.table(name), 15)
     }),
 

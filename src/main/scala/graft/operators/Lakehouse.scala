@@ -52,12 +52,29 @@ object Lakehouse {
       .write.mode("overwrite").partitionBy("__b").parquet(tmp.getPath)
     val t0 = System.currentTimeMillis()
     batches.indices.foreach { i =>
-      val part = new java.io.File(tmp, s"__b=$i").listFiles()
+      // an EMPTY batch writes no __b=i partition dir (listFiles() would be
+      // null); land a schema-only file for it instead, matching the old
+      // per-batch coalesce(1) behavior (ADVICE r13) — a zero-row
+      // microbatch is a valid replay file, not a missing one
+      val part = Option(new java.io.File(tmp, s"__b=$i").listFiles())
+        .getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).head
+          f.getName.endsWith(".parquet")).headOption
       val dst = new java.io.File(inDir, f"b$i%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      part match {
+        case Some(p) =>
+          java.nio.file.Files.move(p.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        case None =>
+          val emptyTmp = new java.io.File(tmp, s"_empty_$i")
+          batches(i).limit(0).coalesce(1)
+            .write.mode("overwrite").parquet(emptyTmp.getPath)
+          val p = emptyTmp.listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(p.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       dst.setLastModified(t0 + i * 2000L)
     }
     del(tmp)

@@ -182,14 +182,14 @@ object Multimodal {
     * immediately after the read"). Hash-by-doc_id, not round-robin:
     * deterministic, no sort-before-repartition, and the unique key
     * spreads evenly. Real media inputs arrive pre-split; this mirrors
-    * that. Row contents are untouched, so results are identical. */
-  private def spreadIds(s: SparkSession, df: org.apache.spark.sql.Dataset[Long]): org.apache.spark.sql.Dataset[Long] = {
-    val n = s.conf.get("spark.sql.shuffle.partitions", "200") match {
-      case "auto" => 200
-      case v => v.toInt
-    }
-    df.repartition(n, col("doc_id"))
-  }
+    * that. Row contents are untouched, so results are identical.
+    * Delegates to [[graft.Tables.spreadDS]] (r14): the m-family now
+    * honors the same `spark.graft.spread` kill-switch and the
+    * already-split passthrough as every other spread site, so pre-split
+    * production media input pays no unconditional extra shuffle
+    * (ADVICE r13). */
+  private def spreadIds(s: SparkSession, df: org.apache.spark.sql.Dataset[Long]): org.apache.spark.sql.Dataset[Long] =
+    graft.Tables.spreadDS(df, col("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- payload -> metadata extraction via partition-wise batch decode ----

@@ -217,28 +217,50 @@ object TextOps {
   private[graft] def bpeTrain(docs: DataFrame, k: Int): Seq[(Int, String, Long)] = {
     val s0 = bpeState0(docs)
     s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var cur = s0
-      val merges = Seq.newBuilder[(Int, String, Long)]
-      var step = 1
-      var dry = false
-      while (step <= k && !dry) {
-        val top = bpePairCounts(cur)
-          .orderBy(col("n").desc, col("pair")).limit(1).collect()
-        if (top.isEmpty) dry = true
-        else {
-          val pair = top.head.getString(0)
-          val n = top.head.getLong(1)
-          val Array(a, b) = pair.split(' ')
-          merges += ((step, pair, n))
-          cur = cur.select(
-            replace(col("st"), lit(s" $a  $b "), lit(s" $a$b ")).as("st"),
-            col("f"))
-          step += 1
-        }
+    try bpeTrainOn(s0, k) finally { s0.unpersist(); () }
+  }
+
+  /** [[bpeTrain]] over an already-built (and caller-persisted) word-type
+    * state — split out (r14) so a composite consumer (c7's fertility
+    * gate: train, then ENCODE the same vocabulary) builds the corpus-scale
+    * explode + word-type aggregation exactly once instead of twice. */
+  private[graft] def bpeTrainOn(s0: DataFrame, k: Int): Seq[(Int, String, Long)] = {
+    var cur = s0
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var step = 1
+    var dry = false
+    while (step <= k && !dry) {
+      val top = bpePairCounts(cur)
+        .orderBy(col("n").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val pair = top.head.getString(0)
+        val n = top.head.getLong(1)
+        val Array(a, b) = pair.split(' ')
+        merges += ((step, pair, n))
+        cur = cur.select(
+          replace(col("st"), lit(s" $a  $b "), lit(s" $a$b ")).as("st"),
+          col("f"))
+        step += 1
       }
-      merges.result()
-    } finally { s0.unpersist(); () }
+    }
+    merges.result()
+  }
+
+  /** Train K merges AND apply them to the same word-type state: the
+    * shared train→encode replay (t37/t38/c7). The state is built ONCE
+    * and localCheckpointed (vocab-sized — tiny), where the previous
+    * composition ran the corpus-scale explode + word-type aggregation a
+    * second time for the encode (r14, guide §1.2: don't compute things
+    * twice). Returns the encoded `(w, st, f)` frame. */
+  private[graft] def bpeTrainEncode(docs: DataFrame, k: Int): DataFrame = {
+    val s0 = bpeState0(docs).localCheckpoint()
+    val merges = bpeTrainOn(s0, k)
+    merges.foldLeft(s0) { case (df, (_, pair, _)) =>
+      val Array(a, b) = pair.split(' ')
+      df.withColumn("st",
+        replace(col("st"), lit(s" $a  $b "), lit(s" $a$b ")))
+    }
   }
 
   /** The DuckDB twin is K generated chained CTEs — same encoding, same
@@ -367,13 +389,7 @@ object TextOps {
     // report. The twin replays the identical chain in SQL and reads the
     // encoded table after the final merge.
     "t37_bpe_encode" -> ((s, d) => {
-      val docs = documents(s, d)
-      val merges = bpeTrain(docs, 8)
-      val encoded = merges.foldLeft(bpeState0(docs)) { case (df, (_, pair, _)) =>
-        val Array(a, b) = pair.split(' ')
-        df.withColumn("st",
-          replace(col("st"), lit(s" $a  $b "), lit(s" $a$b ")))
-      }
+      val encoded = bpeTrainEncode(documents(s, d), 8)
       encoded.select(col("w"), col("f"),
         (size(split(col("st"), "  ")) - 2).cast("long").as("n_tokens"),
         length(col("w")).cast("long").as("n_chars"))
@@ -394,12 +410,7 @@ object TextOps {
     // (one equi-join), everything after is t14's per-source window.
     "t38_sequence_pack" -> ((s, d) => {
       val docs = documents(s, d)
-      val merges = bpeTrain(docs, 8)
-      val encoded = merges.foldLeft(bpeState0(docs)) { case (df, (_, pair, _)) =>
-        val Array(a, b) = pair.split(' ')
-        df.withColumn("st",
-          replace(col("st"), lit(s" $a  $b "), lit(s" $a$b ")))
-      }
+      val encoded = bpeTrainEncode(docs, 8)
       val enc = encoded.select(col("w"),
         (size(split(col("st"), "  ")) - 2).cast("long").as("ntw"))
       val perDoc = docs

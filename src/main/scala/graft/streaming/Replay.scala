@@ -63,7 +63,9 @@ object Replay {
         case Some(d) if Files.exists(Paths.get(d, "_replay_done")) => d
         case _ =>
           installHook()
-          val dir = Files.createTempDirectory("graft_replay_")
+          // fast scratch volume (tmpfs when available), not java.io.tmpdir:
+          // the bucketed fixture writes + mtime stamps are setup I/O
+          val dir = { val f = graft.Scratch.fresh("replay"); f.mkdirs(); f.toPath }
           val bounds = df.agg(min("ord"), max("ord")).first()
           val empty = bounds.isNullAt(0)
           val (lo0, hi0) = if (empty) (0L, 0L) else (bounds.getLong(0), bounds.getLong(1))

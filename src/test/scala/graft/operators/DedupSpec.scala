@@ -38,6 +38,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashPairs skew guard: capped hot bucket routes to the join path, pair set unchanged") {
+    import spark.implicits._
+    val mask60 = (1L << 60) - 1
+    val rnd = new scala.util.Random(131L)
+    // a DEGENERATE bucket: 40 docs share band 0's low 15 bits exactly
+    // (identical-signature blocks of 10, so plenty of hamming-0 pairs),
+    // plus background random signatures
+    val hotBase = 0xABCDL // fixed low 15 bits => one (bnd=0, bv) bucket of 40
+    val blockHigh = Array.fill(4)((rnd.nextLong() & mask60) & ~((1L << 30) - 1))
+    val hot = (0 until 40).map { i =>
+      (1000L + i, blockHigh(i / 10) | ((i % 3).toLong << 15) | hotBase)
+    }
+    val bg = (0 until 60).map(i => (2000L + i, rnd.nextLong() & mask60))
+    val sigs = (hot ++ bg).toSeq
+    def run(): Set[(Long, Long, Long)] =
+      Dedup.simhashPairs(sigs.toDF("doc_id", "sig"))
+        .as[(Long, Long, Long)].collect().toSet
+    val brute = (for {
+      (ia, sa) <- sigs
+      (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(brute.nonEmpty)
+    val key = "spark.graft.simhash.bucketCap"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "8") // force the 40-doc bucket over the cap
+      assert(run() == brute, "capped (join-path) pair set != brute force")
+      spark.conf.set(key, "4096")
+      assert(run() == brute, "uncapped (group-path) pair set != brute force")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("bandRows (per-row, shuffle-free) == bands(signatures(shingled)) exactly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
