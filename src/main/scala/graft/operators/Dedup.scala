@@ -37,11 +37,19 @@ object Dedup {
     * outgrows it, silently binding two different texts to one id while
     * the oracle (which states the same GREATEST(MAX+1, 100000)) stays
     * green — the planted-near-dup ground truth must hold at EVERY sf. */
-  private[operators] def corpus(s: SparkSession, d: String): DataFrame = {
+  private[operators] def corpus(s: SparkSession, d: String,
+                                spread: Boolean = true): DataFrame = {
     // spread the scan before the shingle/md5 map side (single-row-group
-    // input otherwise serializes it on one task — see Tables.spread)
-    val doc = graft.Tables.spread(
-      documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
+    // input otherwise serializes it on one task — see Tables.spread).
+    // Per-CONSUMER toggle (r14, VERDICT r13 #1): the verify-tail and
+    // window-heavy consumers (d4/d6/d10/d13/d18) lose more to the extra
+    // exchange + checkpoint barrier than their map side gains — ABBA mins
+    // at sf0.1: d13 1.20 OFF vs 1.91 ON, d18 1.46 vs 2.26, d4 2.00 vs
+    // 2.50, d6 1.73 vs 2.38, d10 2.02 vs 2.19 — while the signature-only
+    // consumers keep it (d2 0.80 ON vs 1.03 OFF). At scale the choice is
+    // moot: pre-split input passes through spread() untouched either way.
+    val sel = documents(s, d).select(col("doc_id"), col("text"))
+    val doc = if (spread) graft.Tables.spread(sel, col("doc_id")) else sel
     val off = broadcast(doc.agg(
       greatest(max(col("doc_id")) + 1, lit(100000L)).as("aug_off")))
     val truncated =
@@ -272,7 +280,8 @@ object Dedup {
     "d3_lsh_pairs" -> ((s, d) => candidatePairs(s, d)),
 
     // -- exact Jaccard verification of LSH candidates ----------------------
-    "d4_jaccard_verify" -> ((s, d) => jaccardVerified(corpus(s, d), fastHash = false)),
+    "d4_jaccard_verify" -> ((s, d) =>
+      jaccardVerified(corpus(s, d, spread = false), fastHash = false)),
 
     // -- d18: the AT-SCALE hash family through the md5 oracle ---------------
     // the xxhash64 MinHash/band pipeline (8-byte long hashes end to end;
@@ -286,7 +295,8 @@ object Dedup {
     // of borderline candidates — DedupSpec documents that divergence;
     // it is inherent to LSH, not to the hash swap.) */
     "d18_minhash_xx_verify" ->
-      ((s, d) => jaccardVerified(corpus(s, d), fastHash = true, minScore = 0.8)),
+      ((s, d) =>
+        jaccardVerified(corpus(s, d, spread = false), fastHash = true, minScore = 0.8)),
 
     // -- near-dup clusters: connected components over LSH pairs ------------
     // the step real pipelines run after candidate generation: group
@@ -341,7 +351,7 @@ object Dedup {
     // matter how large the corpus grows; ubiquitous shingles never
     // generate candidates. Exact Jaccard verifies candidates, as in d4.
     "d6_ngram_jaccard" -> ((s, d) => {
-      val sh = shingled(corpus(s, d)).localCheckpoint()
+      val sh = shingled(corpus(s, d, spread = false)).localCheckpoint()
       val sets = setsOf(sh)
       val rare = sets.groupBy("shk").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 8)).select("shk")
@@ -382,7 +392,7 @@ object Dedup {
     // drowns it). Candidates still come from the banded LSH buckets —
     // no new candidate machinery, just the asymmetric verify on top.
     "d10_containment" -> ((s, d) => {
-      val sh = shingled(corpus(s, d)).localCheckpoint()
+      val sh = shingled(corpus(s, d, spread = false)).localCheckpoint()
       verifyPairs(setsOf(sh), candidatePairsFrom(bands(signatures(sh))),
         "containment", 0.9)((i, na, nb) => i / least(na, nb))
     }),
@@ -521,7 +531,7 @@ object Dedup {
     // over SURVIVING hits only — bounded by doc length, parallel across
     // docs; nothing is all-pairs. Run on the augmented corpus so true
     // repeated passages exist at every sf.
-    "d13_span_dedup" -> ((s, d) => repeatedSpans(corpus(s, d), 8)),
+    "d13_span_dedup" -> ((s, d) => repeatedSpans(corpus(s, d, spread = false), 8)),
 
     // -- d15: per-source boilerplate removal (RefinedWeb/C4-style) ---------
     // nav bars / cookie banners / footers repeat VERBATIM across many
