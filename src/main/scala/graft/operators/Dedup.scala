@@ -892,22 +892,20 @@ object Dedup {
     // serializes quadratic work on one straggler. Buckets above the cap
     // are therefore routed to a distributed SELF-JOIN, which AQE's skew
     // handling can split across tasks; everything else keeps the
-    // single-pass bucket enumeration. The band rows are localCheckpointed
-    // so the signature subtree (for media queries: the full decode
-    // pipeline) is STILL computed exactly once and shared by the size
-    // probe and both routes — the r13 plan-the-subtree-once win holds.
+    // single-pass bucket enumeration. The band rows are persisted so the
+    // signature subtree (for media queries: the full decode pipeline) is
+    // STILL computed exactly once and shared by the size probe and both
+    // routes — the r13 plan-the-subtree-once win holds.
+    // cap <= 0 disables the guard (zero-overhead single-pass plan — the
+    // deployment knob for corpora KNOWN hash-like); default on at 4096
     val cap = spark.conf.get("spark.graft.simhash.bucketCap", "4096").toInt
-    val bandRows = sig.select(col("doc_id"), col("sig"),
+    def bandRows0 = sig.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(b => struct(lit(b).as("bnd"),
           shiftrightunsigned(col("sig"), 15 * b).bitwiseAND(lit(32767L))
             .as("bv"))): _*)).as("e"))
       .select(col("e.bnd").as("bnd"), col("e.bv").as("bv"),
         col("doc_id"), col("sig"))
-      .localCheckpoint()
-    val hot = bandRows.groupBy("bnd", "bv").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > cap).select("bnd", "bv")
-    val groupPairs = bandRows
-      .join(broadcast(hot), Seq("bnd", "bv"), "left_anti")
+    def groupForm(rows: DataFrame): DataFrame = rows
       .as[(Int, Long, Long, Long)]
       .groupByKey { case (bnd, bv, _, _) => (bnd, bv) }
       .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
@@ -923,6 +921,25 @@ object Dedup {
         } yield if (ia < ib) (ia, ib, h) else (ib, ia, h)): Iterator[(Long, Long, Long)]
       }
       .toDF("doc_a", "doc_b", "hamming")
+    if (cap <= 0) return groupForm(bandRows0).distinct()
+    // persist, not localCheckpoint: the size PROBE is the first job to
+    // touch the rows and populates the cache for the main pass — one
+    // evaluation of the signature subtree, one small extra job. The probe
+    // is a bounded EXISTENCE collect (a handful of (band, value) keys at
+    // most — a corpus can have at most n/cap oversized buckets and the
+    // probe only needs to know whether any exist), after which the common
+    // case keeps EXACTLY the r13 single-pass plan over the cached rows;
+    // only a corpus that actually has a degenerate bucket pays for the
+    // two-route plan.
+    val bandRows = bandRows0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val anyHot = bandRows.groupBy("bnd", "bv").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > cap).limit(1).collect().nonEmpty
+    if (!anyHot) return groupForm(bandRows).distinct()
+    val hot = bandRows.groupBy("bnd", "bv").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > cap).select("bnd", "bv")
+    val groupPairs = groupForm(
+      bandRows.join(broadcast(hot), Seq("bnd", "bv"), "left_anti"))
     val hotRows = bandRows.join(broadcast(hot), Seq("bnd", "bv"), "left_semi")
     val joinPairs = hotRows.as("x").join(hotRows.as("y"),
         col("x.bnd") === col("y.bnd") && col("x.bv") === col("y.bv") &&
