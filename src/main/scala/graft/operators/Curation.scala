@@ -70,6 +70,12 @@ object Curation {
       docs.select(col("doc_id"), col("text")), col("doc_id")).localCheckpoint()
     val ws = split(col("text"), " ")
 
+    // MEMBERSHIP NOTE (ADVICE r13): a doc with NULL text gets no exact
+    // vote (md5(null) joins nothing) but still gets a quality vote, so it
+    // appears in the output with exact_keep = 0; the pre-r13 join chain
+    // dropped such docs entirely. Current corpora have no null texts
+    // (oracle-pinned either way); a caller feeding dirtier input should
+    // filter nulls first if it wants the old membership.
     // Verdict branches emit VOTES — (doc_id, fi, v) rows, sparse where a
     // branch only has evidence for some docs — and ONE hash aggregation
     // assembles every flag (r13, guide §2.4 "share one exchange"): the

@@ -779,8 +779,16 @@ object Dedup {
     // distinct grams the 64-bit birthday bound yields a handful of
     // spurious dup grams — noise for a dedup FLAGGER. The DuckDB twin
     // groups on the raw gram text instead.
-    val grams = Shingles.wordNGramsPos(docs, n)
+    // materialized once (the substringDedup idiom): the gram relation
+    // feeds BOTH the duplicate-gram aggregate and the hit semi-join, and
+    // without the checkpoint the generator pass runs end to end twice
+    // (spark.graft.gramCkpt is the in-JVM A/B lever)
+    val grams0 = Shingles.wordNGramsPos(docs, n)
       .select(col("doc_id"), col("pos"), xxhash64(col("sh")).as("h"))
+    val grams =
+      if (docs.sparkSession.conf.get("spark.graft.gramCkpt", "true").toBoolean)
+        grams0.localCheckpoint()
+      else grams0
     // "occurs in >= 2 distinct docs" as min(doc_id) != max(doc_id): the
     // d19 form — plain min/max partial-aggregates map-side (one pass, 16 B
     // of agg state per gram), where countDistinct planned an Expand +
@@ -844,7 +852,12 @@ object Dedup {
     * the reassembly groupBy is bounded by document length. Nothing is
     * all-pairs and no window spans more than one document. */
   def stripBoilerplate(docs: DataFrame, n: Int, minDf: Int): DataFrame = {
-    val grams = Shingles.wordNGramsPosKeyed(docs, n)
+    // materialized once: feeds the boilerplate aggregate AND the hit join
+    val grams0 = Shingles.wordNGramsPosKeyed(docs, n)
+    val grams =
+      if (docs.sparkSession.conf.get("spark.graft.gramCkpt", "true").toBoolean)
+        grams0.localCheckpoint()
+      else grams0
     val bp = grams.groupBy("source", "sh")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
