@@ -87,15 +87,28 @@ object Curation {
     // evidence rows. exact/quality vote for EVERY doc, so the groupBy
     // covers the full corpus and row membership is unchanged.
 
-    // 1. exact dedup — dense votes (fi 0)
-    val keepers = base
-      .groupBy(md5(col("text").cast("binary")).as("h"))
-      .agg(min(col("doc_id")).as("keeper"))
-    val exactV = base
-      .withColumn("h", md5(col("text").cast("binary")))
-      .join(keepers, "h")
-      .select(col("doc_id"),
-        (col("doc_id") === col("keeper")).cast("int").as("v"))
+    // 1. exact dedup — dense votes (fi 0). min-per-hash as a WINDOW over
+    //    md5(text): ONE shuffle of base + a sort, where the former
+    //    groupBy(h).agg(min) + join(base, h) shuffled base AND the keeper
+    //    table and paid a sort-merge join on top (r14, guide §2.4 "share
+    //    one exchange"). Same verdict: doc_id == min(doc_id) over equal
+    //    texts. spark.graft.exactWin is the in-JVM A/B lever.
+    val exactV =
+      if (docs.sparkSession.conf.get("spark.graft.exactWin", "true").toBoolean) {
+        val wh = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text").cast("binary")))
+        base.select(col("doc_id"),
+          (col("doc_id") === min(col("doc_id")).over(wh)).cast("int").as("v"))
+      } else {
+        val keepers = base
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(min(col("doc_id")).as("keeper"))
+        base
+          .withColumn("h", md5(col("text").cast("binary")))
+          .join(keepers, "h")
+          .select(col("doc_id"),
+            (col("doc_id") === col("keeper")).cast("int").as("v"))
+      }
 
     // 2. near-dup clusters — sparse: only docs in some candidate pair
     //    (the CC table) vote; everyone else defaults to keep (fi 1)

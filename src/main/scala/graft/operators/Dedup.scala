@@ -902,65 +902,98 @@ object Dedup {
     // bucket — fine for hash-like signatures (16x audit: max bucket 76 of
     // 80k docs) but a DEGENERATE corpus (many identical dHash/audio sigs)
     // funnels a huge fraction of the corpus into one bucket and
-    // serializes quadratic work on one straggler. Buckets above the cap
-    // are therefore routed to a distributed SELF-JOIN, which AQE's skew
-    // handling can split across tasks; everything else keeps the
-    // single-pass bucket enumeration. The band rows are persisted so the
-    // signature subtree (for media queries: the full decode pipeline) is
-    // STILL computed exactly once and shared by the size probe and both
-    // routes — the r13 plan-the-subtree-once win holds.
-    // cap <= 0 disables the guard (zero-overhead single-pass plan — the
-    // deployment knob for corpora KNOWN hash-like); default on at 4096
+    // serializes quadratic work on one straggler. The guard is folded
+    // into the bucket pass itself: a bucket of size <= cap emits its
+    // pairs directly (tagged t=0); an oversized bucket re-emits each
+    // member into its deterministic BLOCK-PAIR groups (t=1; m =
+    // ceil(size/cap) blocks, member of block c goes to every (i,c)/(c,j)
+    // group), and a second grouped pass enumerates cross/within-block
+    // pairs with <= (2·cap)² work and O(cap) memory per task. No size
+    // pre-pass, no persist, no driver round-trip: the signature subtree
+    // is evaluated exactly once either way (the r13 win holds), and the
+    // benign-case cost is one extra exchange of the (small) pair set.
+    // cap <= 0 disables the guard (the exact r13 two-exchange plan).
     val cap = spark.conf.get("spark.graft.simhash.bucketCap", "4096").toInt
-    def bandRows0 = sig.select(col("doc_id"), col("sig"),
+    val bandRows0 = sig.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(b => struct(lit(b).as("bnd"),
           shiftrightunsigned(col("sig"), 15 * b).bitwiseAND(lit(32767L))
             .as("bv"))): _*)).as("e"))
       .select(col("e.bnd").as("bnd"), col("e.bv").as("bv"),
         col("doc_id"), col("sig"))
-    def groupForm(rows: DataFrame): DataFrame = rows
       .as[(Int, Long, Long, Long)]
       .groupByKey { case (bnd, bv, _, _) => (bnd, bv) }
-      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+    def pairsOf(docs: Array[(Long, Long)]): Iterator[(Long, Long, Long)] =
+      for {
+        i <- docs.indices.iterator
+        j <- (i + 1 until docs.length).iterator
+        (ia, sa) = docs(i)
+        (ib, sb) = docs(j)
+        if ia != ib
+        h = java.lang.Long.bitCount(sa ^ sb).toLong
+        if h <= 3L
+      } yield if (ia < ib) (ia, ib, h) else (ib, ia, h)
+    if (cap <= 0)
+      return bandRows0
+        .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+          pairsOf(it.map { case (_, _, id, s) => (id, s) }.toArray)
+        }
+        .toDF("doc_a", "doc_b", "hamming").distinct()
+    // block index of a doc within an oversized bucket: deterministic,
+    // uniform (byteswap64 is a bijective mixer)
+    def blockOf(id: Long, m: Int): Int =
+      (((scala.util.hashing.byteswap64(id) % m) + m) % m).toInt
+    // stage-1 rows: (t, x, y, id, sg) — t=0 pair (x=doc_a, y=doc_b,
+    // id=hamming); t=1 block member (x = bnd·2^42 | i·2^21 | j, y = m,
+    // id/sg = the member). Grouping stage 2 by (t, x, y) makes t=0 rows
+    // pass through untouched and lands each block-pair group in one task.
+    val staged = bandRows0.flatMapGroups {
+      (key: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
         val docs = it.map { case (_, _, id, s) => (id, s) }.toArray
-        (for {
-          i <- docs.indices.iterator
-          j <- (i + 1 until docs.length).iterator
-          (ia, sa) = docs(i)
-          (ib, sb) = docs(j)
-          if ia != ib
-          h = java.lang.Long.bitCount(sa ^ sb).toLong
-          if h <= 3L
-        } yield if (ia < ib) (ia, ib, h) else (ib, ia, h)): Iterator[(Long, Long, Long)]
+        if (docs.length <= cap)
+          pairsOf(docs).map { case (a, b, h) => (0, a, b, h, 0L) }
+        else {
+          val m = ((docs.length + cap - 1) / cap)
+          val bnd = key._1.toLong
+          def pack(i: Int, j: Int): Long =
+            (bnd << 42) | (i.toLong << 21) | j.toLong
+          docs.iterator.flatMap { case (id, sg) =>
+            val c = blockOf(id, m)
+            (0 until m).iterator.map { o =>
+              val (i, j) = if (o < c) (o, c) else (c, o)
+              (1, pack(i, j), m.toLong, id, sg)
+            }
+          }
+        }
+    }
+    staged
+      .groupByKey { case (t, x, y, _, _) => (t, x, y) }
+      .flatMapGroups { (key: (Int, Long, Long), it: Iterator[(Int, Long, Long, Long, Long)]) =>
+        key match {
+          case (0, a, b) =>
+            // pass-through pair rows; hamming rides in the 4th field (all
+            // duplicates of one (a, b) carry the identical hamming)
+            val h = it.next()._4
+            Iterator.single((a, b, h))
+          case (_, packed, m) =>
+            val i = ((packed >> 21) & ((1L << 21) - 1)).toInt
+            val j = (packed & ((1L << 21) - 1)).toInt
+            val members = it.map { case (_, _, _, id, sg) => (id, sg) }.toArray
+            if (i == j) pairsOf(members)
+            else {
+              val (li, lj) = members.partition { case (id, _) =>
+                blockOf(id, m.toInt) == i }
+              for {
+                (ia, sa) <- li.iterator
+                (ib, sb) <- lj.iterator
+                if ia != ib
+                h = java.lang.Long.bitCount(sa ^ sb).toLong
+                if h <= 3L
+              } yield if (ia < ib) (ia, ib, h) else (ib, ia, h)
+            }
+        }
       }
       .toDF("doc_a", "doc_b", "hamming")
-    if (cap <= 0) return groupForm(bandRows0).distinct()
-    // persist, not localCheckpoint: the size PROBE is the first job to
-    // touch the rows and populates the cache for the main pass — one
-    // evaluation of the signature subtree, one small extra job. The probe
-    // is a bounded EXISTENCE collect (a handful of (band, value) keys at
-    // most — a corpus can have at most n/cap oversized buckets and the
-    // probe only needs to know whether any exist), after which the common
-    // case keeps EXACTLY the r13 single-pass plan over the cached rows;
-    // only a corpus that actually has a degenerate bucket pays for the
-    // two-route plan.
-    val bandRows = bandRows0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val anyHot = bandRows.groupBy("bnd", "bv").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > cap).limit(1).collect().nonEmpty
-    if (!anyHot) return groupForm(bandRows).distinct()
-    val hot = bandRows.groupBy("bnd", "bv").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > cap).select("bnd", "bv")
-    val groupPairs = groupForm(
-      bandRows.join(broadcast(hot), Seq("bnd", "bv"), "left_anti"))
-    val hotRows = bandRows.join(broadcast(hot), Seq("bnd", "bv"), "left_semi")
-    val joinPairs = hotRows.as("x").join(hotRows.as("y"),
-        col("x.bnd") === col("y.bnd") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("bit_count(x.sig ^ y.sig)").cast("long").as("hamming"))
-      .filter(col("hamming") <= 3L)
-    groupPairs.unionByName(joinPairs).distinct()
+      .distinct()
   }
 
   // ----------------------------------------------------------- oracle SQL

@@ -38,7 +38,7 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("simhashPairs skew guard: capped hot bucket routes to the join path, pair set unchanged") {
+  test("simhashPairs skew guard: capped hot bucket routes to block-pair groups, pair set unchanged") {
     import spark.implicits._
     val mask60 = (1L << 60) - 1
     val rnd = new scala.util.Random(131L)
